@@ -1,0 +1,218 @@
+"""Tile pixel codecs — encode/decode the ``bytes`` column of the tile table.
+
+The container ships no image libraries (no PIL / cv2 / imageio), so the
+engine carries its own minimal codecs, NumPy + zlib only:
+
+- ``png``  — real PNG (grayscale 8/16-bit, RGB 8-bit): signature + IHDR +
+  IDAT(zlib, scanline filters 0-4 on decode, filter 0 on encode) + IEND.
+  Lossless → exact pixel parity.
+- ``f32``  — raw little-endian float32 grid, zlib-compressed, 8-byte
+  header (rows, cols). Lossless for float DEM tiles — the exact-parity
+  path for flow accumulation / focal goldens.
+- ``q16``  — lossy: float grid affinely quantized to uint16 over
+  [min, max], zlib-compressed. Quantization SNR ⪆ 90 dB for smooth
+  fields — exercises the PSNR≥40dB acceptance path of BASELINE.json.
+- ``jpeg`` — STUB. JPEG entropy coding is out of scope for this
+  container; decode raises NotImplementedError with a clear message.
+  The Ray-side plumbing (schema, batch shapes, actor signatures) treats
+  it identically to the real codecs.
+
+Semantics note: decoded pixel grids keep the reference's nodata SENTINEL
+convention (compare ``!=``, never Arrow validity masks) — see
+/root/reference/src/raster/mod.rs:364-412 and SURVEY.md §1.6.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["encode_tile", "decode_tile", "png_encode", "png_decode", "psnr"]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8/uint16 or (h, w, 3) uint8 array as PNG."""
+    if img.ndim == 2:
+        color_type = 0
+        if img.dtype == np.uint8:
+            bit_depth = 8
+            raw = img
+        elif img.dtype == np.uint16:
+            bit_depth = 16
+            raw = img.astype(">u2")
+        else:
+            raise ValueError(f"unsupported gray dtype {img.dtype}")
+    elif img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8:
+        color_type = 2
+        bit_depth = 8
+        raw = img
+    else:
+        raise ValueError(f"unsupported image shape {img.shape} / dtype {img.dtype}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    body = raw.tobytes()
+    stride = len(body) // h
+    scan = bytearray()
+    for r in range(h):
+        scan.append(0)  # filter type 0 (None)
+        scan += body[r * stride : (r + 1) * stride]
+    idat = zlib.compress(bytes(scan), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(scan: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4. ``scan`` is (h, 1+stride) uint8."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ftype = int(scan[r, 0])
+        line = scan[r, 1:].astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            out[r] = line.astype(np.uint8)
+        elif ftype == 2:  # Up
+            out[r] = ((line + prev) & 0xFF).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right scan
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+            out[r] = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode the subset of PNG produced by :func:`png_encode` (plus any
+    filter types and non-interlaced gray/RGB images)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = bit_depth = color_type = None
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if color_type == 0:
+        channels = 1
+    elif color_type == 2:
+        channels = 3
+    else:
+        raise ValueError(f"unsupported color type {color_type}")
+    bpp = channels * (bit_depth // 8)
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    flat = _unfilter(scan, h, stride, bpp)
+    if bit_depth == 8:
+        img = flat.reshape(h, w, channels) if channels > 1 else flat.reshape(h, w)
+    else:
+        img = flat.reshape(h, stride).view(">u2").astype(np.uint16).reshape(h, w)
+    return img
+
+
+# --- tile-level codecs over float64 grids ---
+
+
+def _f32_encode(grid: np.ndarray) -> bytes:
+    h, w = grid.shape
+    return struct.pack("<II", h, w) + zlib.compress(grid.astype("<f4").tobytes(), 1)
+
+
+def _f32_decode(data: bytes) -> np.ndarray:
+    h, w = struct.unpack("<II", data[:8])
+    return np.frombuffer(zlib.decompress(data[8:]), dtype="<f4").astype(np.float64).reshape(h, w)
+
+
+def _q16_encode(grid: np.ndarray) -> bytes:
+    h, w = grid.shape
+    lo = float(np.min(grid))
+    hi = float(np.max(grid))
+    scale = (hi - lo) / 65535.0 if hi > lo else 1.0
+    q = np.round((grid - lo) / scale).astype(np.uint16)
+    return struct.pack("<IIdd", h, w, lo, scale) + zlib.compress(q.tobytes(), 1)
+
+
+def _q16_decode(data: bytes) -> np.ndarray:
+    h, w, lo, scale = struct.unpack("<IIdd", data[:24])
+    q = np.frombuffer(zlib.decompress(data[24:]), dtype=np.uint16).astype(np.float64)
+    return (q * scale + lo).reshape(h, w)
+
+
+def encode_tile(grid: np.ndarray, fmt: str) -> bytes:
+    """Encode a float64 (h, w) pixel grid into the tile ``bytes`` payload."""
+    if fmt == "f32":
+        return _f32_encode(grid)
+    if fmt == "q16":
+        return _q16_encode(grid)
+    if fmt == "png":
+        # losslessly store float grids scaled into uint16 with a side header
+        lo = float(np.min(grid))
+        hi = float(np.max(grid))
+        scale = (hi - lo) / 65535.0 if hi > lo else 1.0
+        q = np.round((grid - lo) / scale).astype(np.uint16)
+        return struct.pack("<dd", lo, scale) + png_encode(q)
+    if fmt == "jpeg":
+        raise NotImplementedError(
+            "JPEG codec is stubbed in this container (no image libraries); "
+            "use fmt='png'/'f32'/'q16'. The pipeline plumbing treats jpeg "
+            "identically — only the byte codec is absent."
+        )
+    raise ValueError(f"unknown tile format {fmt!r}")
+
+
+def decode_tile(data: bytes, fmt: str) -> np.ndarray:
+    """Decode a tile payload into a float64 (h, w) grid."""
+    if fmt == "f32":
+        return _f32_decode(data)
+    if fmt == "q16":
+        return _q16_decode(data)
+    if fmt == "png":
+        lo, scale = struct.unpack("<dd", data[:16])
+        q = png_decode(data[16:]).astype(np.float64)
+        return q * scale + lo
+    if fmt == "jpeg":
+        raise NotImplementedError(
+            "JPEG codec is stubbed in this container (no image libraries)"
+        )
+    raise ValueError(f"unknown tile format {fmt!r}")
+
+
+def psnr(ref: np.ndarray, test: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB over the ref grid's dynamic range."""
+    ref = np.asarray(ref, dtype=np.float64)
+    test = np.asarray(test, dtype=np.float64)
+    mse = float(np.mean((ref - test) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    peak = float(np.max(ref) - np.min(ref)) or 1.0
+    return 10.0 * np.log10(peak * peak / mse)
