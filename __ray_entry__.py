@@ -4,13 +4,15 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in whitebox_tools_ray) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Column-name / rounding discipline: every computed column is named
+identically on both sides, and float aggregates are ROUND()ed to the same
+decimals in the Ray code and the SQL so distributed-summation
+reassociation can't flip the value hash.
 """
 
 from __future__ import annotations
@@ -18,27 +20,56 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from whitebox_tools_ray.pipelines import relational as R
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship slice on sf0.001: derive the deterministic point layer
+    from lineitem, clip it against a polygon layer with the full
+    spatial-join path (broadcast parts + quad-cell pruning + winding
+    kernel + distributed sequential FID)."""
+    return R.q_clip_points_convex("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": R.q_pricing_summary,
+        "join_tables_left": R.q_join_tables_left,
+        "join_bucketed": R.q_join_bucketed,
+        "topk_orders": R.q_topk_orders,
+        "unique_values": R.q_unique_values,
+        "zonal_stats": R.q_zonal_stats,
+        "zscores": R.q_zscores,
+        "reclass": R.q_reclass,
+        "minmax_stretch": R.q_minmax_stretch,
+        "cell_binning": R.q_cell_binning,
+        "tile_assign": R.q_tile_assign,
+        "clip_points_convex": R.q_clip_points_convex,
+        "dedup_exact": R.q_dedup_exact,
+        "text_tokens": R.q_text_tokens,
+        "events_window": R.q_events_window,
+        "ann_topk": R.q_ann_topk,
+        "lang_distribution": R.q_lang_distribution,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": R.Q_PRICING_SUMMARY_SQL,
+        "join_tables_left": R.Q_JOIN_TABLES_LEFT_SQL,
+        "join_bucketed": R.Q_JOIN_BUCKETED_SQL,
+        "topk_orders": R.Q_TOPK_ORDERS_SQL,
+        "unique_values": R.Q_UNIQUE_VALUES_SQL,
+        "zonal_stats": R.Q_ZONAL_STATS_SQL,
+        "zscores": R.Q_ZSCORES_SQL,
+        "reclass": R.Q_RECLASS_SQL,
+        "minmax_stretch": R.Q_MINMAX_STRETCH_SQL,
+        "cell_binning": R.q_cell_binning_sql(),
+        "tile_assign": R.q_tile_assign_sql(),
+        "clip_points_convex": R.q_clip_points_convex_sql(),
+        "dedup_exact": R.Q_DEDUP_EXACT_SQL,
+        "text_tokens": R.Q_TEXT_TOKENS_SQL,
+        "events_window": R.Q_EVENTS_WINDOW_SQL,
+        "ann_topk": R.q_ann_topk_sql(),
+        "lang_distribution": R.Q_LANG_DISTRIBUTION_SQL,
+    }

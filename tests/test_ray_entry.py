@@ -1,0 +1,90 @@
+"""Driver-gate emulation: run every queries() entry at sf0.01 and compare
+against its oracle_sql() twin in DuckDB — row count, schema (column
+names), and values after the driver's sort-columns-by-name convention."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    sort_cols = list(df.columns)
+    df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(ray_out, oracle_df):
+    if hasattr(ray_out, "to_pandas"):
+        ray_df = ray_out.to_pandas()
+    else:
+        ray_df = pd.DataFrame(ray_out)
+    a = normalize(ray_df)
+    b = normalize(oracle_df)
+    assert list(a.columns) == list(b.columns), f"schema mismatch {a.columns} vs {b.columns}"
+    assert len(a) == len(b), f"row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
+            np.asarray(bv).dtype, np.floating
+        ):
+            np.testing.assert_allclose(
+                av.astype(np.float64), bv.astype(np.float64), rtol=1e-9, atol=1e-9, err_msg=c
+            )
+        else:
+            assert list(av) == list(bv), f"value mismatch in {c}"
+
+
+def all_query_names():
+    import __ray_entry__ as e
+
+    return sorted(e.queries().keys())
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(entrymod, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    ray_out = q(SF_DIR)
+    oracle = duck.execute(sql).df()
+    compare(ray_out, oracle)
+
+
+def test_entry_smoke(entrymod):
+    out = entrymod.entry()
+    n = out.count() if hasattr(out, "count") else len(out)
+    assert n >= 0
+    assert out.schema() is not None

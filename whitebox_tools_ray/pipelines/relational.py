@@ -1,0 +1,476 @@
+"""Query builders over the driver's TPC-H-ish parquet tables.
+
+Every function here takes ``sf_dir`` and returns a Ray Dataset / pandas
+DataFrame, and has an exact DuckDB-SQL twin in ``__ray_entry__.oracle_sql``
+— column names AND value rounding must match on both sides (the driver
+hashes values after sorting columns by name).
+
+The synthetic point layer used by the spatial queries is derived
+DETERMINISTICALLY from lineitem with int64 arithmetic so the oracle can
+reproduce it in SQL:
+
+    record_id = l_orderkey * 10 + l_linenumber
+    x = ((l_orderkey * 7919 + l_linenumber * 104729) % 1000000) / 1000.0
+    y = ((l_partkey * 6271 + l_suppkey * 3571) % 1000000) / 1000.0
+
+(the same double division in both engines → bit-identical coordinates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SYNTH_POINTS_SQL = """
+    SELECT l_orderkey * 10 + l_linenumber AS record_id,
+           ((l_orderkey * 7919 + l_linenumber * 104729) % 1000000) / 1000.0 AS x,
+           ((l_partkey * 6271 + l_suppkey * 3571) % 1000000) / 1000.0 AS y,
+           l_quantity AS value
+    FROM lineitem
+"""
+
+
+def read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def synth_points(sf_dir: str):
+    """The deterministic point layer (see module docstring)."""
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "record_id": pa.array(ok * 10 + ln, pa.int64()),
+                "x": pa.array(((ok * 7919 + ln * 104729) % 1000000) / 1000.0),
+                "y": pa.array(((pk * 6271 + sk * 3571) % 1000000) / 1000.0),
+                "value": pa.array(qty),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def round_cols(ds, decimals: dict[str, int]):
+    """Round float columns identically to the oracle's ROUND(...)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for c, d in decimals.items():
+            idx = batch.schema.get_field_index(c)
+            v = np.round(batch[c].to_numpy(zero_copy_only=False).astype(np.float64), d)
+            batch = batch.set_column(idx, c, pa.array(v))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- relational / aggregate queries ---
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-flavored grouped aggregate with partial pre-aggregation
+    (the GBA pattern, SURVEY.md §2.11)."""
+    from ray.data.aggregate import Sum
+
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_revenue=("revenue", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_revenue", alias_name="sum_revenue"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    return round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_revenue": 2})
+
+
+Q_PRICING_SUMMARY_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_tables_left(sf_dir: str):
+    """JoinTables analog: broadcast last-dup-wins left join
+    (join_tables.rs:316-361)."""
+    from ..stages.joins import broadcast_hash_join
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    out = broadcast_hash_join(cust, nat, key="c_nationkey", build_key="n_nationkey", how="left")
+    return out.select_columns(["c_custkey", "c_name", "n_name"])
+
+
+Q_JOIN_TABLES_LEFT_SQL = """
+    SELECT c_custkey, c_name, n_name
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_join_bucketed(sf_dir: str):
+    """Partitioned hash join of two large sides + grouped reduce."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import hash_join_bucketed
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join_bucketed(orders, cust, key="o_custkey", right_key="c_custkey", how="inner", num_buckets=16)
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    )
+    return round_cols(out, {"total": 2})
+
+
+Q_JOIN_BUCKETED_SQL = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
+
+
+Q_TOPK_ORDERS_SQL = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+"""
+
+
+def q_unique_values(sf_dir: str):
+    from ..stages.zonal import list_unique_values
+
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag"])
+    return list_unique_values(ds, "l_returnflag")
+
+
+Q_UNIQUE_VALUES_SQL = """
+    SELECT l_returnflag AS value, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_zonal_stats(sf_dir: str):
+    """ZonalStatistics parity query (zones = event_type)."""
+    from ..stages.zonal import zonal_statistics
+
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+    out = zonal_statistics(ds, "event_type", "value")
+    return round_cols(out, {"total": 4, "vmin": 6, "vmax": 6, "mean": 6, "std": 6})
+
+
+Q_ZONAL_STATS_SQL = """
+    SELECT event_type AS zone, COUNT(*) AS n, ROUND(SUM(value), 4) AS total,
+           ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax,
+           ROUND(AVG(value), 6) AS mean, ROUND(STDDEV_POP(value), 6) AS std
+    FROM events GROUP BY event_type
+"""
+
+
+def q_zscores(sf_dir: str):
+    from ..stages.stats import zscores
+
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    out = zscores(ds, "c_acctbal", out_col="zscore").select_columns(["c_custkey", "zscore"])
+    return round_cols(out, {"zscore": 6})
+
+
+Q_ZSCORES_SQL = """
+    SELECT c_custkey,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER ()) / STDDEV_POP(c_acctbal) OVER (), 6) AS zscore
+    FROM customer
+"""
+
+
+def q_reclass(sf_dir: str):
+    """LUT reclass (reclass.rs range mode) + class histogram."""
+    from ray.data.aggregate import Count
+
+    from ..stages.stats import reclass
+
+    ds = read(sf_dir, "lineitem", columns=["l_quantity"])
+    out = reclass(ds, "l_quantity", [(1.0, 0.0, 10.0), (2.0, 10.0, 25.0), (3.0, 25.0, 40.0), (4.0, 40.0, 1e9)], out_col="cls")
+    return out.groupby("cls").aggregate(Count(alias_name="n"))
+
+
+Q_RECLASS_SQL = """
+    SELECT CASE WHEN l_quantity >= 0 AND l_quantity < 10 THEN 1.0
+                WHEN l_quantity >= 10 AND l_quantity < 25 THEN 2.0
+                WHEN l_quantity >= 25 AND l_quantity < 40 THEN 3.0
+                ELSE 4.0 END AS cls,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+"""
+
+
+def q_minmax_stretch(sf_dir: str):
+    from ..stages.stats import minmax_stretch
+
+    ds = read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    out = minmax_stretch(ds, "p_retailprice", out_col="stretched").select_columns(["p_partkey", "stretched"])
+    return round_cols(out, {"stretched": 6})
+
+
+Q_MINMAX_STRETCH_SQL = """
+    SELECT p_partkey,
+           ROUND((p_retailprice - MIN(p_retailprice) OVER ())
+                 / (MAX(p_retailprice) OVER () - MIN(p_retailprice) OVER ()) * 255.0, 6) AS stretched
+    FROM part
+"""
+
+
+# --- spatial queries over the synthetic point layer ---
+
+
+def q_cell_binning(sf_dir: str, level: int = 9):
+    """Quad-cell binning counts (hex/H3-binning analog, SQL-oracle-able)."""
+    from ..stages.zonal import cell_binning
+
+    return cell_binning(synth_points(sf_dir), "x", "y", kind="quad", level=level)
+
+
+def q_cell_binning_sql(level: int = 9) -> str:
+    from ..kernels.cells import quad_cell_sql
+
+    return f"""
+        SELECT {quad_cell_sql('x', 'y', level)} AS cell, COUNT(*) AS n
+        FROM ({SYNTH_POINTS_SQL}) GROUP BY 1
+    """
+
+
+def q_tile_assign(sf_dir: str, width: float = 125.0):
+    """LidarTile-rule tile assignment + per-tile counts
+    (lidar_tile.rs:257-281 parity in SQL)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..kernels.grid import TileGrid
+
+    pts = synth_points(sf_dir)
+    ext = pts.aggregate(Min("x", alias_name="mnx"), Max("x", alias_name="mxx"), Min("y", alias_name="mny"), Max("y", alias_name="mxy"))
+    tg = TileGrid.from_extent(ext["mnx"], ext["mxx"], ext["mny"], ext["mxy"], width, width)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        row, col, tid = tg.assign(
+            batch["x"].to_numpy(zero_copy_only=False), batch["y"].to_numpy(zero_copy_only=False)
+        )
+        return batch.append_column("tile_id", pa.array(tid, pa.int64()))
+
+    return pts.map_batches(assign, batch_format="pyarrow").groupby("tile_id").aggregate(Count(alias_name="n"))
+
+
+def q_tile_assign_sql(width: float = 125.0) -> str:
+    return f"""
+        WITH pts AS ({SYNTH_POINTS_SQL}),
+        ext AS (SELECT FLOOR(MIN(x) / {width}) AS sxg, CEIL(MAX(x) / {width}) AS exg,
+                       FLOOR(MIN(y) / {width}) AS syg, CEIL(MAX(y) / {width}) AS eyg
+                FROM pts)
+        SELECT (CAST(FLOOR(y / {width} - syg) AS BIGINT)
+                * CAST(ABS(exg - sxg) AS BIGINT)
+                + CAST(FLOOR(x / {width} - sxg) AS BIGINT)) AS tile_id,
+               COUNT(*) AS n
+        FROM pts, ext GROUP BY 1
+    """
+
+
+# convex clip pentagon (CW in y-up frame, off-lattice vertices so no
+# synthetic point lies exactly on an edge)
+PENTAGON = [
+    (200.137, 150.239),
+    (150.613, 450.617),
+    (450.331, 750.127),
+    (750.519, 450.733),
+    (650.417, 150.341),
+]
+
+
+def q_clip_points_convex(sf_dir: str):
+    """Clip-Point-branch parity on the synthetic layer vs a convex
+    polygon — the full engine path (broadcast parts + quad-cell pruning
+    + winding kernel + sequential FID)."""
+    from ..sources.vectors import POLY_SCHEMA, make_polygon_record
+    from ..stages.spatial_join import clip_points
+
+    rec = make_polygon_record(1, [PENTAGON], "pentagon", 1)
+    poly = pa.Table.from_pydict({k: [rec[k]] for k in POLY_SCHEMA.names}, schema=POLY_SCHEMA)
+    out = clip_points(synth_points(sf_dir), poly, order_col="record_id")
+    return out.select_columns(["record_id", "FID"])
+
+
+def q_clip_points_convex_sql() -> str:
+    # CW ring in a y-up frame → interior is strictly RIGHT of each edge:
+    # is_left(p0, p1, p) < 0 for every edge (poly_ops.rs:22-24 arithmetic).
+    ring = PENTAGON + [PENTAGON[0]]
+    conds = []
+    for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+        conds.append(f"(({x1!r} - {x0!r}) * (y - {y0!r}) - (x - {x0!r}) * ({y1!r} - {y0!r})) < 0")
+    inside = " AND ".join(conds)
+    return f"""
+        SELECT record_id, ROW_NUMBER() OVER (ORDER BY record_id) AS FID
+        FROM ({SYNTH_POINTS_SQL}) WHERE {inside}
+    """
+
+
+# --- text / dedup / window / ANN queries ---
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: md5 content hash → keep the smallest doc_id per hash."""
+    import hashlib
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return batch.append_column("__h", pa.array(h, pa.string()))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())]})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_tokens(sf_dir: str):
+    """Token counting (ASCII word tokens) + char lengths per document."""
+    import re
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = re.compile(r"[A-Za-z0-9_]+")
+
+    class Tokenize:
+        def __init__(self):
+            self.pat = re.compile(r"[A-Za-z0-9_]+")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array([len(self.pat.findall(t)) for t in texts], pa.int64()),
+                    "n_chars_c": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            )
+
+    del pat
+    return ds.map_batches(Tokenize, batch_format="pyarrow", concurrency=(1, 2))
+
+
+Q_TEXT_TOKENS_SQL = """
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+           LENGTH(text) AS n_chars_c
+    FROM documents
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per user over the events log."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        w = ts // (3600 * 1_000_000)
+        return batch.append_column("wstart", pa.array(w, pa.int64()))
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "wstart"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
+    )
+    return round_cols(out, {"total": 6})
+
+
+Q_EVENTS_WINDOW_SQL = """
+    SELECT user_id, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS wstart,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+    FROM events GROUP BY 1, 2
+"""
+
+
+ANN_QUERY_VEC = [round(0.05 + 0.01 * ((i * 37) % 17), 6) for i in range(64)]
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 over the embedding column (the ANN
+    baseline: numpy matmul per batch against a broadcast query vector)."""
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qv = np.asarray(ANN_QUERY_VEC, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+
+    def score(batch: pa.Table) -> pa.Table:
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()])
+        sims = emb @ qv / (np.linalg.norm(emb, axis=1) * qn)
+        return pa.table({"vec_id": batch["vec_id"], "sim": pa.array(sims)})
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["sim", "vec_id"], descending=[True, True])
+        .limit(10)
+        .select_columns(["vec_id"])
+    )
+
+
+def q_ann_topk_sql() -> str:
+    vec = "[" + ", ".join(repr(v) for v in ANN_QUERY_VEC) + "]"
+    return f"""
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   list_cosine_similarity(CAST(embedding AS DOUBLE[]), {vec}) AS sim
+            FROM embeddings
+        ) ORDER BY sim DESC, vec_id DESC LIMIT 10
+    """
+
+
+def q_lang_distribution(sf_dir: str):
+    from ..stages.zonal import list_unique_values
+
+    return list_unique_values(read(sf_dir, "documents", columns=["lang"]), "lang")
+
+
+Q_LANG_DISTRIBUTION_SQL = """
+    SELECT lang AS value, COUNT(*) AS n FROM documents GROUP BY lang
+"""

@@ -190,7 +190,7 @@ class _ClipRasterActor:
         return t
 
 
-def clip_raster_to_polygon(tiles_ds, poly_table: pa.Table, scene_spec, erase: bool = False, concurrency: int = 4):
+def clip_raster_to_polygon(tiles_ds, poly_table: pa.Table, scene_spec, erase: bool = False, concurrency=(1, 4)):
     """maintain_dimensions clip (or erase) of a tiled scene vs polygons.
 
     Output tile table on the same grid; ``bytes`` re-encoded ``f32``

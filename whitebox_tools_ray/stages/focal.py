@@ -1,0 +1,303 @@
+"""Focal (neighborhood) operators over the tile table — axis-A core.
+
+The reference's filter/terrain toolboxes (SURVEY.md §2.6/§2.10) are
+whole-raster row-striped scans with out-of-bounds reads returning the
+nodata sentinel. The engine form is the HALO EXCHANGE pattern:
+
+1. per tile (``map_batches``): decode once, emit (a) the tile itself and
+   (b) margin strips of width ``halo`` keyed to each of its 8 neighbors;
+2. ``groupby(tile_key).map_groups``: assemble the padded array — tile in
+   the middle, neighbor margins around it, missing neighbors = nodata
+   (exactly the reference's out-of-bounds semantics,
+   raster/mod.rs:364-412) — and run the vectorized kernel on the
+   interior;
+3. re-encode the result tile.
+
+One shuffle whose payload is margins + one tile copy — at 100 TB the
+margin fraction is 2*halo/tile_px (≈3% for halo 2 at 128²). Kernels are
+NumPy-vectorized over the whole padded array (shifted-view arithmetic,
+no per-pixel Python).
+
+Kernels provided (reference semantics, file:line in each):
+- slope / aspect / hillshade — terrain_analysis/slope.rs:256-292 Horn
+  8-neighbor weighted differences, nodata neighbors replaced by center z.
+- mean / min / max / range / total / stdev filters — image_analysis/
+  *_filter.rs square windows (kernel size 2r+1).
+- laplacian / sobel / prewitt edge filters — fixed 3×3 stencils.
+- d8_pointer — hydro_analysis/d8_pointer.rs + d8_flow_accum.rs:261-321
+  steepest positive drop of 8 neighbors (dir 0..7, -1 for pits/nodata).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels import codecs
+
+# the reference's neighbor order (slope.rs / d8_flow_accum.rs):
+# i:      0   1   2   3   4   5   6   7
+DX8 = np.array([1, 1, 1, 0, -1, -1, -1, 0])
+DY8 = np.array([-1, 0, 1, 1, 1, 0, -1, -1])
+
+
+def _emit_tile_and_margins(batch: pa.Table, halo: int, tiles_x: int, tiles_y: int) -> pa.Table:
+    """Flat-map one batch of tiles into self + 8 margin records."""
+    trows = batch["tile_row"].to_numpy(zero_copy_only=False)
+    tcols = batch["tile_col"].to_numpy(zero_copy_only=False)
+    blobs = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    tgt_key: list[int] = []
+    rel: list[int] = []  # (drow+1)*3 + (dcol+1); 4 = self
+    payload: list[bytes] = []
+    for i in range(batch.num_rows):
+        tr, tc = int(trows[i]), int(tcols[i])
+        grid = codecs.decode_tile(blobs[i], fmts[i])
+        h, w = grid.shape
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                ntr, ntc = tr + dr, tc + dc
+                if not (0 <= ntr < tiles_y and 0 <= ntc < tiles_x):
+                    continue
+                if dr == 0 and dc == 0:
+                    strip = grid
+                else:
+                    # send the edge NEAREST the neighbor: the tile below me
+                    # (dr=+1) needs my BOTTOM rows as its top halo, etc.
+                    rs = slice(h - halo, h) if dr == 1 else (slice(0, halo) if dr == -1 else slice(None))
+                    cs = slice(w - halo, w) if dc == 1 else (slice(0, halo) if dc == -1 else slice(None))
+                    strip = grid[rs, cs]
+                tgt_key.append(ntr * tiles_x + ntc)
+                rel.append((1 - dr) * 3 + (1 - dc))  # position of the STRIP in target's frame
+                payload.append(codecs.encode_tile(np.ascontiguousarray(strip), "f32"))
+    return pa.table(
+        {
+            "tkey": pa.array(tgt_key, pa.int64()),
+            "rel": pa.array(rel, pa.int64()),
+            "data": pa.array(payload, pa.binary()),
+        }
+    )
+
+
+def _assemble_padded(g: pd.DataFrame, halo: int, tile_px: int, nodata: float) -> tuple[int, np.ndarray]:
+    """Rebuild the (tile_px + 2*halo)² padded grid from margin records."""
+    pad = np.full((tile_px + 2 * halo, tile_px + 2 * halo), nodata, dtype=np.float64)
+    tkey = int(g["tkey"].iloc[0])
+    for rel, data in zip(g["rel"], g["data"]):
+        strip = codecs.decode_tile(bytes(data), "f32")
+        rr = int(rel) // 3 - 1  # -1, 0, 1 = strip sits above/at/below
+        cc = int(rel) % 3 - 1
+        if rr == 0 and cc == 0:
+            pad[halo : halo + tile_px, halo : halo + tile_px] = strip
+            continue
+        rs = slice(0, halo) if rr == -1 else (slice(halo + tile_px, None) if rr == 1 else slice(halo, halo + tile_px))
+        cs = slice(0, halo) if cc == -1 else (slice(halo + tile_px, None) if cc == 1 else slice(halo, halo + tile_px))
+        pad[rs, cs] = strip
+    return tkey, pad
+
+
+def focal_op(
+    tiles_ds,
+    spec,
+    kernel: Callable[[np.ndarray, float, "SceneSpecLike"], np.ndarray],
+    halo: int,
+    out_fmt: str = "f32",
+):
+    """Generic halo-exchange focal stage.
+
+    ``kernel(padded, nodata, spec) -> (tile_px, tile_px) output`` runs on
+    the padded array; out-of-scene area arrives as nodata.
+    Returns Dataset[tile_row, tile_col, bytes, fmt].
+    """
+    nodata = spec.nodata
+    tpx = spec.tile_px
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+
+    margins = tiles_ds.map_batches(
+        lambda b: _emit_tile_and_margins(b, halo, tiles_x, tiles_y),
+        batch_format="pyarrow",
+        batch_size=16,
+    )
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        tkey, pad = _assemble_padded(g, halo, tpx, nodata)
+        out = kernel(pad, nodata, spec)
+        return pd.DataFrame(
+            {
+                "tile_row": [tkey // tiles_x],
+                "tile_col": [tkey % tiles_x],
+                "bytes": [codecs.encode_tile(out, out_fmt)],
+                "fmt": [out_fmt],
+            }
+        )
+
+    return margins.groupby("tkey").map_groups(per_tile, batch_format="pandas")
+
+
+def _shifted(pad: np.ndarray, halo: int, tpx: int, dy: int, dx: int) -> np.ndarray:
+    return pad[halo + dy : halo + dy + tpx, halo + dx : halo + dx + tpx]
+
+
+def slope_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+    """Slope in degrees — slope.rs:256-292 exact arithmetic."""
+    tpx = spec.tile_px
+    halo = (pad.shape[0] - tpx) // 2
+    z = _shifted(pad, halo, tpx, 0, 0)
+    n = []
+    for i in range(8):
+        zi = _shifted(pad, halo, tpx, int(DY8[i]), int(DX8[i]))
+        n.append(np.where(zi != nodata, zi, z))
+    eight_res = spec.res * 8.0
+    fy = (n[6] - n[4] + 2.0 * (n[7] - n[3]) + n[0] - n[2]) / eight_res
+    fx = (n[2] - n[4] + 2.0 * (n[1] - n[5]) + n[0] - n[6]) / eight_res
+    out = np.degrees(np.arctan(np.sqrt(fx * fx + fy * fy)))
+    return np.where(z != nodata, out, nodata)
+
+
+def hillshade_kernel(pad: np.ndarray, nodata: float, spec, azimuth: float = 315.0, altitude: float = 30.0):
+    """Hillshade (terrain_analysis/hillshade.rs): Horn derivatives +
+    sun-angle illumination, output scaled to [0, 32767]."""
+    tpx = spec.tile_px
+    halo = (pad.shape[0] - tpx) // 2
+    z = _shifted(pad, halo, tpx, 0, 0)
+    n = []
+    for i in range(8):
+        zi = _shifted(pad, halo, tpx, int(DY8[i]), int(DX8[i]))
+        n.append(np.where(zi != nodata, zi, z))
+    eight_res = spec.res * 8.0
+    fy = (n[6] - n[4] + 2.0 * (n[7] - n[3]) + n[0] - n[2]) / eight_res
+    fx = (n[2] - n[4] + 2.0 * (n[1] - n[5]) + n[0] - n[6]) / eight_res
+    az = np.radians(azimuth - 90.0)
+    alt = np.radians(altitude)
+    slope = np.arctan(np.sqrt(fx * fx + fy * fy))
+    aspect = np.arctan2(-fx, fy)
+    hs = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)
+    out = np.round(np.clip(hs, 0.0, 1.0) * 32767.0)
+    return np.where(z != nodata, out, nodata)
+
+
+def _window_stat(pad, nodata, spec, stat: str, radius: int):
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    tpx = spec.tile_px
+    halo = (pad.shape[0] - tpx) // 2
+    k = 2 * radius + 1
+    lo = halo - radius
+    sub = pad[lo : lo + tpx + 2 * radius, lo : lo + tpx + 2 * radius]
+    win = sliding_window_view(sub, (k, k))
+    valid = win != nodata
+    z = _shifted(pad, halo, tpx, 0, 0)
+    with np.errstate(all="ignore"):
+        if stat == "mean":
+            s = np.where(valid, win, 0.0).sum(axis=(-2, -1))
+            c = valid.sum(axis=(-2, -1))
+            out = np.where(c > 0, s / np.maximum(c, 1), nodata)
+        elif stat == "total":
+            out = np.where(valid, win, 0.0).sum(axis=(-2, -1))
+        elif stat == "min":
+            out = np.where(valid, win, np.inf).min(axis=(-2, -1))
+            out = np.where(np.isfinite(out), out, nodata)
+        elif stat == "max":
+            out = np.where(valid, win, -np.inf).max(axis=(-2, -1))
+            out = np.where(np.isfinite(out), out, nodata)
+        elif stat == "range":
+            mx = np.where(valid, win, -np.inf).max(axis=(-2, -1))
+            mn = np.where(valid, win, np.inf).min(axis=(-2, -1))
+            out = np.where(np.isfinite(mx) & np.isfinite(mn), mx - mn, nodata)
+        elif stat == "stdev":
+            c = valid.sum(axis=(-2, -1)).astype(np.float64)
+            s = np.where(valid, win, 0.0).sum(axis=(-2, -1))
+            ss = np.where(valid, win**2, 0.0).sum(axis=(-2, -1))
+            m = s / np.maximum(c, 1)
+            out = np.where(c > 0, np.sqrt(np.maximum(ss / np.maximum(c, 1) - m**2, 0.0)), nodata)
+        else:
+            raise ValueError(stat)
+    return np.where(z != nodata, out, nodata)
+
+
+def make_window_kernel(stat: str, radius: int):
+    def kernel(pad, nodata, spec):
+        return _window_stat(pad, nodata, spec, stat, radius)
+
+    kernel.__name__ = f"{stat}_filter_r{radius}"
+    return kernel
+
+
+def _stencil3(pad, nodata, spec, weights: np.ndarray):
+    tpx = spec.tile_px
+    halo = (pad.shape[0] - tpx) // 2
+    z = _shifted(pad, halo, tpx, 0, 0)
+    out = np.zeros_like(z)
+    for (dy, dx), wgt in np.ndenumerate(weights):
+        if wgt == 0:
+            continue
+        zi = _shifted(pad, halo, tpx, dy - 1, dx - 1)
+        out += wgt * np.where(zi != nodata, zi, z)
+    return np.where(z != nodata, out, nodata)
+
+
+LAPLACIAN = np.array([[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]])
+SOBEL_X = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+SOBEL_Y = np.array([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]])
+PREWITT_X = np.array([[-1.0, 0.0, 1.0], [-1.0, 0.0, 1.0], [-1.0, 0.0, 1.0]])
+PREWITT_Y = np.array([[-1.0, -1.0, -1.0], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+
+
+def laplacian_kernel(pad, nodata, spec):
+    return _stencil3(pad, nodata, spec, LAPLACIAN)
+
+
+def sobel_kernel(pad, nodata, spec):
+    gx = _stencil3(pad, nodata, spec, SOBEL_X)
+    gy = _stencil3(pad, nodata, spec, SOBEL_Y)
+    z = _shifted(pad, (pad.shape[0] - spec.tile_px) // 2, spec.tile_px, 0, 0)
+    return np.where(z != nodata, np.hypot(gx, gy), nodata)
+
+
+def prewitt_kernel(pad, nodata, spec):
+    gx = _stencil3(pad, nodata, spec, PREWITT_X)
+    gy = _stencil3(pad, nodata, spec, PREWITT_Y)
+    z = _shifted(pad, (pad.shape[0] - spec.tile_px) // 2, spec.tile_px, 0, 0)
+    return np.where(z != nodata, np.hypot(gx, gy), nodata)
+
+
+def d8_pointer_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+    """D8 flow direction — d8_flow_accum.rs:261-321 exact: steepest
+    POSITIVE drop over the 8 neighbors (distance-weighted), dir 0..7 in
+    the reference's neighbor order, -1 for pits/flats/nodata."""
+    tpx = spec.tile_px
+    halo = (pad.shape[0] - tpx) // 2
+    z = _shifted(pad, halo, tpx, 0, 0)
+    res = spec.res
+    diag = np.sqrt(res * res + res * res)
+    lengths = [diag, res, diag, res, diag, res, diag, res]
+    max_slope = np.full(z.shape, -np.inf)
+    best = np.full(z.shape, -1, dtype=np.int8)
+    for i in range(8):
+        zi = _shifted(pad, halo, tpx, int(DY8[i]), int(DX8[i]))
+        ok = zi != nodata
+        slope = np.where(ok, (z - zi) / lengths[i], -np.inf)
+        better = (slope > max_slope) & (slope > 0.0)
+        best = np.where(better, np.int8(i), best)
+        max_slope = np.where(better, slope, max_slope)
+    out = np.where(z != nodata, best, np.int8(-1)).astype(np.float64)
+    return out
+
+
+def slope(tiles_ds, spec):
+    return focal_op(tiles_ds, spec, slope_kernel, halo=1)
+
+
+def hillshade(tiles_ds, spec):
+    return focal_op(tiles_ds, spec, hillshade_kernel, halo=1)
+
+
+def d8_pointer(tiles_ds, spec):
+    return focal_op(tiles_ds, spec, d8_pointer_kernel, halo=1, out_fmt="i8")
+
+
+def window_filter(tiles_ds, spec, stat: str = "mean", radius: int = 2):
+    return focal_op(tiles_ds, spec, make_window_kernel(stat, radius), halo=radius)

@@ -1,0 +1,182 @@
+"""Joins: broadcast hash join (JoinTables semantics) and a bucketed
+partitioned hash join for two large sides.
+
+JoinTables (/root/reference/src/tools/data_tools/join_tables.rs):
+
+- build a HashMap fkey → fields from table2 (:316-329) — duplicate keys
+  LAST-dup-WINS (later rows overwrite);
+- probe per table1 record, LEFT OUTER: unmatched rows padded with Null
+  (:332-361).
+
+Ray-Data design (ray_guide "Joins and lookups"): the build side is
+``ray.put`` once; each actor materializes the dict in ``__init__``; the
+probe is a vectorized pandas merge per batch. No shuffle.
+
+For two large sides, ``hash_join_bucketed`` adds ``bucket = hash(key) % B``
+to both, groups each by bucket, and merges matching buckets pairwise
+inside ``map_groups`` — an explicit partitioned hash join with B
+documented and salted sub-buckets for hot keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _build_last_wins(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Dedup build side keeping the LAST row per key (join_tables.rs:316-329)."""
+    return df.drop_duplicates(subset=[key], keep="last")
+
+
+class _BroadcastJoinActor:
+    def __init__(self, build_ref, key: str, build_key: str, how: str):
+        import ray
+
+        build = ray.get(build_ref)
+        self.build = _build_last_wins(build, build_key)
+        self.key = key
+        self.build_key = build_key
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(
+            self.build,
+            how=self.how,
+            left_on=self.key,
+            right_on=self.build_key,
+            suffixes=("", "_r"),
+        )
+        if self.build_key != self.key and self.build_key in out.columns:
+            out = out.drop(columns=[self.build_key])
+        return out
+
+
+def broadcast_hash_join(
+    probe_ds,
+    build: pa.Table | pd.DataFrame,
+    key: str,
+    build_key: str | None = None,
+    how: str = "left",
+    concurrency=(1, 4),
+    batch_size: int = 65536,
+):
+    """Left-outer (default) broadcast hash join, last-dup-wins build side."""
+    import ray
+
+    if isinstance(build, pa.Table):
+        build = build.to_pandas()
+    ref = ray.put(build)
+    return probe_ds.map_batches(
+        _BroadcastJoinActor,
+        fn_constructor_args=(ref, key, build_key or key, how),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def semi_join(probe_ds, keys, key: str, anti: bool = False, concurrency=(1, 2)):
+    """Semi/anti join: broadcast the key SET, filter inside map_batches."""
+    import ray
+
+    key_set = frozenset(keys)
+    ref = ray.put(key_set)
+
+    class _Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch[key].to_pylist()
+            m = np.array([v in self.keys for v in vals])
+            return batch.filter(pa.array(~m if anti else m))
+
+    return probe_ds.map_batches(_Filter, batch_format="pyarrow", concurrency=concurrency)
+
+
+def hash_join_bucketed(
+    left_ds,
+    right_ds,
+    key: str,
+    right_key: str | None = None,
+    how: str = "inner",
+    num_buckets: int = 64,
+):
+    """Partitioned hash join of two large Datasets.
+
+    Both sides get ``__bucket = key-hash % num_buckets`` in a cheap
+    ``map_batches``; the union is grouped by bucket and each group merged
+    with pandas. Works for inner/left joins on an equality key. Salt hot
+    keys by raising num_buckets; at 100 TB pick num_buckets ≈ blocks so a
+    bucket fits one task's heap.
+    """
+    rk = right_key or key
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    lcols = list(lschema.names)
+    # overlapping right column names (other than its key) get a _r suffix
+    rename = {c: (c + "_r" if c in lcols and c != rk else c) for c in rschema.names}
+    rcols = [rename[c] for c in rschema.names]
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = {rename[c]: t for c, t in zip(rschema.names, rschema.types)}
+    types = {**rtypes, **ltypes}
+
+    def _hash_key(k: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if pa.types.is_integer(k.type):
+            return k.to_numpy(zero_copy_only=False).astype(np.int64) % num_buckets
+        import zlib
+
+        return np.array(
+            [zlib.crc32(str(v).encode()) % num_buckets for v in k.to_pylist()], dtype=np.int64
+        )
+
+    def tag(col, side, ren):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = _hash_key(batch[col])
+            if ren:
+                batch = batch.rename_columns([rename[c] for c in batch.schema.names])
+            # null-pad to the common schema so union sees ONE schema
+            arrays = []
+            for c in all_cols:
+                if c in batch.schema.names:
+                    arrays.append(batch[c])
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, types[c]))
+            t = pa.table(dict(zip(all_cols, arrays)))
+            t = t.append_column("__bucket", pa.array(h, pa.int64()))
+            return t.append_column("__side", pa.array(np.full(batch.num_rows, side, dtype=np.int8)))
+
+        return fn
+
+    tagged = left_ds.map_batches(tag(key, 0, False), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(rk, 1, True), batch_format="pyarrow")
+    )
+    rk_out = rename[rk]
+
+    # pandas dtypes to restore after the null-padded union upcast ints to
+    # float64 (NaN padding) — cast each side back before merging
+    def _pd_types(names):
+        out = {}
+        for c in names:
+            try:
+                out[c] = pa.field(c, types[c]).type.to_pandas_dtype()
+            except NotImplementedError:
+                pass
+        return out
+
+    ltypes_pd = _pd_types(lcols)
+    rtypes_pd = _pd_types(rcols)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][lcols].astype(ltypes_pd)
+        rg = g[g["__side"] == 1][[c for c in rcols]].astype(rtypes_pd)
+        # pandas merge handles empty sides, keeping a consistent schema
+        out = lg.merge(rg, how=how, left_on=key, right_on=rk_out, suffixes=("", "_r"))
+        if rk_out != key and rk_out in out.columns:
+            out = out.drop(columns=[rk_out])
+        return out
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

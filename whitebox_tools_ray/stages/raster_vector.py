@@ -71,7 +71,7 @@ class _TilePointsEmitter:
         )
 
 
-def raster_to_vector_points(tiles_ds, scene_spec, concurrency: int = 4, assign_fid: bool = True):
+def raster_to_vector_points(tiles_ds, scene_spec, concurrency=(1, 4), assign_fid: bool = True):
     """Tile table → point Dataset (FID, x, y, VALUE) in exact scan order."""
     pts = tiles_ds.map_batches(
         _TilePointsEmitter,

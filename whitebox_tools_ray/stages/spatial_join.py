@@ -192,7 +192,7 @@ def clip_points(
         fn_constructor_args=(parts_ref, index_ref, cell_level, mode == "clip", x_col, y_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or 4,
+        concurrency=concurrency or (1, 4),
     )
     if renumber_fid:
         out = zip_with_order_index(out, order_col, index_col="FID", start=1)
@@ -245,7 +245,7 @@ def clip_points_shuffle(
             return batch.filter(pa.array(cand if keep_inside else cand))
 
     # candidates shuffle; non-candidates resolve immediately
-    candidates = with_cell.map_batches(SplitByCandidacy, batch_format="pyarrow", concurrency=2)
+    candidates = with_cell.map_batches(SplitByCandidacy, batch_format="pyarrow", concurrency=(1, 2))
 
     class NonCandidates:
         def __init__(self):
@@ -266,7 +266,7 @@ def clip_points_shuffle(
 
     joined = candidates.groupby("__cell").map_groups(per_cell, batch_format="pandas")
     if not keep_inside:
-        outside = with_cell.map_batches(NonCandidates, batch_format="pyarrow", concurrency=2)
+        outside = with_cell.map_batches(NonCandidates, batch_format="pyarrow", concurrency=(1, 2))
         joined = joined.union(outside)
     return joined.drop_columns(["__cell"])
 
@@ -356,7 +356,7 @@ def extract_values_at_points(
         fn_constructor_args=(ref, scene_spec.tiles_x),
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=concurrency or 4,
+        concurrency=concurrency or (1, 4),
     )
     # out-of-grid points → nodata rows, emitted driver-side (tiny)
     import ray.data as rd
