@@ -50,6 +50,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": R.q_events_window,
         "ann_topk": R.q_ann_topk,
         "lang_distribution": R.q_lang_distribution,
+        "session_windows": R.q_session_windows,
+        "text_quality": R.q_text_quality,
+        "token_count": R.q_token_count,
+        "near_dup_cosine": R.q_near_dup_cosine,
+        "frame_sample": R.q_frame_sample,
+        # rows-only checks (no SQL-expressible oracle):
+        "minhash_pairs": R.q_minhash_pairs,
+        "simhash_pairs": R.q_simhash_pairs,
+        "kmeans_clusters": R.q_kmeans_clusters,
+        "ann_lsh": R.q_ann_lsh,
+        "lang_pred": R.q_lang_pred,
     }
 
 
@@ -72,4 +83,12 @@ def oracle_sql() -> dict[str, str]:
         "events_window": R.Q_EVENTS_WINDOW_SQL,
         "ann_topk": R.q_ann_topk_sql(),
         "lang_distribution": R.Q_LANG_DISTRIBUTION_SQL,
+        "session_windows": R.q_session_windows_sql(),
+        "text_quality": R.Q_TEXT_QUALITY_SQL,
+        "token_count": R.Q_TOKEN_COUNT_SQL,
+        "near_dup_cosine": R.q_near_dup_cosine_sql(),
+        "frame_sample": R.q_frame_sample_sql(),
+        # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
+        # lang_pred intentionally omitted: non-SQL-expressible (sketchy /
+        # iterative / heuristic) → driver's rows-only check.
     }

@@ -1,0 +1,166 @@
+"""Gridding (IDW/NN/block), Clump CC, and stretch-family tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from whitebox_tools_ray.kernels import codecs
+from whitebox_tools_ray.kernels.frs import FixedRadiusSearch2D
+from whitebox_tools_ray.sources import tiles as tsrc
+
+
+class TestFRS:
+    def test_radius_search_exact(self):
+        rng = np.random.RandomState(0)
+        xs = rng.uniform(0, 100, 500)
+        ys = rng.uniform(0, 100, 500)
+        frs = FixedRadiusSearch2D(xs, ys, radius=5.0)
+        for qx, qy in [(50.0, 50.0), (0.0, 0.0), (99.0, 1.0)]:
+            idx, d = frs.search(qx, qy)
+            brute = np.hypot(xs - qx, ys - qy)
+            expect = set(np.nonzero(brute <= 5.0)[0])
+            assert set(idx.tolist()) == expect
+
+    def test_knn(self):
+        rng = np.random.RandomState(1)
+        xs = rng.uniform(0, 100, 300)
+        ys = rng.uniform(0, 100, 300)
+        frs = FixedRadiusSearch2D(xs, ys, radius=3.0)
+        idx, d = frs.knn(10.0, 10.0, 5)
+        assert len(idx) == 5
+        brute = np.hypot(xs - 10.0, ys - 10.0)
+        # expanding-window kNN is approximate like the reference's, but on
+        # uniform data with a wide window it should find the true nearest
+        assert idx[0] == brute.argmin()
+
+
+class TestGridding:
+    def test_idw_matches_direct(self, ray_session):
+        from whitebox_tools_ray.stages.gridding import idw_gridding
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        gs = spec.grid_spec()
+        rng = np.random.RandomState(2)
+        n = 200
+        px = gs.west + rng.uniform(0, 1, n) * (gs.east - gs.west)
+        py = gs.south + rng.uniform(0, 1, n) * (gs.north - gs.south)
+        pz = rng.uniform(0, 100, n)
+        pts = pa.table({"x": px, "y": py, "value": pz})
+        radius = 3.5 * gs.res_x
+        out = idw_gridding(pts, spec, radius=radius).to_pandas()
+        got = np.full((spec.rows, spec.columns), gs.nodata)
+        for _, row in out.iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            r0 = int(row["tile_row"]) * spec.tile_px
+            c0 = int(row["tile_col"]) * spec.tile_px
+            got[r0 : r0 + g.shape[0], c0 : c0 + g.shape[1]] = g
+        # direct oracle
+        for r in range(spec.rows):
+            for c in range(spec.columns):
+                x = float(gs.x_from_col(c))
+                y = float(gs.y_from_row(r))
+                d = np.hypot(px - x, py - y)
+                m = d <= radius
+                if not m.any():
+                    expect = gs.nodata
+                elif (d[m] == 0).any():
+                    expect = pz[m][d[m] == 0][0]
+                else:
+                    w = 1.0 / d[m] ** 2
+                    expect = float(np.sum(w * pz[m]) / np.sum(w))
+                assert got[r, c] == pytest.approx(expect, rel=1e-5), (r, c)
+
+    def test_block_gridding(self, ray_session):
+        from whitebox_tools_ray.kernels.grid import GridSpec
+        from whitebox_tools_ray.stages.gridding import block_gridding
+
+        gs = GridSpec(west=0.0, north=100.0, res_x=10.0, res_y=10.0, rows=10, columns=10)
+        pts = pa.table(
+            {
+                "x": [5.0, 6.0, 95.0],
+                "y": [95.0, 96.0, 5.0],
+                "value": [1.0, 9.0, 4.0],
+            }
+        )
+        out = block_gridding(rd.from_arrow(pts), gs, stat="max").to_pandas()
+        top_left = out[out["cell"] == 0]
+        assert top_left["VALUE"].iloc[0] == 9.0
+        assert len(out) == 2
+
+
+class TestClump:
+    def test_matches_whole_raster(self, ray_session):
+        from whitebox_tools_ray.stages.cc import _local_labels, clump
+
+        spec = tsrc.SceneSpec(tiles_x=3, tiles_y=3, tile_px=8)
+        rng = np.random.RandomState(3)
+        # categorical raster with few values → components crossing tiles
+        cat = rng.randint(0, 3, (spec.rows, spec.columns)).astype(np.float64)
+        rows = {k: [] for k in tsrc.TILE_SCHEMA.names}
+        import pyarrow as pa
+
+        cols = {n: [] for n in ["tile_row", "tile_col", "bytes", "fmt"]}
+        for tr in range(spec.tiles_y):
+            for tc in range(spec.tiles_x):
+                g = cat[tr * 8 : tr * 8 + 8, tc * 8 : tc * 8 + 8]
+                cols["tile_row"].append(tr)
+                cols["tile_col"].append(tc)
+                cols["bytes"].append(codecs.encode_tile(g, "f32"))
+                cols["fmt"].append("f32")
+        t = pa.table(
+            {
+                "tile_row": pa.array(cols["tile_row"], pa.int32()),
+                "tile_col": pa.array(cols["tile_col"], pa.int32()),
+                "bytes": pa.array(cols["bytes"], pa.binary()),
+                "fmt": pa.array(cols["fmt"], pa.string()),
+            }
+        )
+        out_tiles, n_comp = clump(rd.from_arrow(t), spec, diag=True)
+        got = np.zeros_like(cat)
+        for tid, g in out_tiles.items():
+            r0 = (tid // 3) * 8
+            c0 = (tid % 3) * 8
+            got[r0 : r0 + 8, c0 : c0 + 8] = g
+        # whole-raster oracle with the same local-label routine
+        expect = _local_labels(cat, spec.nodata, True, False)
+        assert n_comp == expect.max()
+        # same partition structure (labels must be a bijection)
+        mapping = {}
+        for a, b in zip(got.ravel(), expect.ravel()):
+            assert mapping.setdefault(a, b) == b
+        # and the same discovery-order numbering → identical arrays
+        np.testing.assert_array_equal(got, expect.astype(np.float64))
+
+
+class TestStretch:
+    def test_histogram_equalization_uniformizes(self, ray_session):
+        from whitebox_tools_ray.stages.stretch import histogram_equalization
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=16)
+        table = tsrc.generate_tiles(spec, fmt_cycle=("f32",))
+        out = histogram_equalization(rd.from_arrow(table), num_tones=256).to_pandas()
+        vals = np.concatenate(
+            [codecs.decode_tile(bytes(r["bytes"]), r["fmt"]).ravel() for _, r in out.iterrows()]
+        )
+        # equalized values should span the output range (0..1023 default)
+        # with approximately uniform quartiles
+        q = np.quantile(vals, [0.25, 0.5, 0.75])
+        assert q[0] == pytest.approx(1023 * 0.25, abs=80)
+        assert q[1] == pytest.approx(1023 * 0.5, abs=80)
+        assert q[2] == pytest.approx(1023 * 0.75, abs=80)
+        assert vals.min() >= 0 and vals.max() <= 1023
+
+    def test_percentage_stretch_bounds(self, ray_session):
+        from whitebox_tools_ray.stages.stretch import percentage_stretch
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=16)
+        table = tsrc.generate_tiles(spec, fmt_cycle=("f32",))
+        out = percentage_stretch(rd.from_arrow(table), clip_percent=2.0).to_pandas()
+        vals = np.concatenate(
+            [codecs.decode_tile(bytes(r["bytes"]), r["fmt"]).ravel() for _, r in out.iterrows()]
+        )
+        assert vals.min() >= 0.0 and vals.max() <= 255.0
+        # tails clipped: a noticeable mass at the extremes
+        assert (vals == 0.0).mean() > 0.005

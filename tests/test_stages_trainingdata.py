@@ -1,0 +1,245 @@
+"""Dedup / text / ANN / kmeans / windows / multimodal / registry tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def embs(ray_session):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup_with_planted_dups(self, ray_session, docs):
+        from whitebox_tools_ray.stages.dedup import exact_dedup
+
+        df = docs.to_pandas()
+        dup = df.head(5).copy()
+        dup["doc_id"] = dup["doc_id"] + 100000
+        both = pd.concat([df, dup], ignore_index=True)
+        out = exact_dedup(rd.from_pandas(both), "text", "doc_id").to_pandas()
+        # every planted dup resolves to the ORIGINAL (min) id
+        assert len(out) == df["text"].nunique()
+        assert out[out["n_dups"] >= 2]["doc_id"].min() == df["doc_id"].min()
+
+    def test_minhash_finds_planted_near_dups(self, ray_session, docs):
+        from whitebox_tools_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+        df = docs.to_pandas().head(100)
+        near = df.head(3).copy()
+        near["doc_id"] = near["doc_id"] + 100000
+        # mutate one token → high but non-1.0 jaccard
+        near["text"] = near["text"].str.replace(" the ", " xx ", n=1, regex=False)
+        both = pd.concat([df, near], ignore_index=True)
+        pairs = minhash_lsh_pairs(rd.from_pandas(both), num_perms=32, bands=16, shingle_k=3)
+        verified = verify_pairs_jaccard(
+            pairs, pa.Table.from_pandas(both), threshold=0.5
+        ).to_pandas()
+        found = set(zip(verified["id_a"], verified["id_b"]))
+        for _, row in near.iterrows():
+            orig = row["doc_id"] - 100000
+            assert (min(orig, row["doc_id"]), max(orig, row["doc_id"])) in found
+
+    def test_simhash_exact_dup_distance_zero(self, ray_session, docs):
+        from whitebox_tools_ray.stages.dedup import simhash64
+
+        t = docs.column("text")[0].as_py()
+        assert simhash64(t) == simhash64(t)
+        assert simhash64(t) != simhash64(t + " extra tokens here")
+
+    def test_components(self, ray_session):
+        from whitebox_tools_ray.stages.dedup import components_minlabel
+
+        pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+        out = components_minlabel(rd.from_pandas(pairs)).to_pandas()
+        comp = dict(zip(out["node"], out["component"]))
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == 10
+
+
+class TestANN:
+    def test_brute_force_matches_numpy(self, ray_session, embs):
+        from whitebox_tools_ray.stages.ann import brute_force_topk
+
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs.column("embedding").to_pylist()])
+        ids = embs.column("vec_id").to_numpy()
+        q = mat[7]
+        res = brute_force_topk(rd.from_arrow(embs), q, k=5)
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((-ids, -sims))[:5]
+        assert res["id"].tolist() == ids[order].tolist()
+        assert res.iloc[0]["id"] == ids[7]  # self-match first
+
+    def test_lsh_recall(self, ray_session, embs):
+        from whitebox_tools_ray.stages.ann import brute_force_topk, lsh_bucket_topk
+
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs.column("embedding").to_pylist()])
+        q = mat[3]
+        exact = set(brute_force_topk(rd.from_arrow(embs), q, k=10)["id"])
+        approx = set(
+            lsh_bucket_topk(rd.from_arrow(embs), q, k=10, num_planes=4, num_tables=12, multiprobe=2)["id"]
+        )
+        recall = len(exact & approx) / 10
+        assert recall >= 0.5, f"LSH recall {recall}"
+
+
+class TestKMeans:
+    def test_fit_converges_and_labels(self, ray_session, embs):
+        from whitebox_tools_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+        ds = rd.from_arrow(embs)
+        c, it, inertia = kmeans_fit(ds, k=4, max_iter=6, seed=1)
+        assert c.shape == (4, 64)
+        assert np.isfinite(inertia)
+        labels = kmeans_assign(ds, c).to_pandas()
+        assert set(labels["cluster"]) <= {0, 1, 2, 3}
+        # deterministic across runs
+        c2, _, _ = kmeans_fit(ds, k=4, max_iter=6, seed=1)
+        np.testing.assert_allclose(c, c2)
+
+
+class TestText:
+    def test_langid_accuracy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from whitebox_tools_ray.stages.text import lang_id
+
+        # NOTE: the synthetic documents' `lang` column is a random label —
+        # the TEXT is English-ish keyword soup for every label (verified by
+        # inspection), so accuracy-vs-label is meaningless. Test the
+        # heuristic on CONTENT instead: known sentences per language.
+        from whitebox_tools_ray.stages.text import LangId
+
+        li = LangId()
+        assert li.classify("the cat and the dog sat in a corner of the room for a while") == "en"
+        assert li.classify("le chat et les chiens sont dans la maison de mon ami") == "fr"
+        assert li.classify("el perro y los gatos es que una casa de la ciudad") == "es"
+        assert li.classify("der hund und die katze ist nicht mit einem mann zu hause") == "de"
+        assert li.classify("这是一个中文句子，用来测试语言检测功能的正确性。") == "zh"
+        assert li.classify("") == "unknown"
+        # and over the real table: predictions are dominated by en/unknown
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        out = lang_id(rd.from_arrow(docs)).to_pandas()
+        assert (out["lang_pred"].isin(["en", "unknown", "zh"])).mean() > 0.9
+
+    def test_fingerprint_containment(self, ray_session):
+        from whitebox_tools_ray.stages.text import Fingerprint
+
+        fp = Fingerprint()
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = a + " tail changed slightly"
+        fa, fb = set(fp.fingerprint(a)), set(fp.fingerprint(b))
+        assert len(fa & fb) >= 4  # shared windows survive
+
+
+class TestWindows:
+    def test_session_counts(self, ray_session):
+        from whitebox_tools_ray.stages.windows import session
+
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 02:00:00", "2024-01-01 02:05:00"]
+        )
+        df = pd.DataFrame({"user_id": [1, 1, 1, 1], "ts": ts, "value": [1.0, 2.0, 3.0, 4.0]})
+        out = session(rd.from_pandas(df), "user_id", "ts", "value", gap_s=1800).to_pandas()
+        assert len(out) == 2
+        assert sorted(out["n"]) == [2, 2]
+        assert sorted(out["total"]) == [3.0, 7.0]
+
+
+class TestMultimodal:
+    def test_decode_and_resize(self, ray_session):
+        from whitebox_tools_ray.sources.tiles import SceneSpec, generate_tiles
+        from whitebox_tools_ray.stages.multimodal import decode_images, resize_images
+
+        spec = SceneSpec(tiles_x=2, tiles_y=2, tile_px=32)
+        t = generate_tiles(spec, fmt_cycle=("png", "q16"))
+        out = decode_images(rd.from_arrow(t)).to_pandas()
+        assert out["decoded"].all()
+        # phash recheck matches stored phash for lossless png rows
+        png_rows = out[out["fmt"] == "png"]
+        assert (png_rows["phash_check"] == png_rows["phash"]).all()
+        resized = resize_images(rd.from_arrow(t), 8, 8).to_pandas()
+        assert (resized["w"] == 8).all() and (resized["h"] == 8).all()
+
+    def test_jpeg_strict_raises(self, ray_session):
+        from whitebox_tools_ray.stages.multimodal import decode_images
+
+        t = pa.table({"bytes": [b"xxx"], "fmt": ["jpeg"]})
+        with pytest.raises(Exception):
+            decode_images(rd.from_arrow(t), strict=True).to_pandas()
+        # non-strict marks undecoded
+        out = decode_images(rd.from_arrow(t), strict=False).to_pandas()
+        assert not out["decoded"].iloc[0]
+
+    def test_frame_sampling_rows(self, ray_session):
+        from whitebox_tools_ray.stages.multimodal import sample_frames
+
+        t = pa.table({"video_id": ["v1", "v2"], "n_frames": [25, 5]})
+        out = sample_frames(rd.from_arrow(t), every_n=10).to_pandas()
+        assert sorted(out[out["video_id"] == "v1"]["frame_idx"]) == [0, 10, 20]
+        assert sorted(out[out["video_id"] == "v2"]["frame_idx"]) == [0]
+
+
+class TestVectorMetrics:
+    def test_square_metrics(self, ray_session):
+        from whitebox_tools_ray.sources.vectors import POLY_SCHEMA, make_polygon_record
+        from whitebox_tools_ray.stages.vector_metrics import polygon_metrics
+
+        rec = make_polygon_record(1, [[(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]], "sq", 1)
+        t = pa.Table.from_pydict({k: [rec[k]] for k in POLY_SCHEMA.names}, schema=POLY_SCHEMA)
+        out = polygon_metrics(rd.from_arrow(t)).to_pandas().iloc[0]
+        assert out["AREA"] == 100.0
+        assert out["PERIMETER"] == 40.0
+        assert out["MBB_AREA"] == pytest.approx(100.0)
+        assert out["HOLE_PROP"] == 0.0
+        assert out["CENTROID_X"] == 5.0 and out["CENTROID_Y"] == 5.0
+
+    def test_donut_hole_subtracts(self, ray_session):
+        from whitebox_tools_ray.sources.vectors import POLY_SCHEMA, make_polygon_record
+        from whitebox_tools_ray.stages.vector_metrics import polygon_metrics
+
+        rec = make_polygon_record(
+            1,
+            [
+                [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)],
+                [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)],  # CCW hole
+            ],
+            "donut",
+            1,
+        )
+        t = pa.Table.from_pydict({k: [rec[k]] for k in POLY_SCHEMA.names}, schema=POLY_SCHEMA)
+        out = polygon_metrics(rd.from_arrow(t)).to_pandas().iloc[0]
+        assert out["AREA"] == 96.0
+        assert out["HOLE_PROP"] == pytest.approx(0.04)
+
+
+class TestRegistry:
+    def test_inventory_and_dispatch(self, ray_session):
+        from whitebox_tools_ray.api import get_tool, list_tools, run, tool_parameters
+
+        tools = list_tools()
+        assert len(tools) >= 100
+        assert "Slope" in tools and "Clip" in tools and "D8FlowAccumulation" in tools
+        # name resolution strips case/underscores like ToolManager::get_tool
+        assert get_tool("slope").name == "Slope"
+        assert get_tool("join_tables").name == "JoinTables"
+        assert isinstance(tool_parameters("Clip"), list)
+        # dispatch an actual run
+        ds = rd.from_arrow(pa.table({"v": [1.0, 4.0, 9.0]}))
+        out = run("SquareRoot", ds, "v", out_col="r").to_pandas()
+        assert out["r"].tolist() == [1.0, 2.0, 3.0]

@@ -1,0 +1,286 @@
+"""The operator registry — the engine's user-extension surface.
+
+Mirrors the reference's machine-readable tool contract (trait
+``WhiteboxTool`` + per-tool JSON ``ToolParameter`` lists,
+/root/reference/src/tools/mod.rs:1213-1352 and the 435 generated Python
+wrappers in whitebox_tools.py): every engine operator registers a
+:class:`Tool` with a name, a parameter schema, and a ``build`` function
+``(dataset(s), **params) → Dataset | DataFrame | dict``.
+
+    from whitebox_tools_ray.api import run, list_tools, tool_parameters
+    out = run("Slope", tiles=tiles_ds, spec=scene_spec)
+
+Reference tool names resolve case-insensitively with underscores
+stripped, exactly like ToolManager::get_tool (mod.rs:480).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+__all__ = ["Tool", "tool", "run", "list_tools", "get_tool", "tool_parameters"]
+
+_REGISTRY: dict[str, "Tool"] = {}
+
+
+@dataclass
+class Tool:
+    name: str
+    description: str
+    toolbox: str
+    parameters: list[dict] = field(default_factory=list)
+    build: Callable[..., Any] = None
+    reference: str = ""  # file:line of the reference tool this mirrors
+
+    def __call__(self, *args, **kwargs):
+        return self.build(*args, **kwargs)
+
+
+def _key(name: str) -> str:
+    return name.lower().replace("_", "")
+
+
+def tool(name: str, description: str, toolbox: str, parameters: list[dict] | None = None, reference: str = ""):
+    def deco(fn):
+        _REGISTRY[_key(name)] = Tool(
+            name=name,
+            description=description,
+            toolbox=toolbox,
+            parameters=parameters or [],
+            build=fn,
+            reference=reference,
+        )
+        return fn
+
+    return deco
+
+
+def register(name: str, fn, description: str, toolbox: str, parameters=None, reference: str = ""):
+    _REGISTRY[_key(name)] = Tool(
+        name=name,
+        description=description,
+        toolbox=toolbox,
+        parameters=parameters or [],
+        build=fn,
+        reference=reference,
+    )
+
+
+def get_tool(name: str) -> Tool:
+    k = _key(name)
+    if k not in _REGISTRY:
+        raise KeyError(f"unknown tool {name!r}; see list_tools()")
+    return _REGISTRY[k]
+
+
+def run(name: str, *args, **kwargs):
+    return get_tool(name)(*args, **kwargs)
+
+
+def list_tools(toolbox: str | None = None) -> list[str]:
+    names = sorted(t.name for t in _REGISTRY.values() if toolbox is None or t.toolbox == toolbox)
+    return names
+
+
+def tool_parameters(name: str) -> list[dict]:
+    """The JSON parameter schema (ToolParameter analog, mod.rs:1285-1352)."""
+    return get_tool(name).parameters
+
+
+# --- registrations -----------------------------------------------------------
+
+
+def _register_all():
+    from .stages import (
+        ann,
+        assign,
+        cc,
+        clip_raster,
+        dedup,
+        flow,
+        focal,
+        gridding,
+        joins,
+        kmeans,
+        mathops,
+        multimodal,
+        raster_vector,
+        spatial_join,
+        stats,
+        stretch,
+        text,
+        vector_metrics,
+        windows,
+        zonal,
+    )
+
+    P = lambda n, t, **kw: {"name": n, "parameter_type": t, **kw}  # noqa: E731
+
+    # data_tools
+    register("JoinTables", joins.broadcast_hash_join, "Attribute left-join, last-dup-wins", "data_tools",
+             [P("probe_ds", "Dataset"), P("build", "Table"), P("key", "String")], "data_tools/join_tables.rs:316-361")
+    register("MergeTableWithCsv", joins.broadcast_hash_join, "CSV-side attribute join", "data_tools",
+             [P("probe_ds", "Dataset"), P("build", "Table"), P("key", "String")], "data_tools/merge_table_with_csv.rs")
+    register("RasterToVectorPoints", raster_vector.raster_to_vector_points, "Nonzero cells → points, scan-order FID",
+             "data_tools", [P("tiles_ds", "Dataset"), P("scene_spec", "SceneSpec")],
+             "data_tools/raster_to_vector_points.rs:209-229")
+    register("VectorPointsToRaster", raster_vector.vector_points_to_raster, "Point burn-in w/ collision policy",
+             "data_tools", [P("points_ds", "Dataset"), P("gs", "GridSpec"), P("collision", "OptionList")],
+             "data_tools/vector_points_to_raster.rs")
+    register("ConvertRasterFormat", assign.DecodeVerifyReencode, "Decode + re-encode tiles", "data_tools",
+             [P("out_fmt", "OptionList")], "data_tools/convert_raster_format.rs")
+
+    # gis_analysis
+    register("Clip", spatial_join.clip_points, "Points-in-polygon clip, last-part-wins holes", "gis_analysis",
+             [P("points_ds", "Dataset"), P("poly_table", "Table")], "gis_analysis/clip.rs:292-363")
+    register("Erase", lambda ds, poly, **kw: spatial_join.clip_points(ds, poly, mode="erase", **kw),
+             "Inverse clip", "gis_analysis", [P("points_ds", "Dataset"), P("poly_table", "Table")],
+             "gis_analysis/erase.rs")
+    register("ClipRasterToPolygon", clip_raster.clip_raster_to_polygon, "Per-tile polygon mask", "gis_analysis",
+             [P("tiles_ds", "Dataset"), P("poly_table", "Table"), P("scene_spec", "SceneSpec")],
+             "gis_analysis/clip_raster_to_polygon.rs:230-403")
+    register("ErasePolygonFromRaster", lambda t, p, s, **kw: clip_raster.clip_raster_to_polygon(t, p, s, erase=True, **kw),
+             "Per-tile polygon erase", "gis_analysis", [], "gis_analysis/erase_polygon_from_raster.rs")
+    register("ExtractRasterValuesAtPoints", spatial_join.extract_values_at_points, "Point → cell gather",
+             "gis_analysis", [], "gis_analysis/extract_raster_values_at_points.rs:243-258")
+    register("VectorHexBinning", zonal.cell_binning, "Cell-bin counts (hex/quad)", "gis_analysis",
+             [P("ds", "Dataset"), P("x_col", "String"), P("y_col", "String"), P("kind", "OptionList")],
+             "gis_analysis/vector_hex_bin.rs:313-386")
+    register("EliminateCoincidentPoints", dedup.exact_dedup, "Exact-key dedup keep-first", "gis_analysis",
+             [], "gis_analysis/eliminate_coincident_points.rs")
+    for m, desc in [
+        ("PolygonArea", "Shoelace area, holes subtract"),
+        ("PolygonPerimeter", "All-ring perimeter"),
+        ("CompactnessRatio", "P/(2*sqrt(pi*A))"),
+        ("ElongationRatio", "1 - short/long of min bounding box"),
+        ("PerimeterAreaRatio", "P/A"),
+        ("MinimumBoundingBox", "Rotating-calipers min box"),
+        ("MinimumBoundingCircle", "Welzl circle"),
+        ("MinimumConvexHull", "Monotone-chain hull"),
+        ("CentroidVector", "Vertex-average centroid"),
+        ("HoleProportion", "Hole/shell area ratio"),
+        ("LinearityIndex", "Vertex regression r^2"),
+    ]:
+        register(m, vector_metrics.polygon_metrics, desc, "gis_analysis",
+                 [P("poly_ds", "Dataset"), P("metrics", "StringList")], "gis_analysis (metric family, SURVEY §2.4)")
+
+    # lidar_analysis (tiling surface)
+    from .kernels.grid import TileGrid
+
+    register("LidarTile", lambda ds, tg, **kw: assign.assign_tiles(ds, tg, **kw), "Tile-grid assignment",
+             "lidar_analysis", [P("ds", "Dataset"), P("tile_grid", "TileGrid")], "lidar_analysis/lidar_tile.rs:257-281")
+    register("LidarRemoveDuplicates", dedup.exact_dedup, "Exact x,y dedup", "lidar_analysis",
+             [], "lidar_analysis/remove_duplicates.rs")
+
+    # math_stat_analysis
+    register("ZonalStatistics", zonal.zonal_statistics, "Per-zone n/total/min/max/mean/std", "math_stat_analysis",
+             [P("ds", "Dataset"), P("zone_col", "String"), P("value_col", "String")],
+             "math_stat_analysis/zonal_statistics.rs:299-380")
+    register("ListUniqueValues", zonal.list_unique_values, "Distinct + counts", "math_stat_analysis",
+             [], "math_stat_analysis/list_unique_values.rs")
+    register("ZScores", stats.zscores, "Global mean/std standardize", "math_stat_analysis",
+             [], "math_stat_analysis/zscores.rs")
+    register("Quantiles", stats.quantiles, "Global quantile classes", "math_stat_analysis",
+             [], "math_stat_analysis/quantiles.rs")
+    register("Reclass", stats.reclass, "Range LUT reclass", "math_stat_analysis",
+             [], "math_stat_analysis/reclass.rs")
+    register("RasterHistogram", stats.histogram, "Global histogram", "math_stat_analysis",
+             [], "math_stat_analysis/raster_histogram.rs")
+    register("RasterSummaryStats", stats.global_mean_std, "Global mean/std", "math_stat_analysis",
+             [], "math_stat_analysis/raster_summary_stats.rs")
+    # the ~50 per-cell scalar tools collapse onto mathops.scalar_op
+    _SCALAR_TOOLS = {
+        "AbsoluteValue": "abs", "Add": "add", "And": "and", "ArcCos": "arccos", "ArcSin": "arcsin",
+        "ArcTan": "arctan", "Atan2": "atan2", "Arcosh": "arcosh", "Arsinh": "arsinh", "Artanh": "artanh",
+        "Ceil": "ceil", "Cos": "cos", "Cosh": "cosh", "Decrement": "decrement", "Divide": "divide",
+        "EqualTo": "equal_to", "Exp": "exp", "Exp2": "exp2", "Floor": "floor", "GreaterThan": "greater_than",
+        "Increment": "increment", "IntegerDivision": "integer_division", "IsNoData": "is_nodata",
+        "LessThan": "less_than", "Ln": "ln", "Log10": "log10", "Log2": "log2", "Max": "max", "Min": "min",
+        "Modulo": "modulo", "Multiply": "multiply", "Negate": "negate", "Not": "not",
+        "NotEqualTo": "not_equal_to", "Or": "or", "Power": "power", "Reciprocal": "reciprocal",
+        "Round": "round", "Sin": "sin", "Sinh": "sinh", "Square": "square", "SquareRoot": "sqrt",
+        "Subtract": "subtract", "Tan": "tan", "Tanh": "tanh", "ToDegrees": "to_degrees",
+        "ToRadians": "to_radians", "Truncate": "truncate", "Xor": "xor",
+    }
+    for tname, op in _SCALAR_TOOLS.items():
+        register(
+            tname,
+            (lambda _op: lambda ds, col, other=None, **kw: mathops.scalar_op(ds, _op, col, other, **kw))(op),
+            f"Per-record scalar {op}",
+            "math_stat_analysis",
+            [P("ds", "Dataset"), P("col", "String"), P("other", "ExistingFileOrFloat", optional=True)],
+            "math_stat_analysis (scalar family, SURVEY §2.8)",
+        )
+
+    # image_analysis
+    register("MeanFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "mean", radius),
+             "Square mean filter", "image_analysis", [], "image_analysis/mean_filter.rs")
+    register("MinimumFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "min", radius),
+             "Square min filter", "image_analysis", [], "image_analysis/minimum_filter.rs")
+    register("MaximumFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "max", radius),
+             "Square max filter", "image_analysis", [], "image_analysis/maximum_filter.rs")
+    register("RangeFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "range", radius),
+             "Square range filter", "image_analysis", [], "image_analysis/range_filter.rs")
+    register("TotalFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "total", radius),
+             "Square sum filter", "image_analysis", [], "image_analysis/total_filter.rs")
+    register("StandardDeviationFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "stdev", radius),
+             "Square stdev filter", "image_analysis", [], "image_analysis/stdev_filter.rs")
+    register("LaplacianFilter", lambda ds, spec: focal.focal_op(ds, spec, focal.laplacian_kernel, 1),
+             "3x3 Laplacian", "image_analysis", [], "image_analysis/laplacian_filter.rs")
+    register("SobelFilter", lambda ds, spec: focal.focal_op(ds, spec, focal.sobel_kernel, 1),
+             "Sobel magnitude", "image_analysis", [], "image_analysis/sobel_filter.rs")
+    register("PrewittFilter", lambda ds, spec: focal.focal_op(ds, spec, focal.prewitt_kernel, 1),
+             "Prewitt magnitude", "image_analysis", [], "image_analysis/prewitt_filter.rs")
+    register("MinMaxContrastStretch", stats.minmax_stretch, "Global linear stretch", "image_analysis",
+             [], "image_analysis/min_max_contrast_stretch.rs")
+    register("HistogramEqualization", stretch.histogram_equalization, "Global histogram CDF remap",
+             "image_analysis", [], "image_analysis/histogram_equalization.rs:252-296")
+    register("PercentageContrastStretch", stretch.percentage_stretch, "Tail-clipped linear stretch",
+             "image_analysis", [], "image_analysis/percentage_contrast_stretch.rs")
+    register("GaussianContrastStretch", stretch.gaussian_stretch, "Histogram-to-normal remap",
+             "image_analysis", [], "image_analysis/gaussian_contrast_stretch.rs")
+    register("KMeansClustering", kmeans.kmeans_fit, "Iterative k-means", "image_analysis",
+             [], "image_analysis/k_means_clustering.rs")
+
+    register("Clump", cc.clump, "Connected components, 2-pass tiled union-find", "gis_analysis",
+             [], "gis_analysis/clump.rs:246-281")
+    register("IdwInterpolation", gridding.idw_gridding, "IDW points->raster via per-tile FRS",
+             "gis_analysis", [], "gis_analysis/idw_interpolation.rs")
+    register("NearestNeighbourGridding", lambda p, s2, radius, **kw: gridding.idw_gridding(p, s2, radius, method="nearest", **kw),
+             "Nearest-point gridding", "gis_analysis", [], "gis_analysis/nearest_neighbour_gridding.rs")
+    register("BlockMaximumGridding", lambda ds, gs, **kw: gridding.block_gridding(ds, gs, "max", **kw),
+             "Per-cell max of points", "gis_analysis", [], "gis_analysis/block_maximum.rs")
+    register("BlockMinimumGridding", lambda ds, gs, **kw: gridding.block_gridding(ds, gs, "min", **kw),
+             "Per-cell min of points", "gis_analysis", [], "gis_analysis/block_minimum.rs")
+
+    # terrain_analysis
+    register("Slope", focal.slope, "Horn slope degrees", "terrain_analysis", [], "terrain_analysis/slope.rs:256-292")
+    register("Hillshade", focal.hillshade, "Horn hillshade", "terrain_analysis", [], "terrain_analysis/hillshade.rs")
+
+    # hydro_analysis
+    register("D8Pointer", flow.d8_pointer_masked, "Steepest-drop D8 direction", "hydro_analysis",
+             [], "hydro_analysis/d8_pointer.rs; d8_flow_accum.rs:261-321")
+    register("D8FlowAccumulation", flow.flow_accumulation, "Tiled BSP topological accumulation", "hydro_analysis",
+             [], "hydro_analysis/d8_flow_accum.rs:399-431")
+
+    # training-data pipeline value-add (no reference analog)
+    register("ExactDedup", dedup.exact_dedup, "Content-hash dedup", "training_data", [], "")
+    register("MinHashLSH", dedup.minhash_lsh_pairs, "MinHash-LSH near-dup candidates", "training_data", [], "")
+    register("SimHashDedup", dedup.simhash_dedup, "SimHash near-dup pairs", "training_data", [], "")
+    register("EmbeddingNearDup", dedup.embedding_near_dup, "Cosine near-dup pairs", "training_data", [], "")
+    register("BruteForceTopK", ann.brute_force_topk, "Exact cosine top-k", "training_data", [], "")
+    register("LshTopK", ann.lsh_bucket_topk, "LSH-bucketed approx top-k", "training_data", [], "")
+    register("LangId", text.lang_id, "Heuristic language ID", "training_data", [], "")
+    register("QualityScore", text.quality_score, "Text quality features", "training_data", [], "")
+    register("TokenCount", text.token_count, "Token counting", "training_data", [], "")
+    register("Fingerprint", text.fingerprint, "Rolling-hash fingerprint", "training_data", [], "")
+    register("TumblingWindow", windows.tumbling, "Fixed windows", "training_data", [], "")
+    register("SlidingWindow", windows.sliding, "Overlapping windows", "training_data", [], "")
+    register("SessionWindow", windows.session, "Gap sessionization", "training_data", [], "")
+    register("DecodeImage", multimodal.decode_images, "Image decode + features", "training_data", [], "")
+    register("ResizeImage", multimodal.resize_images, "Block-mean resize", "training_data", [], "")
+    register("SampleFrames", multimodal.sample_frames, "Video frame sampling", "training_data", [], "")
+
+
+_register_all()

