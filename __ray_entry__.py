@@ -61,6 +61,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": R.q_kmeans_clusters,
         "ann_lsh": R.q_ann_lsh,
         "lang_pred": R.q_lang_pred,
+        "correlation": R.q_correlation,
+        "rmse": R.q_rmse,
+        "crosstab": R.q_crosstab,
+        "kappa": R.q_kappa,
+        "random_sample": R.q_random_sample,
+        "trend_surface": R.q_trend_surface,
+        "pca_project": R.q_pca_project,
+        "sliding_window": R.q_sliding_window,
+        "hex_binning": R.q_hex_binning,
+        "polygon_metrics": R.q_polygon_metrics,
     }
 
 
@@ -88,7 +98,15 @@ def oracle_sql() -> dict[str, str]:
         "token_count": R.Q_TOKEN_COUNT_SQL,
         "near_dup_cosine": R.q_near_dup_cosine_sql(),
         "frame_sample": R.q_frame_sample_sql(),
+        "correlation": R.Q_CORRELATION_SQL,
+        "rmse": R.Q_RMSE_SQL,
+        "crosstab": R.Q_CROSSTAB_SQL,
+        "kappa": R.Q_KAPPA_SQL,
+        "random_sample": R.q_random_sample_sql(),
+        "sliding_window": R.q_sliding_window_sql(),
+        "polygon_metrics": R.Q_POLYGON_METRICS_SQL,
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
-        # lang_pred intentionally omitted: non-SQL-expressible (sketchy /
-        # iterative / heuristic) → driver's rows-only check.
+        # lang_pred / trend_surface / pca_project intentionally omitted:
+        # non-SQL-expressible (sketch / iterative / heuristic / eigen) →
+        # driver's rows-only check.
     }

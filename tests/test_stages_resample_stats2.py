@@ -1,0 +1,154 @@
+"""Resample / aggregate / mosaic and cross-statistics tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from whitebox_tools_ray.kernels import codecs
+from whitebox_tools_ray.kernels.grid import GridSpec
+from whitebox_tools_ray.sources import tiles as tsrc
+
+
+@pytest.fixture(scope="module")
+def scene(ray_session):
+    spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=16, seed=9)
+    table = tsrc.generate_tiles(spec, fmt_cycle=("f32",))
+    return spec, table, tsrc.assemble_scene(table, spec)
+
+
+def collect(out_df, tiles_x, tpx, rows, cols, nodata):
+    full = np.full((rows, cols), nodata)
+    for _, r in out_df.iterrows():
+        g = codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
+        r0 = int(r["tile_row"]) * tpx
+        c0 = int(r["tile_col"]) * tpx
+        full[r0 : r0 + g.shape[0], c0 : c0 + g.shape[1]] = g
+    return full
+
+
+class TestResample:
+    def test_identity_nn(self, scene):
+        """Resampling onto the SAME grid with nn must reproduce pixels."""
+        from whitebox_tools_ray.stages.resample import resample
+
+        spec, table, grid = scene
+        gs = spec.grid_spec()
+        out = resample(table, spec, gs, dest_tile_px=16, method="nn").to_pandas()
+        got = collect(out, 2, 16, gs.rows, gs.columns, gs.nodata)
+        np.testing.assert_allclose(got, grid)
+
+    def test_downsample_bilinear_psnr(self, scene):
+        """2× coarser grid via bilinear stays close to the analytic field
+        (the PSNR-sensitive pixel path of BASELINE.json)."""
+        from whitebox_tools_ray.stages.resample import resample
+
+        spec, table, grid = scene
+        gs = spec.grid_spec()
+        dest = GridSpec(
+            west=gs.west, north=gs.north, res_x=gs.res_x * 2, res_y=gs.res_y * 2,
+            rows=gs.rows // 2, columns=gs.columns // 2, nodata=gs.nodata,
+        )
+        out = resample(table, spec, dest, dest_tile_px=8, method="bilinear").to_pandas()
+        got = collect(out, 2, 8, dest.rows, dest.columns, dest.nodata)
+        # analytic field evaluated at the dest cell centers
+        rr = np.arange(dest.rows)[:, None]
+        cc = np.arange(dest.columns)[None, :]
+        x = dest.west + dest.res_x / 2.0 + cc * dest.res_x
+        y = dest.north - dest.res_y / 2.0 - rr * dest.res_y
+        sg = spec.grid_spec()
+        colf = (x - sg.west) / sg.res_x
+        rowf = (sg.north - y) / sg.res_y
+        # sample the source grid bilinearly as oracle
+        c0 = np.clip(np.floor(colf - 0.5).astype(int), 0, sg.columns - 2)
+        r0 = np.clip(np.floor(rowf - 0.5).astype(int), 0, sg.rows - 2)
+        wc = np.clip(colf - 0.5 - c0, 0, 1)
+        wr = np.clip(rowf - 0.5 - r0, 0, 1)
+        expect = (
+            grid[r0, c0] * (1 - wc) * (1 - wr)
+            + grid[r0, c0 + 1] * wc * (1 - wr)
+            + grid[r0 + 1, c0] * (1 - wc) * wr
+            + grid[r0 + 1, c0 + 1] * wc * wr
+        )
+        assert codecs.psnr(expect, got) >= 40.0
+
+    def test_aggregate_raster(self, scene):
+        from whitebox_tools_ray.stages.resample import aggregate_raster
+
+        spec, table, grid = scene
+        out = aggregate_raster(rd.from_arrow(table), spec, factor=4, stat="mean").to_pandas()
+        # per-tile 4x4 block means
+        for _, r in out.iterrows():
+            g = codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
+            r0 = int(r["tile_row"]) * 16
+            c0 = int(r["tile_col"]) * 16
+            src = grid[r0 : r0 + 16, c0 : c0 + 16]
+            expect = src.reshape(4, 4, 4, 4).mean(axis=(1, 3))
+            np.testing.assert_allclose(g, expect.astype(np.float32).astype(np.float64), rtol=1e-6)
+
+    def test_mosaic_later_wins(self, scene):
+        from whitebox_tools_ray.stages.resample import mosaic
+
+        spec, table, grid = scene
+        gs = spec.grid_spec()
+        spec2 = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=16, seed=77)
+        table2 = tsrc.generate_tiles(spec2, fmt_cycle=("f32",))
+        out = mosaic([(table, spec), (table2, spec2)], gs, dest_tile_px=16, method="nn")
+        grid2 = tsrc.assemble_scene(table2, spec2)
+        got = np.full((gs.rows, gs.columns), gs.nodata)
+        for tid, g in out.items():
+            r0 = (tid // 2) * 16
+            c0 = (tid % 2) * 16
+            got[r0 : r0 + 16, c0 : c0 + 16] = g
+        np.testing.assert_allclose(got, grid2)  # same extent → later source wins
+
+
+class TestStats2:
+    def test_correlation_and_rmse(self, ray_session):
+        from whitebox_tools_ray.stages.stats2 import correlation, rmse
+
+        rng = np.random.RandomState(0)
+        x = rng.uniform(0, 1, 5000)
+        y = 2 * x + rng.normal(0, 0.1, 5000)
+        ds = rd.from_arrow(pa.table({"x": x, "y": y}))
+        r = correlation(ds, "x", "y")
+        assert r == pytest.approx(np.corrcoef(x, y)[0, 1], rel=1e-9)
+        assert rmse(ds, "x", "y") == pytest.approx(np.sqrt(((x - y) ** 2).mean()), rel=1e-9)
+
+    def test_trend_surface_recovers_plane(self, ray_session):
+        from whitebox_tools_ray.stages.stats2 import trend_surface
+
+        rng = np.random.RandomState(1)
+        x = rng.uniform(0, 100, 2000)
+        y = rng.uniform(0, 100, 2000)
+        z = 3.0 + 0.5 * x - 0.25 * y
+        ds = rd.from_arrow(pa.table({"x": x, "y": y, "z": z}))
+        coefs, predict = trend_surface(ds, "x", "y", "z", order=1)
+        assert coefs[(0, 0)] == pytest.approx(3.0, abs=1e-6)
+        assert coefs[(1, 0)] == pytest.approx(0.5, abs=1e-8)
+        assert coefs[(0, 1)] == pytest.approx(-0.25, abs=1e-8)
+        out = predict(ds).to_pandas()
+        np.testing.assert_allclose(out["trend"], z, atol=1e-6)
+
+    def test_pca_variance_order(self, ray_session):
+        from whitebox_tools_ray.stages.stats2 import pca
+
+        rng = np.random.RandomState(2)
+        base = rng.normal(size=(400, 8))
+        base[:, 0] *= 10  # dominant axis
+        ds = rd.from_arrow(pa.table({"embedding": list(base)}))
+        comps, ratio, project = pca(ds, n_components=2)
+        assert ratio[0] > ratio[1]
+        assert abs(comps[0][0]) > 0.9  # first PC aligned with the scaled axis
+        out = project(ds).to_pandas()
+        assert len(out["pc"].iloc[0]) == 2
+
+    def test_random_sample_deterministic(self, ray_session):
+        from whitebox_tools_ray.stages.stats2 import random_sample
+
+        ds = rd.from_arrow(pa.table({"k": np.arange(10000, dtype=np.int64)}))
+        a = random_sample(ds, 0.2, seed=5, id_col="k").to_pandas()
+        b = random_sample(ds, 0.2, seed=5, id_col="k").to_pandas()
+        assert a["k"].tolist() == b["k"].tolist()
+        assert 0.17 < len(a) / 10000 < 0.23

@@ -1,0 +1,158 @@
+"""Stream-network link extraction + orders on a hand-built D8 pattern.
+
+Pure-NumPy (no Ray session needed): the stage consumes dict-of-tiles."""
+
+import numpy as np
+
+from whitebox_tools_ray.kernels import codecs
+from whitebox_tools_ray.sources.tiles import SceneSpec
+from whitebox_tools_ray.stages.streams import (
+    extract_streams,
+    shreve_magnitude,
+    stream_links,
+    strahler_order,
+)
+
+# direction codes (focal.DX8/DY8 order): 0=NE 1=E 2=SE 3=S 4=SW 5=W 6=NW 7=N
+
+
+def build_y_network():
+    """An 8×8 single-tile scene with a Y: two heads joining, one outlet.
+
+    head A: (0,2) S→(1,2) S→(2,2) SE→(3,3)
+    head B: (0,4) S→(1,4) S→(2,4) SW→(3,3)
+    trunk:  (3,3) S→(4,3) S→(5,3) S→(6,3) S→(7,3 outlet, dir -1)
+    """
+    spec = SceneSpec(tiles_x=1, tiles_y=1, tile_px=8)
+    ptr = np.full((8, 8), -1, dtype=np.int8)
+    stream = np.zeros((8, 8))
+    for r in range(0, 2):
+        ptr[r, 2] = 3
+        stream[r, 2] = 1.0
+    ptr[2, 2] = 2
+    stream[2, 2] = 1.0
+    for r in range(0, 2):
+        ptr[r, 4] = 3
+        stream[r, 4] = 1.0
+    ptr[2, 4] = 4
+    stream[2, 4] = 1.0
+    for r in range(3, 7):
+        ptr[r, 3] = 3
+        stream[r, 3] = 1.0
+    ptr[7, 3] = -1
+    stream[7, 3] = 1.0
+    return spec, ptr, stream
+
+
+class TestStreamLinks:
+    def test_y_network(self):
+        spec, ptr, stream = build_y_network()
+        pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
+        stream_tiles = {0: stream}
+        link_grid, links = stream_links(stream_tiles, pointer_tiles, spec)
+        # 3 links: two heads + the trunk from the junction
+        assert len(links) == 3
+        by_id = {lk["link_id"]: lk for lk in links}
+        trunk = [lk for lk in links if lk["ds_link"] == -1]
+        assert len(trunk) == 1
+        heads = [lk for lk in links if lk["ds_link"] == trunk[0]["link_id"]]
+        assert len(heads) == 2
+        # every stream cell got a link id
+        assert (link_grid[stream == 1.0] > 0).all()
+
+    def test_orders(self):
+        spec, ptr, stream = build_y_network()
+        pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
+        _grid, links = stream_links({0: stream}, pointer_tiles, spec)
+        order = strahler_order(links)
+        mag = shreve_magnitude(links)
+        trunk = [lk for lk in links if lk["ds_link"] == -1][0]
+        heads = [lk for lk in links if lk["ds_link"] != -1]
+        assert all(order[h["link_id"]] == 1 for h in heads)
+        assert order[trunk["link_id"]] == 2  # two order-1s meet
+        assert mag[trunk["link_id"]] == 2
+        assert all(mag[h["link_id"]] == 1 for h in heads)
+
+    def test_extract_streams_threshold(self):
+        spec = SceneSpec(tiles_x=1, tiles_y=1, tile_px=4)
+        accum = {0: np.array([[1.0, 2.0], [50.0, spec.nodata]])}
+        out = extract_streams(accum, threshold=10.0, nodata=spec.nodata)
+        assert out[0][1, 0] == 1.0
+        assert out[0][0, 0] == 0.0
+        assert out[0][1, 1] == spec.nodata
+
+
+class TestEuclideanDistance:
+    def test_matches_brute_force(self):
+        from whitebox_tools_ray.stages.distance import euclidean_distance
+
+        rng = np.random.RandomState(1)
+        g = (rng.uniform(0, 1, (30, 41)) < 0.05).astype(float)
+        g[0, 0] = 1.0
+        out = euclidean_distance(g, -32768.0, 1.5)
+        tr, tc = np.nonzero(g)
+        rr, cc = np.meshgrid(np.arange(30), np.arange(41), indexing="ij")
+        d = np.sqrt((rr[..., None] - tr) ** 2 + (cc[..., None] - tc) ** 2).min(axis=2) * 1.5
+        np.testing.assert_allclose(out, d)
+
+    def test_nodata_passthrough(self):
+        from whitebox_tools_ray.stages.distance import euclidean_distance
+
+        nod = -32768.0
+        g = np.zeros((5, 5))
+        g[2, 2] = 1.0
+        g[0, 0] = nod
+        out = euclidean_distance(g, nod, 1.0)
+        assert out[0, 0] == nod
+        assert out[2, 2] == 0.0
+        assert out[2, 4] == 2.0
+
+    def test_tiled_equals_whole(self):
+        from whitebox_tools_ray.stages.distance import euclidean_distance, euclidean_distance_tiled
+
+        spec = SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        rng = np.random.RandomState(2)
+        full = (rng.uniform(0, 1, (16, 16)) < 0.05).astype(float)
+        full[3, 12] = 1.0
+        tiles = {}
+        for tid in range(4):
+            r0, c0 = (tid // 2) * 8, (tid % 2) * 8
+            tiles[tid] = full[r0 : r0 + 8, c0 : c0 + 8]
+        out = euclidean_distance_tiled(tiles, spec)
+        whole = euclidean_distance(full, spec.nodata, spec.res)
+        for tid, g in out.items():
+            r0, c0 = (tid // 2) * 8, (tid % 2) * 8
+            np.testing.assert_allclose(g, whole[r0 : r0 + 8, c0 : c0 + 8])
+
+
+class TestBasins:
+    def test_basins_and_watershed(self):
+        from whitebox_tools_ray.stages.basins import basins, watershed
+
+        spec, ptr, stream = build_y_network()
+        pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
+        out = basins(pointer_tiles, spec)[0]
+        # all Y-network cells drain to the single outlet → same basin id
+        net = stream == 1.0
+        assert len(set(out[net].tolist())) == 1
+        # non-network cells are their own terminals (dir -1) → own ids
+        assert out[0, 0] != out[2, 2] or not net[0, 0]
+
+        gs = spec.grid_spec()
+        # pour point on the trunk cell (5,3): catches everything upstream
+        px = float(gs.x_from_col(3))
+        py = float(gs.y_from_row(5))
+        ws = watershed(pointer_tiles, spec, [(px, py, 42)])[0]
+        assert ws[0, 2] == 42 and ws[0, 4] == 42 and ws[3, 3] == 42
+        assert ws[5, 3] == 42
+        # downstream of the pour point: NOT in the watershed
+        assert ws[6, 3] == 0 and ws[7, 3] == 0
+
+    def test_pointer_doubling_long_chain(self):
+        from whitebox_tools_ray.stages.basins import terminal_index
+
+        # a 1×64 chain all flowing east → single terminal at the end
+        ptr = np.full((1, 64), 1, dtype=np.int8)
+        ptr[0, 63] = -1
+        term = terminal_index(ptr)
+        assert (term == 63).all()

@@ -106,8 +106,10 @@ def _register_all():
         mathops,
         multimodal,
         raster_vector,
+        resample as resample_mod,
         spatial_join,
         stats,
+        stats2,
         stretch,
         text,
         vector_metrics,
@@ -254,11 +256,51 @@ def _register_all():
     register("BlockMinimumGridding", lambda ds, gs, **kw: gridding.block_gridding(ds, gs, "min", **kw),
              "Per-cell min of points", "gis_analysis", [], "gis_analysis/block_minimum.rs")
 
+    register("Resample", resample_mod.resample, "Grid-to-grid nn/bilinear resample", "image_analysis",
+             [], "image_analysis/resample.rs:68-71")
+    register("Mosaic", resample_mod.mosaic, "Multi-source mosaic, later wins", "image_analysis",
+             [], "image_analysis/mosaic.rs:339-520")
+    register("AggregateRaster", resample_mod.aggregate_raster, "n x n block downsample", "gis_analysis",
+             [], "gis_analysis/aggregate_raster.rs")
+    register("ImageCorrelation", stats2.correlation, "Pearson r of two columns", "math_stat_analysis",
+             [], "math_stat_analysis/image_correlation.rs")
+    register("RootMeanSquareError", stats2.rmse, "RMSE of two columns", "math_stat_analysis",
+             [], "math_stat_analysis/rmse.rs")
+    register("CrossTabulation", stats2.cross_tabulation, "Contingency counts", "math_stat_analysis",
+             [], "math_stat_analysis/cross_tabulation.rs")
+    register("KappaIndex", stats2.kappa_index, "Cohen's kappa + accuracy", "math_stat_analysis",
+             [], "math_stat_analysis/kappa_index.rs")
+    register("TrendSurface", stats2.trend_surface, "Least-squares polynomial surface", "math_stat_analysis",
+             [], "math_stat_analysis/trend_surface.rs")
+    register("PrincipalComponentAnalysis", stats2.pca, "Covariance PCA + projection", "math_stat_analysis",
+             [], "math_stat_analysis/principal_component_analysis.rs")
+    register("RandomSample", stats2.random_sample, "Seeded deterministic Bernoulli sample", "math_stat_analysis",
+             [], "math_stat_analysis/random_sample.rs")
+
     # terrain_analysis
     register("Slope", focal.slope, "Horn slope degrees", "terrain_analysis", [], "terrain_analysis/slope.rs:256-292")
     register("Hillshade", focal.hillshade, "Horn hillshade", "terrain_analysis", [], "terrain_analysis/hillshade.rs")
+    register("Aspect", focal.aspect, "Horn aspect degrees", "terrain_analysis", [], "terrain_analysis/aspect.rs:256-283")
+    register("PlanCurvature", focal.plan_curvature, "Plan curvature deg*100", "terrain_analysis",
+             [], "terrain_analysis/plan_curvature.rs:276-297")
+    register("RuggednessIndex", focal.ruggedness, "Riley TRI", "terrain_analysis",
+             [], "terrain_analysis/ruggedness_index.rs")
 
     # hydro_analysis
+    register("EuclideanDistance", __import__("whitebox_tools_ray.stages.distance", fromlist=["x"]).euclidean_distance_tiled,
+             "Exact EDT (separable lower-envelope)", "gis_analysis", [], "gis_analysis/euclidean_distance.rs:23-33 (exact-EDT substitute)")
+    register("ExtractStreams", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).extract_streams,
+             "Accumulation threshold -> stream mask", "stream_network_analysis", [], "stream_network_analysis/extract_streams.rs")
+    register("StreamLinkIdentifier", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).stream_links,
+             "Junction-to-junction link ids", "stream_network_analysis", [], "stream_network_analysis/stream_link_id.rs")
+    register("StrahlerStreamOrder", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).strahler_order,
+             "Strahler order on the link DAG", "stream_network_analysis", [], "stream_network_analysis/strahler_order.rs")
+    register("ShreveStreamMagnitude", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).shreve_magnitude,
+             "Shreve magnitude on the link DAG", "stream_network_analysis", [], "stream_network_analysis/shreve_magnitude.rs")
+    register("Basins", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).basins,
+             "Terminal labeling via pointer doubling", "hydro_analysis", [], "hydro_analysis/basins.rs")
+    register("Watershed", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).watershed,
+             "Pour-point catchments via pointer doubling", "hydro_analysis", [], "hydro_analysis/watershed.rs")
     register("D8Pointer", flow.d8_pointer_masked, "Steepest-drop D8 direction", "hydro_analysis",
              [], "hydro_analysis/d8_pointer.rs; d8_flow_accum.rs:261-321")
     register("D8FlowAccumulation", flow.flow_accumulation, "Tiled BSP topological accumulation", "hydro_analysis",

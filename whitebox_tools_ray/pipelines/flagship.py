@@ -29,9 +29,38 @@ from ..stages.assign import DecodeVerifyReencode, make_assign_fn
 from ..state.manifest import Manifest, dir_content_hash
 
 
-def synthesize_tiles_parallel(spec: tsrc.SceneSpec, out_path: str, fmt: str = "f32"):
+def _patch_fsspec_http_probe():
+    """Make Ray's fsspec-HTTP filesystem probe thread-safe in this env.
+
+    ``fsspec.implementations.http`` raises ModuleNotFoundError (aiohttp
+    absent). Ray's ``_is_http_filesystem`` catches exactly that — but
+    when two THREADS construct datasets concurrently, the second import
+    attempt can observe the first's partially-initialized module and
+    raise a bare ImportError instead, which escapes. Wrap the probe to
+    treat any import failure as "not an HTTP filesystem"."""
+    try:
+        from ray.data.datasource import path_util
+
+        orig = path_util._is_http_filesystem
+
+        def safe(fs):
+            try:
+                return orig(fs)
+            except Exception:
+                return False
+
+        if getattr(path_util._is_http_filesystem, "__name__", "") != "safe":
+            path_util._is_http_filesystem = safe
+    except Exception:
+        pass
+
+
+def synthesize_tiles_parallel(spec: tsrc.SceneSpec, out_path: str, fmt: str = "f32", num_bands: int = 4):
     """Generate a scene's tile table WITH Ray (NewRasterFromBase analog):
-    range over tile ids → per-batch field evaluation + encode → parquet."""
+    range over tile ids → per-batch field evaluation + encode → parquet,
+    laid out one directory per tile-row band (``band=K/``) so the banded
+    tiling pipeline reads exactly its own partition — the layout a
+    resumable 100 TB ingest would use."""
     import ray.data as rd
 
     n = spec.tiles_x * spec.tiles_y
@@ -65,8 +94,20 @@ def synthesize_tiles_parallel(spec: tsrc.SceneSpec, out_path: str, fmt: str = "f
             schema=tsrc.TILE_SCHEMA,
         )
 
-    ds = rd.range(n).map_batches(synth, batch_format="pyarrow", batch_size=16)
-    ds.write_parquet(out_path)
+    band_edges = np.linspace(0, spec.tiles_y, num_bands + 1).astype(int)
+    for b in range(num_bands):
+        lo, hi = int(band_edges[b]), int(band_edges[b + 1])
+        ids_lo, ids_hi = lo * spec.tiles_x, hi * spec.tiles_x
+        if ids_lo == ids_hi:
+            continue
+        ds = rd.range(ids_hi - ids_lo).map_batches(
+            lambda t, off=ids_lo: synth(t.set_column(0, "id", pa.array(t["id"].to_numpy(zero_copy_only=False) + off))),
+            batch_format="pyarrow",
+            batch_size=32,
+        )
+        # bound the file count: many tiny parquet files make every
+        # downstream read pay per-file metadata costs
+        ds.write_parquet(os.path.join(out_path, f"band={b}"), min_rows_per_file=512)
     return out_path
 
 
@@ -79,6 +120,7 @@ def run_tiling_pipeline(
     hex_res: int = 7,
     decode: bool = True,
     resume: bool = True,
+    read_blocks: int | None = None,
 ) -> dict:
     """Banded, checkpointed tiling stage. Returns metrics dict."""
     import pyarrow.compute as pc
@@ -107,9 +149,8 @@ def run_tiling_pipeline(
     )
     done = manifest.completed() if resume else set()
     band_edges = np.linspace(0, spec.tiles_y, num_bands + 1).astype(int)
-    total_tiles = 0
-    total_s = 0.0
     skipped = 0
+    to_run: list[tuple[int, str, int, int]] = []
     for b in range(num_bands):
         pid = f"band{b:04d}"
         lo, hi = int(band_edges[b]), int(band_edges[b + 1])
@@ -118,19 +159,33 @@ def run_tiling_pipeline(
         if pid in done:
             skipped += 1
             continue
+        to_run.append((b, pid, lo, hi))
+
+    import threading
+
+    _patch_fsspec_http_probe()
+    manifest_lock = threading.Lock()
+
+    def run_band(b: int, pid: str, lo: int, hi: int) -> int:
         t0 = time.time()
-        ds = rd.read_parquet(
-            input_path, filter=(pc.field("tile_row") >= lo) & (pc.field("tile_row") < hi)
-        )
+        band_dir = os.path.join(input_path, f"band={b}")
+        if os.path.isdir(band_dir):
+            # partition-pruned read: this band's files only
+            ds = rd.read_parquet(
+                band_dir, **({"override_num_blocks": read_blocks} if read_blocks else {})
+            )
+        else:
+            ds = rd.read_parquet(
+                input_path,
+                filter=(pc.field("tile_row") >= lo) & (pc.field("tile_row") < hi),
+                **({"override_num_blocks": read_blocks} if read_blocks else {}),
+            )
         ds = ds.map_batches(make_assign_fn(tg, quad_level, hex_res), batch_format="pyarrow")
         if decode:
-            ds = ds.map_batches(
-                DecodeVerifyReencode,
-                fn_constructor_args=("f32", False),
-                batch_format="pyarrow",
-                batch_size=32,
-                concurrency=(1, 8),
-            )
+            # decode carries no per-actor state -> STATELESS task pool
+            # (elastic, no actor churn across bands)
+            dec = DecodeVerifyReencode("f32", False)
+            ds = ds.map_batches(lambda b2: dec(b2), batch_format="pyarrow", batch_size=32)
         part_dir = os.path.join(out_dir, pid)
         ds.write_parquet(part_dir)
         rows = sum(
@@ -139,17 +194,31 @@ def run_tiling_pipeline(
             if f.endswith(".parquet")
         )
         dt = time.time() - t0
-        manifest.record(
-            pid,
-            (lo, hi),
-            rows_in=rows,
-            rows_out=rows,
-            wall_s=dt,
-            output_uri=part_dir,
-            content_hash=dir_content_hash(part_dir),
-        )
-        total_tiles += rows
-        total_s += dt
+        with manifest_lock:
+            manifest.record(
+                pid,
+                (lo, hi),
+                rows_in=rows,
+                rows_out=rows,
+                wall_s=dt,
+                output_uri=part_dir,
+                content_hash=dir_content_hash(part_dir),
+            )
+        return rows
+
+    # bands run CONCURRENTLY (each is an independent streaming pipeline;
+    # the Ray scheduler interleaves their tasks) — the manifest is still
+    # written atomically per band, so the resume grain is unchanged, but
+    # no driver-side barrier serializes the bands.
+    t_all = time.time()
+    total_tiles = 0
+    if to_run:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(to_run), 8)) as ex:
+            for rows in ex.map(lambda args: run_band(*args), to_run):
+                total_tiles += rows
+    total_s = time.time() - t_all
     return {
         "tiles": total_tiles,
         "wall_s": total_s,

@@ -656,3 +656,219 @@ def q_lang_pred(sf_dir: str):
 
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
     return lang_id(ds, concurrency=(1, 2)).groupby("lang_pred").aggregate(Count(alias_name="n"))
+
+
+# --- cross-statistics / sampling / surface-fit queries ---
+
+
+def q_correlation(sf_dir: str):
+    """Pearson r (ImageCorrelation kernel) between quantity and price."""
+    from ..stages.stats2 import correlation
+
+    ds = read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    r = correlation(ds, "l_quantity", "l_extendedprice")
+    return pd.DataFrame({"r": [round(r, 6)]})
+
+
+Q_CORRELATION_SQL = """
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+"""
+
+
+def q_rmse(sf_dir: str):
+    """RootMeanSquareError between two derived columns."""
+    import pyarrow as pa
+
+    from ..stages.stats2 import rmse
+
+    ds = read(sf_dir, "lineitem", columns=["l_discount", "l_tax"])
+    v = rmse(ds, "l_discount", "l_tax")
+    return pd.DataFrame({"rmse": [round(v, 6)]})
+
+
+Q_RMSE_SQL = """
+    SELECT ROUND(SQRT(AVG((l_discount - l_tax) * (l_discount - l_tax))), 6) AS rmse
+    FROM lineitem
+"""
+
+
+def q_crosstab(sf_dir: str):
+    """CrossTabulation contingency counts."""
+    from ..stages.stats2 import cross_tabulation
+
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return cross_tabulation(ds, "l_returnflag", "l_linestatus")
+
+
+Q_CROSSTAB_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_kappa(sf_dir: str):
+    """KappaIndex between event_type and a derived classification."""
+    import pyarrow as pa
+
+    from ..stages.stats2 import kappa_index
+
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cls = np.where(v < 0.2, "click", np.where(v < 0.4, "view", np.where(v < 0.6, "signup", np.where(v < 0.8, "purchase", "error"))))
+        return batch.append_column("pred", pa.array(cls.tolist(), pa.string()))
+
+    out = kappa_index(ds.map_batches(derive, batch_format="pyarrow"), "event_type", "pred")
+    return pd.DataFrame(
+        {
+            "overall_accuracy": [round(out["overall_accuracy"], 6)],
+            "kappa": [round(out["kappa"], 6)],
+            "n": [out["n"]],
+        }
+    )
+
+
+Q_KAPPA_SQL = """
+    WITH t AS (
+        SELECT event_type AS a,
+               CASE WHEN value < 0.2 THEN 'click' WHEN value < 0.4 THEN 'view'
+                    WHEN value < 0.6 THEN 'signup' WHEN value < 0.8 THEN 'purchase'
+                    ELSE 'error' END AS b
+        FROM events
+    ), ct AS (SELECT a, b, COUNT(*) AS n FROM t GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) * 1.0 AS total FROM ct),
+    po AS (SELECT COALESCE(SUM(n), 0) / (SELECT total FROM tot) AS po FROM ct WHERE a = b),
+    pe AS (
+        SELECT SUM(x.pa * y.pb) AS pe FROM
+            (SELECT a AS c, SUM(n) / (SELECT total FROM tot) AS pa FROM ct GROUP BY a) x
+            JOIN (SELECT b AS c, SUM(n) / (SELECT total FROM tot) AS pb FROM ct GROUP BY b) y
+            USING (c)
+    )
+    SELECT ROUND((SELECT po FROM po), 6) AS overall_accuracy,
+           ROUND(((SELECT po FROM po) - (SELECT pe FROM pe)) / (1 - (SELECT pe FROM pe)), 6) AS kappa,
+           CAST((SELECT total FROM tot) AS BIGINT) AS n
+"""
+
+
+def q_random_sample(sf_dir: str, fraction: float = 0.1, seed: int = 7):
+    """Seeded deterministic Bernoulli sample (RandomSample analog)."""
+    from ..stages.stats2 import random_sample
+
+    ds = read(sf_dir, "orders", columns=["o_orderkey"])
+    return random_sample(ds, fraction, seed=seed, id_col="o_orderkey")
+
+
+def q_random_sample_sql(fraction: float = 0.1, seed: int = 7) -> str:
+    return f"""
+        SELECT o_orderkey FROM orders
+        WHERE (((o_orderkey + {seed}) * 2654435761) % 2147483648) / 2147483648.0 < {fraction}
+    """
+
+
+def q_trend_surface(sf_dir: str, order: int = 1):
+    """TrendSurface: order-1 least squares over the synthetic points;
+    returns predictions per record (rows-only check; coefficient math
+    verified in unit tests)."""
+    from ..stages.stats2 import trend_surface
+
+    pts = synth_points(sf_dir)
+    coefs, predict = trend_surface(pts, "x", "y", "value", order=order)
+    out = predict(synth_points(sf_dir), out_col="trend").select_columns(["record_id", "trend"])
+    return round_cols(out, {"trend": 4})
+
+
+def q_pca_project(sf_dir: str, n_components: int = 3):
+    """PCA projection of the embedding table (rows-only check)."""
+    from ..stages.stats2 import pca
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    comps, ratio, project = pca(ds, n_components=n_components)
+    out = project(read(sf_dir, "embeddings", columns=["vec_id", "embedding"])).to_pandas()
+    out["pc1"] = np.round([abs(p[0]) for p in out["pc"]], 4)  # sign of eigvec is arbitrary
+    return out[["vec_id", "pc1"]]
+
+
+def q_sliding_window(sf_dir: str, size_s: int = 3600, hop_s: int = 900):
+    """Sliding (hopping) window counts per user (windows.sliding)."""
+    from ..stages.windows import sliding
+
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = sliding(ds, "user_id", "ts", "value", size_s=size_s, hop_s=hop_s)
+    return round_cols(out, {"total": 6})
+
+
+def q_sliding_window_sql(size_s: int = 3600, hop_s: int = 900) -> str:
+    n = size_s // hop_s
+    hop_us = hop_s * 1_000_000  # precomputed 64-bit literals (3600*1000000
+    size_us = size_s * 1_000_000  # overflows DuckDB INT32 inline math)
+    return f"""
+        SELECT user_id,
+               (CAST(FLOOR(epoch_us(ts) / {hop_us}) AS BIGINT) - k) * {hop_us} AS wstart_us,
+               COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+        FROM events CROSS JOIN (SELECT UNNEST(generate_series(0, {n - 1})) AS k)
+        WHERE epoch_us(ts) < (CAST(FLOOR(epoch_us(ts) / {hop_us}) AS BIGINT) - k) * {hop_us} + {size_us}
+        GROUP BY 1, 2
+    """
+
+
+def q_hex_binning(sf_dir: str, res: int = 9):
+    """Planar hex-cell binning counts (VectorHexBinning analog; the hex
+    assignment's cube-rounding is not reasonably SQL-expressible →
+    rows-only check; the quad variant `cell_binning` carries the SQL
+    oracle)."""
+    from ..stages.zonal import cell_binning
+
+    return cell_binning(synth_points(sf_dir), "x", "y", kind="hex", level=res)
+
+
+def q_polygon_metrics(sf_dir: str):
+    """Per-polygon shape metrics (AREA/PERIMETER) of deterministic
+    triangles derived from `part` rows — SQL oracle via the shoelace /
+    distance formulas written out for a 3-vertex ring."""
+    import pyarrow as pa
+
+    from ..stages.vector_metrics import polygon_metrics
+
+    ds = read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def to_polys(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pr = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        x0 = (pk * 13 % 1000).astype(np.float64)
+        y0 = (pk * 29 % 1000).astype(np.float64)
+        # CLOCKWISE (y-up) triangle: (x0,y0) -> (x0,y0+h) -> (x0+s,y0)
+        # (a CCW ring would be classified as a hole and subtract)
+        h = np.round(pr % 97.0, 6) + 1.0
+        xs = [[float(a), float(a), float(a + s), float(a)] for a, s in zip(x0, sz)]
+        ys = [[float(b), float(b + hh), float(b), float(b)] for b, hh in zip(y0, h)]
+        return pa.table(
+            {
+                "record_id": pa.array(pk.astype(np.int32), pa.int32()),
+                "parts": pa.array([[0]] * len(pk), pa.list_(pa.int32())),
+                "xs": pa.array(xs, pa.list_(pa.float64())),
+                "ys": pa.array(ys, pa.list_(pa.float64())),
+            }
+        )
+
+    out = polygon_metrics(ds.map_batches(to_polys, batch_format="pyarrow"), metrics=("AREA", "PERIMETER"))
+    return out
+
+
+Q_POLYGON_METRICS_SQL = """
+    WITH tri AS (
+        SELECT CAST(p_partkey AS INT) AS record_id,
+               CAST(p_size AS DOUBLE) AS s,
+               ROUND(p_retailprice % 97.0, 6) + 1.0 AS h
+        FROM part
+    )
+    SELECT record_id,
+           ROUND(s * h / 2.0, 6) AS "AREA",
+           ROUND(s + h + SQRT(s * s + h * h), 6) AS "PERIMETER"
+    FROM tri
+"""

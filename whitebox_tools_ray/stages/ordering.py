@@ -3,19 +3,20 @@ single-node bottleneck.
 
 The reference assigns FIDs by sequential scan order (clip.rs:338-354 —
 survivors renumbered 1..n in input order; raster_to_vector_points.rs:
-209-229 — row-major scan order). A distributed engine must reproduce that
-exactly without funnelling the dataset through one task, so:
+209-229 — row-major scan order). A distributed engine must reproduce
+that exactly without funnelling the dataset through one task. Two
+strategies:
 
-1. bucket every row by a coarse monotone key ``bucket = order_key // B``
-   (order_key must be a non-negative int64 whose sort order IS the scan
-   order — e.g. ``record_id`` or ``row * columns + col``),
-2. count rows per bucket (a tiny groupby), cumulative-sum the counts on
-   the driver (bucket count is small and bounded by key_range/B),
-3. broadcast the offsets; ``groupby(bucket).map_groups`` sorts each
-   bucket internally and adds its offset.
-
-One hash shuffle on an integer key; no global sort, no repartition(1).
-At 100 TB, B is chosen so each bucket is ~one block.
+- ``sort`` (default): ONE range-partitioned ``Dataset.sort`` on the
+  order key (Ray's best-optimized shuffle), materialized, then two
+  block-level passes: (a) per-block (min_key, row_count) — a tiny
+  table — cumulated driver-side into per-block offsets; (b) per-block
+  rank = offset + local position. Sorted blocks hold disjoint key
+  ranges, so block offsets are exact. The materialize pins only the
+  SURVIVOR set (already filtered), not the input.
+- ``groupby``: the original bucketed form (hash shuffle on
+  ``key // bucket_size``, per-bucket sort + prefix offsets) — no
+  materialization, for survivor sets too large to pin.
 """
 
 from __future__ import annotations
@@ -25,21 +26,35 @@ import pandas as pd
 import pyarrow as pa
 
 
-def zip_with_order_index(
-    ds,
-    order_col: str,
-    index_col: str = "FID",
-    start: int = 1,
-    bucket_size: int = 1 << 20,
-):
-    """Append ``index_col`` = rank of ``order_col`` (1-based by default).
+def _sort_strategy(ds, order_col: str, index_col: str, start: int):
+    sorted_ds = ds.sort(order_col).materialize()
 
-    ``order_col`` must be int64-castable, non-negative, and unique (it
-    defines the total order). Returns a new Dataset; row order of the
-    result is by bucket (ascending), which downstream sinks are free to
-    re-sort or ignore — the INDEX VALUES are what carry the scan order.
-    """
+    def block_meta(batch: pa.Table) -> pa.Table:
+        key = batch[order_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"min_key": [int(key.min()) if len(key) else -1], "n": [len(key)]}
+        )
 
+    meta = sorted_ds.map_batches(block_meta, batch_size=None, batch_format="pyarrow").to_pandas()
+    meta = meta[meta["n"] > 0].sort_values("min_key")
+    offsets = dict(
+        zip(meta["min_key"].astype(np.int64), meta["n"].cumsum().shift(fill_value=0).astype(np.int64))
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        key = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(key) == 0:
+            return batch.append_column(index_col, pa.array([], pa.int64()))
+        off = offsets[int(key.min())]
+        order = np.argsort(key, kind="stable")
+        rank = np.empty(len(key), dtype=np.int64)
+        rank[order] = np.arange(len(key), dtype=np.int64)
+        return batch.append_column(index_col, pa.array(rank + off + start, pa.int64()))
+
+    return sorted_ds.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def _groupby_strategy(ds, order_col: str, index_col: str, start: int, bucket_size: int):
     def add_bucket(batch: pa.Table) -> pa.Table:
         key = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.append_column("__bucket", pa.array(key // bucket_size, pa.int64()))
@@ -58,3 +73,24 @@ def zip_with_order_index(
         return g.drop(columns="__bucket")
 
     return with_bucket.groupby("__bucket").map_groups(number_group, batch_format="pandas")
+
+
+def zip_with_order_index(
+    ds,
+    order_col: str,
+    index_col: str = "FID",
+    start: int = 1,
+    bucket_size: int = 1 << 20,
+    strategy: str = "sort",
+):
+    """Append ``index_col`` = rank of ``order_col`` (1-based by default).
+
+    ``order_col`` must be int64-castable and unique (it defines the total
+    order). Result row order is whatever the strategy's shuffle produced
+    — the INDEX VALUES carry the scan order.
+    """
+    if strategy == "sort":
+        return _sort_strategy(ds, order_col, index_col, start)
+    if strategy == "groupby":
+        return _groupby_strategy(ds, order_col, index_col, start, bucket_size)
+    raise ValueError("strategy must be 'sort' or 'groupby'")

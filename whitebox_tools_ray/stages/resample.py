@@ -1,0 +1,192 @@
+"""Resample / Mosaic / AggregateRaster — grid-to-grid pixel transfer.
+
+Reference semantics:
+- Resample (image_analysis/resample.rs; methods ``nn|bilinear|cc``
+  :68-71): for every DEST cell center, locate the source cell
+  (world coords via the ±res/2 center convention) and interpolate.
+- Mosaic (image_analysis/mosaic.rs): same per-dest-cell lookup over
+  MULTIPLE source rasters; later sources win where they overlap
+  (reference iterates source files in order).
+- AggregateRaster (gis_analysis/aggregate_raster.rs): n×n block
+  downsample (mean/min/max/sum) — a pure per-tile reshape reduce when
+  the factor divides the tile size.
+
+Ray-Data design: the DEST tile grid streams; each dest tile gathers the
+source tiles it overlaps (a broadcast dict src_tile_id → bytes for
+moderate scenes; the co-partitioned variant shuffles source tiles by
+dest-tile key). Bilinear needs a 1-source-cell margin — handled by
+reading up to 4 source tiles per dest corner.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import codecs
+from ..kernels.grid import GridSpec
+
+
+def _gather_src(
+    sx: np.ndarray, sy: np.ndarray, src_tiles: dict[int, np.ndarray], src_spec, default: float
+) -> np.ndarray:
+    """Values of source scene at world coords (vectorized tile gather)."""
+    gs = src_spec.grid_spec()
+    col = gs.col_from_x(sx)
+    row = gs.row_from_y(sy)
+    out = np.full(sx.shape, default, dtype=np.float64)
+    ok = (row >= 0) & (row < gs.rows) & (col >= 0) & (col < gs.columns)
+    tpx = src_spec.tile_px
+    tr = row[ok] // tpx
+    tc = col[ok] // tpx
+    tid = tr * src_spec.tiles_x + tc
+    vals = np.full(tid.shape, default, dtype=np.float64)
+    for t in np.unique(tid):
+        g = src_tiles.get(int(t))
+        if g is None:
+            continue
+        m = tid == t
+        vals[m] = g[row[ok][m] % tpx, col[ok][m] % tpx]
+    out[ok] = vals
+    return out
+
+
+class _ResampleActor:
+    def __init__(self, src_ref, src_spec, dest_gs: GridSpec, dest_tile_px: int, method: str):
+        import ray
+
+        self.src_tiles = ray.get(src_ref)
+        self.src_spec = src_spec
+        self.dest_gs = dest_gs
+        self.tpx = dest_tile_px
+        self.method = method
+
+    def _resample_tile(self, tr: int, tc: int) -> np.ndarray:
+        gs = self.dest_gs
+        rows = np.arange(tr * self.tpx, (tr + 1) * self.tpx)
+        cols = np.arange(tc * self.tpx, (tc + 1) * self.tpx)
+        y = gs.y_from_row(rows)
+        x = gs.x_from_col(cols)
+        gx, gy = np.meshgrid(x, y)
+        nod = gs.nodata
+        if self.method == "nn":
+            return _gather_src(gx, gy, self.src_tiles, self.src_spec, nod)
+        if self.method == "bilinear":
+            sgs = self.src_spec.grid_spec()
+            # fractional source-grid coords (cell-center convention)
+            fc = (gx - sgs.west) / sgs.res_x - 0.5
+            fr = (sgs.north - gy) / sgs.res_y - 0.5
+            c0 = np.floor(fc)
+            r0 = np.floor(fr)
+            wc = fc - c0
+            wr = fr - r0
+            vals = []
+            for dr in (0, 1):
+                for dc in (0, 1):
+                    sx = sgs.west + sgs.res_x / 2.0 + (c0 + dc) * sgs.res_x
+                    sy = sgs.north - sgs.res_y / 2.0 - (r0 + dr) * sgs.res_y
+                    vals.append(_gather_src(sx, sy, self.src_tiles, self.src_spec, np.nan))
+            v00, v01, v10, v11 = vals
+            out = (
+                v00 * (1 - wc) * (1 - wr)
+                + v01 * wc * (1 - wr)
+                + v10 * (1 - wc) * wr
+                + v11 * wc * wr
+            )
+            # fall back to nn at edges where a corner was missing
+            nn = _gather_src(gx, gy, self.src_tiles, self.src_spec, nod)
+            return np.where(np.isnan(out), nn, out)
+        raise ValueError(self.method)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tids = batch["tile_id"].to_numpy(zero_copy_only=False)
+        tiles_x = int(np.ceil(self.dest_gs.columns / self.tpx))
+        blobs = []
+        trs, tcs = [], []
+        for t in tids:
+            tr, tc = int(t) // tiles_x, int(t) % tiles_x
+            blobs.append(codecs.encode_tile(self._resample_tile(tr, tc), "f32"))
+            trs.append(tr)
+            tcs.append(tc)
+        return pa.table(
+            {
+                "tile_id": pa.array(tids, pa.int64()),
+                "tile_row": pa.array(trs, pa.int64()),
+                "tile_col": pa.array(tcs, pa.int64()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["f32"] * len(blobs), pa.string()),
+            }
+        )
+
+
+def resample(src_table: pa.Table, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn", concurrency=(1, 8)):
+    """Resample a tiled scene onto ``dest_gs``. Source tiles broadcast
+    (decoded once per actor); dest tiles stream from ray.data.range."""
+    import ray
+    import ray.data as rd
+
+    src_tiles = {}
+    tpd = src_table.to_pydict()
+    for i in range(src_table.num_rows):
+        tid = tpd["tile_row"][i] * src_spec.tiles_x + tpd["tile_col"][i]
+        src_tiles[tid] = codecs.decode_tile(tpd["bytes"][i], tpd["fmt"][i])
+    ref = ray.put(src_tiles)
+    tiles_x = int(np.ceil(dest_gs.columns / dest_tile_px))
+    tiles_y = int(np.ceil(dest_gs.rows / dest_tile_px))
+    ds = rd.range(tiles_x * tiles_y).map_batches(
+        lambda b: pa.table({"tile_id": pa.array(b["id"].to_numpy(zero_copy_only=False), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return ds.map_batches(
+        _ResampleActor,
+        fn_constructor_args=(ref, src_spec, dest_gs, dest_tile_px, method),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+
+def aggregate_raster(tiles_ds, spec, factor: int, stat: str = "mean"):
+    """AggregateRaster: n×n block downsample per tile (factor must divide
+    tile_px — each output tile is tile_px/factor square)."""
+    if spec.tile_px % factor:
+        raise ValueError("factor must divide tile_px")
+
+    def agg(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            h, w = g.shape
+            b = g.reshape(h // factor, factor, w // factor, factor)
+            if stat == "mean":
+                out = b.mean(axis=(1, 3))
+            elif stat == "min":
+                out = b.min(axis=(1, 3))
+            elif stat == "max":
+                out = b.max(axis=(1, 3))
+            elif stat == "sum":
+                out = b.sum(axis=(1, 3))
+            else:
+                raise ValueError(stat)
+            blobs.append(codecs.encode_tile(out, "f32"))
+        t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", pa.array(blobs, pa.binary()))
+        return t.set_column(t.schema.get_field_index("fmt"), "fmt", pa.array(["f32"] * t.num_rows))
+
+    return tiles_ds.map_batches(agg, batch_format="pyarrow", batch_size=16)
+
+
+def mosaic(src_tables: list[tuple[pa.Table, "SceneSpec"]], dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn"):
+    """Mosaic: later sources overwrite earlier where both cover a dest
+    cell (mosaic.rs source-order semantics) — one resample pass per
+    source, nodata-respecting overlay."""
+    out = None
+    for table, spec in src_tables:
+        layer = resample(table, spec, dest_gs, dest_tile_px, method).to_pandas()
+        tiles = {int(r["tile_id"]): codecs.decode_tile(bytes(r["bytes"]), r["fmt"]) for _, r in layer.iterrows()}
+        if out is None:
+            out = tiles
+        else:
+            for tid, g in tiles.items():
+                prev = out.get(tid)
+                out[tid] = g if prev is None else np.where(g != dest_gs.nodata, g, prev)
+    return out

@@ -132,30 +132,46 @@ def clip_kernel(
     return out
 
 
-class _ClipActor:
-    """Actor-pool stage: broadcast parts + cell index built once per actor."""
+# Per-worker-process cache for broadcast objects: stateless tasks get
+# actor-pool-style amortization (deserialize once per worker) without the
+# actor-churn cost of spinning a pool per stage invocation.
+_WORKER_CACHE: dict[str, object] = {}
+
+
+def _get_cached(ref):
+    import ray
+
+    key = ref.hex()
+    if key not in _WORKER_CACHE:
+        _WORKER_CACHE[key] = ray.get(ref)
+    return _WORKER_CACHE[key]
+
+
+class _ClipFn:
+    """Stateless clip task body; broadcast parts + cell index fetched via
+    the per-worker cache."""
 
     def __init__(self, parts_ref, cell_index_ref, level: int, keep_inside: bool, x_col: str, y_col: str):
-        import ray
-
-        self.parts = ray.get(parts_ref)
-        self.cell_index = ray.get(cell_index_ref)
+        self.parts_ref = parts_ref
+        self.cell_index_ref = cell_index_ref
         self.level = level
         self.keep_inside = keep_inside
         self.x_col = x_col
         self.y_col = y_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = _get_cached(self.parts_ref)
+        cell_index = _get_cached(self.cell_index_ref)
         px = batch[self.x_col].to_numpy(zero_copy_only=False)
         py = batch[self.y_col].to_numpy(zero_copy_only=False)
         point_cells = cells.quad_cell(px, py, self.level)
         out = np.zeros(len(px), dtype=bool)
         for cid in np.unique(point_cells):
-            subset = self.cell_index.get(int(cid))
+            subset = cell_index.get(int(cid))
             sel = point_cells == cid
             if subset is None or len(subset) == 0:
                 continue
-            out[sel] = clip_kernel(px[sel], py[sel], self.parts, subset)
+            out[sel] = clip_kernel(px[sel], py[sel], parts, subset)
         keep = out if self.keep_inside else ~out
         return batch.filter(pa.array(keep))
 
@@ -187,12 +203,11 @@ def clip_points(
     cell_index = build_part_cell_index(parts, cell_level)
     parts_ref = ray.put(parts)
     index_ref = ray.put(cell_index)
+    fn = _ClipFn(parts_ref, index_ref, cell_level, mode == "clip", x_col, y_col)
     out = points_ds.map_batches(
-        _ClipActor,
-        fn_constructor_args=(parts_ref, index_ref, cell_level, mode == "clip", x_col, y_col),
+        fn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 4),
     )
     if renumber_fid:
         out = zip_with_order_index(out, order_col, index_col="FID", start=1)
