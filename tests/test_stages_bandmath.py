@@ -1,0 +1,88 @@
+"""Band-math / overlay (M2 family) tests."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from whitebox_tools_ray.kernels import codecs
+from whitebox_tools_ray.sources import tiles as tsrc
+from whitebox_tools_ray.stages.band_math import count_if, normalized_difference, overlay
+
+
+@pytest.fixture(scope="module")
+def layers(ray_session):
+    sa = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8, seed=1)
+    sb = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8, seed=2)
+    ta = tsrc.generate_tiles(sa, fmt_cycle=("f32",))
+    tb = tsrc.generate_tiles(sb, fmt_cycle=("f32",))
+    return sa, ta, tb
+
+
+def assemble(df, spec):
+    full = np.zeros((spec.rows, spec.columns))
+    for _, r in df.iterrows():
+        g = codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
+        full[int(r["tile_row"]) * 8 : int(r["tile_row"]) * 8 + 8,
+             int(r["tile_col"]) * 8 : int(r["tile_col"]) * 8 + 8] = g
+    return full
+
+
+class TestOverlay:
+    @pytest.mark.parametrize("op,np_fn", [
+        ("max", np.maximum), ("min", np.minimum),
+    ])
+    def test_binary_ops(self, layers, op, np_fn):
+        spec, ta, tb = layers
+        out = overlay([rd.from_arrow(ta), rd.from_arrow(tb)], spec, op=op).to_pandas()
+        got = assemble(out, spec)
+        a = tsrc.assemble_scene(ta, spec)
+        b = tsrc.assemble_scene(tb, spec)
+        np.testing.assert_allclose(got.astype(np.float32), np_fn(a, b).astype(np.float32))
+
+    def test_weighted_sum(self, layers):
+        spec, ta, tb = layers
+        out = overlay([rd.from_arrow(ta), rd.from_arrow(tb)], spec, op="weighted_sum", weights=[0.25, 0.75]).to_pandas()
+        got = assemble(out, spec)
+        a = tsrc.assemble_scene(ta, spec)
+        b = tsrc.assemble_scene(tb, spec)
+        np.testing.assert_allclose(got.astype(np.float32), (0.25 * a + 0.75 * b).astype(np.float32), rtol=1e-6)
+
+    def test_highest_position_one_based(self, layers):
+        spec, ta, tb = layers
+        out = overlay([rd.from_arrow(ta), rd.from_arrow(tb)], spec, op="highest_position").to_pandas()
+        got = assemble(out, spec)
+        a = tsrc.assemble_scene(ta, spec)
+        b = tsrc.assemble_scene(tb, spec)
+        expect = np.where(a >= b, 1.0, 2.0)  # argmax picks first on ties
+        np.testing.assert_array_equal(got, expect)
+
+
+class TestNDI:
+    def test_matches_formula(self, layers):
+        spec, ta, tb = layers
+        out = normalized_difference(rd.from_arrow(ta), rd.from_arrow(tb), spec).to_pandas()
+        got = assemble(out, spec)
+        a = tsrc.assemble_scene(ta, spec)
+        b = tsrc.assemble_scene(tb, spec)
+        denom = a + b
+        expect = np.where(denom != 0, (a - b) / denom, 0.0)
+        np.testing.assert_allclose(got.astype(np.float32), expect.astype(np.float32), rtol=1e-5)
+
+
+class TestCountIf:
+    def test_counts(self, ray_session):
+        import pyarrow as pa
+
+        spec = tsrc.SceneSpec(tiles_x=1, tiles_y=1, tile_px=4)
+        mk = lambda v: pa.table(
+            {
+                "tile_row": pa.array([0], pa.int32()),
+                "tile_col": pa.array([0], pa.int32()),
+                "bytes": pa.array([codecs.encode_tile(np.full((4, 4), v), "f32")], pa.binary()),
+                "fmt": pa.array(["f32"]),
+            }
+        )
+        out = count_if([rd.from_arrow(mk(v)) for v in (5.0, 5.0, 3.0)], spec, value=5.0).to_pandas()
+        g = codecs.decode_tile(bytes(out.iloc[0]["bytes"]), "f32")
+        assert (g == 2.0).all()

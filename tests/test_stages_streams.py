@@ -156,3 +156,47 @@ class TestBasins:
         ptr[0, 63] = -1
         term = terminal_index(ptr)
         assert (term == 63).all()
+
+
+class TestFillDepressions:
+    def test_single_pit_spill(self):
+        from whitebox_tools_ray.stages.fill import priority_flood
+
+        g = np.full((5, 5), 10.0)
+        g[2, 2] = 1.0
+        g[2, 3] = 8.0
+        g[1, 3] = 8.0
+        g[0, 3] = 8.0  # channel to the edge at 8
+        out = priority_flood(g, -32768.0)
+        assert out[2, 2] == 8.0
+        # cells on the drainage channel unchanged
+        assert out[2, 3] == 8.0 and out[0, 3] == 8.0
+
+    def test_tiled_matches_global(self):
+        from whitebox_tools_ray.stages.fill import fill_depressions_tiled, priority_flood
+
+        spec = SceneSpec(tiles_x=3, tiles_y=3, tile_px=8)
+        rng = np.random.RandomState(11)
+        for _ in range(3):
+            full = rng.uniform(0, 100, (24, 24))
+            full[5:15, 5:15] -= 60  # cross-tile depression
+            whole = priority_flood(full, spec.nodata)
+            tiles = {
+                tid: full[(tid // 3) * 8 : (tid // 3) * 8 + 8, (tid % 3) * 8 : (tid % 3) * 8 + 8]
+                for tid in range(9)
+            }
+            got = fill_depressions_tiled(tiles, spec)
+            for tid, g in got.items():
+                r0, c0 = (tid // 3) * 8, (tid % 3) * 8
+                np.testing.assert_allclose(g, whole[r0 : r0 + 8, c0 : c0 + 8])
+
+    def test_nodata_drains(self):
+        from whitebox_tools_ray.stages.fill import priority_flood
+
+        nod = -32768.0
+        g = np.full((7, 7), 10.0)
+        g[3, 3] = 1.0  # pit
+        g[3, 4] = nod  # nodata hole next to the pit → it drains
+        out = priority_flood(g, nod)
+        assert out[3, 3] == 1.0
+        assert out[3, 4] == nod

@@ -277,6 +277,29 @@ def _register_all():
     register("RandomSample", stats2.random_sample, "Seeded deterministic Bernoulli sample", "math_stat_analysis",
              [], "math_stat_analysis/random_sample.rs")
 
+    bm = __import__("whitebox_tools_ray.stages.band_math", fromlist=["x"])
+    register("MaxOverlay", lambda ls, sp: bm.overlay(ls, sp, "max"), "Per-cell max across stack",
+             "gis_analysis", [], "gis_analysis/max_overlay.rs")
+    register("MinOverlay", lambda ls, sp: bm.overlay(ls, sp, "min"), "Per-cell min across stack",
+             "gis_analysis", [], "gis_analysis/min_overlay.rs")
+    register("SumOverlay", lambda ls, sp: bm.overlay(ls, sp, "sum"), "Per-cell sum across stack",
+             "gis_analysis", [], "gis_analysis/sum_overlay.rs")
+    register("AverageOverlay", lambda ls, sp: bm.overlay(ls, sp, "average"), "Per-cell mean across stack",
+             "gis_analysis", [], "gis_analysis/average_overlay.rs")
+    register("WeightedSum", lambda ls, sp, w: bm.overlay(ls, sp, "weighted_sum", weights=w),
+             "Weighted per-cell combine", "gis_analysis", [], "gis_analysis/weighted_sum.rs")
+    register("HighestPosition", lambda ls, sp: bm.overlay(ls, sp, "highest_position"),
+             "1-based argmax across stack", "gis_analysis", [], "gis_analysis/highest_pos.rs")
+    register("LowestPosition", lambda ls, sp: bm.overlay(ls, sp, "lowest_position"),
+             "1-based argmin across stack", "gis_analysis", [], "gis_analysis/lowest_pos.rs")
+    register("CountIf", bm.count_if, "Per-cell equality count across stack",
+             "gis_analysis", [], "gis_analysis/count_if.rs")
+    register("NormalizedDifferenceIndex", bm.normalized_difference, "(A-B)/(A+B) with 0/0 guard",
+             "image_analysis", [], "image_analysis/normalized_difference_index.rs")
+    fl = __import__("whitebox_tools_ray.stages.fill", fromlist=["x"])
+    register("FillDepressions", fl.fill_depressions_tiled, "Hierarchical priority-flood fill (exact)",
+             "hydro_analysis", [], "hydro_analysis/fill_depressions.rs (Barnes-style hierarchical)")
+
     # terrain_analysis
     register("Slope", focal.slope, "Horn slope degrees", "terrain_analysis", [], "terrain_analysis/slope.rs:256-292")
     register("Hillshade", focal.hillshade, "Horn hillshade", "terrain_analysis", [], "terrain_analysis/hillshade.rs")

@@ -1,0 +1,152 @@
+"""Multi-raster per-cell combines — the M2 family (SURVEY.md §2.4/§2.6).
+
+Reference tools: Max/Min/Sum/Average/WeightedSum overlays
+(gis_analysis/*_overlay.rs, weighted_sum.rs), NormalizedDifferenceIndex
+(image_analysis/normalized_difference_index.rs: (A−B)/(A+B) with a 0/0
+guard), HighestPosition/LowestPosition (argmax/argmin across a stack),
+CountIf / PercentEqualTo (per-cell stack stats), ChangeVectorAnalysis.
+
+Engine form: the aligned tile tables are zipped ON THE TILE KEY — every
+input layer's batch carries (tile_row, tile_col, bytes, fmt); layers are
+co-keyed by construction (same scene grid), so the combine is a groupby
+on the tile key with one decoded stack per tile. For two layers with one
+small side, the small side broadcasts instead (no shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels import codecs
+
+_STACK_OPS = {
+    "max": lambda s: s.max(axis=0),
+    "min": lambda s: s.min(axis=0),
+    "sum": lambda s: s.sum(axis=0),
+    "average": lambda s: s.mean(axis=0),
+    "highest_position": lambda s: s.argmax(axis=0).astype(np.float64) + 1.0,  # 1-based like the reference
+    "lowest_position": lambda s: s.argmin(axis=0).astype(np.float64) + 1.0,
+}
+
+
+def overlay(layer_dss: list, spec, op: str = "max", weights: list[float] | None = None):
+    """N-ary per-cell overlay of aligned tile Datasets.
+
+    ``op`` ∈ max|min|sum|average|highest_position|lowest_position or
+    'weighted_sum' with ``weights``. Nodata in ANY layer → nodata out
+    (the reference's overlay convention). Returns
+    Dataset[tile_row, tile_col, bytes, fmt].
+    """
+    if op == "weighted_sum":
+        if weights is None or len(weights) != len(layer_dss):
+            raise ValueError("weighted_sum needs one weight per layer")
+    elif op not in _STACK_OPS:
+        raise ValueError(f"unknown overlay op {op!r}")
+    nodata = spec.nodata
+
+    def tag(i):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
+            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
+
+        return fn
+
+    tagged = layer_dss[0].map_batches(tag(0), batch_format="pyarrow")
+    for i, ds in enumerate(layer_dss[1:], 1):
+        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+
+    n_layers = len(layer_dss)
+    w = np.asarray(weights, dtype=np.float64) if weights is not None else None
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__layer")
+        if len(g) != n_layers:
+            raise ValueError(f"tile ({g['tile_row'].iloc[0]},{g['tile_col'].iloc[0]}) has {len(g)} layers")
+        stack = np.stack([codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])])
+        bad = (stack == nodata).any(axis=0)
+        if op == "weighted_sum":
+            out = np.tensordot(w, stack, axes=1)
+        else:
+            out = _STACK_OPS[op](stack)
+        out[bad] = nodata
+        return pd.DataFrame(
+            {
+                "tile_row": [int(g["tile_row"].iloc[0])],
+                "tile_col": [int(g["tile_col"].iloc[0])],
+                "bytes": [codecs.encode_tile(out, "f32")],
+                "fmt": ["f32"],
+            }
+        )
+
+    return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
+
+
+def normalized_difference(ds_a, ds_b, spec, clip: float = 0.0):
+    """NDI = (A−B)/(A+B); 0/0 → 0 (normalized_difference_index.rs
+    convention); nodata in either input propagates."""
+    nodata = spec.nodata
+    # broadcast B (decode once per worker) — both layers stream in the
+    # shuffle-free variant when B fits the object store
+    import ray
+
+    b_tiles = {}
+    for row in ds_b.to_pandas().itertuples():
+        b_tiles[(int(row.tile_row), int(row.tile_col))] = codecs.decode_tile(bytes(row.bytes), row.fmt)
+    ref = ray.put(b_tiles)
+
+    class NDI:
+        def __init__(self):
+            self.b = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_b = []
+            trows = batch["tile_row"].to_numpy(zero_copy_only=False)
+            tcols = batch["tile_col"].to_numpy(zero_copy_only=False)
+            for i in range(batch.num_rows):
+                a = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+                b = self.b[(int(trows[i]), int(tcols[i]))]
+                denom = a + b
+                with np.errstate(all="ignore"):
+                    nd = np.where(denom != 0.0, (a - b) / denom, 0.0)
+                nd[(a == nodata) | (b == nodata)] = nodata
+                if clip > 0:
+                    nd = np.clip(nd, -clip, clip)
+                out_b.append(codecs.encode_tile(nd, "f32"))
+            t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", pa.array(out_b, pa.binary()))
+            return t.set_column(t.schema.get_field_index("fmt"), "fmt", pa.array(["f32"] * t.num_rows))
+
+    return ds_a.map_batches(NDI, batch_format="pyarrow", batch_size=16, concurrency=(1, 4))
+
+
+def count_if(layer_dss: list, spec, value: float):
+    """CountIf (count_if.rs): per cell, how many stack layers equal
+    ``value``. Same zip-by-tile-key shape as overlay."""
+    nodata = spec.nodata
+
+    def tag(i):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
+            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
+
+        return fn
+
+    tagged = layer_dss[0].map_batches(tag(0), batch_format="pyarrow")
+    for i, ds in enumerate(layer_dss[1:], 1):
+        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack([codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])])
+        out = (stack == value).sum(axis=0).astype(np.float64)
+        out[(stack == nodata).any(axis=0)] = nodata
+        return pd.DataFrame(
+            {
+                "tile_row": [int(g["tile_row"].iloc[0])],
+                "tile_col": [int(g["tile_col"].iloc[0])],
+                "bytes": [codecs.encode_tile(out, "f32")],
+                "fmt": ["f32"],
+            }
+        )
+
+    return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
