@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": R.q_sliding_window,
         "hex_binning": R.q_hex_binning,
         "polygon_metrics": R.q_polygon_metrics,
+        "rgb_to_ihs": R.q_rgb_to_ihs,
     }
 
 
@@ -105,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "random_sample": R.q_random_sample_sql(),
         "sliding_window": R.q_sliding_window_sql(),
         "polygon_metrics": R.Q_POLYGON_METRICS_SQL,
+        "rgb_to_ihs": R.Q_RGB_TO_IHS_SQL,
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:
         # non-SQL-expressible (sketch / iterative / heuristic / eigen) →

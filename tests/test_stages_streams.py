@@ -3,6 +3,7 @@
 Pure-NumPy (no Ray session needed): the stage consumes dict-of-tiles."""
 
 import numpy as np
+import pytest
 
 from whitebox_tools_ray.kernels import codecs
 from whitebox_tools_ray.sources.tiles import SceneSpec
@@ -200,3 +201,37 @@ class TestFillDepressions:
         out = priority_flood(g, nod)
         assert out[3, 3] == 1.0
         assert out[3, 4] == nod
+
+
+class TestCostDistance:
+    def test_tiled_matches_global(self):
+        from whitebox_tools_ray.stages.cost import cost_distance, cost_distance_tiled
+
+        spec = SceneSpec(tiles_x=3, tiles_y=3, tile_px=8)
+        rng = np.random.RandomState(5)
+        cost = rng.uniform(0.5, 5.0, (24, 24))
+        src = np.zeros((24, 24), dtype=np.int64)
+        src[2, 2] = 1
+        src[20, 21] = 2
+        whole, _bl, _al = cost_distance(cost, src, spec.nodata, spec.res)
+        ct = {tid: cost[(tid // 3) * 8 : (tid // 3) * 8 + 8, (tid % 3) * 8 : (tid % 3) * 8 + 8] for tid in range(9)}
+        st = {tid: src[(tid // 3) * 8 : (tid // 3) * 8 + 8, (tid % 3) * 8 : (tid % 3) * 8 + 8] for tid in range(9)}
+        got = cost_distance_tiled(ct, st, spec)
+        for tid, g in got.items():
+            r0, c0 = (tid // 3) * 8, (tid % 3) * 8
+            np.testing.assert_allclose(g, whole[r0 : r0 + 8, c0 : c0 + 8])
+
+    def test_allocation_and_pathway(self):
+        from whitebox_tools_ray.stages.cost import cost_distance, cost_pathway
+
+        cost = np.ones((10, 10))
+        src = np.zeros((10, 10), dtype=np.int64)
+        src[0, 0] = 1
+        src[9, 9] = 2
+        accum, bl, alloc = cost_distance(cost, src, -32768.0, 1.0)
+        assert alloc[1, 1] == 1 and alloc[8, 8] == 2
+        assert accum[0, 0] == 0.0
+        # uniform cost: straight diagonal is cheapest
+        assert accum[2, 2] == pytest.approx(2 * np.sqrt(2.0))
+        path = cost_pathway(bl, (3, 0))
+        assert path[-1] == (0, 0)

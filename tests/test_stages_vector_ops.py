@@ -1,0 +1,133 @@
+"""Vector transform (M family) + tile footprint/selection tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from whitebox_tools_ray.sources import tiles as tsrc
+from whitebox_tools_ray.sources.vectors import POLY_SCHEMA, fixture_polygons, make_polygon_record
+from whitebox_tools_ray.stages import vector_ops as V
+
+
+@pytest.fixture(scope="module")
+def polys(ray_session):
+    return fixture_polygons()
+
+
+class TestVectorOps:
+    def test_extract_nodes_counts(self, polys):
+        out = V.extract_nodes(rd.from_arrow(polys)).to_pandas()
+        # donut record (id 3): 3 rings of 4 distinct vertices each
+        donut = out[out["record_id"] == 3]
+        assert len(donut) == 12
+
+    def test_multipart_explode_and_merge(self, polys):
+        exploded = V.multipart_to_singlepart(rd.from_arrow(polys)).to_pandas()
+        donut_parts = exploded[exploded["record_id"] == 3]
+        assert len(donut_parts) == 3
+        # merge back by record_id
+        merged = V.singlepart_to_multipart(
+            rd.from_arrow(pa.Table.from_pandas(exploded, preserve_index=False)), "record_id"
+        ).to_pandas()
+        m3 = merged[merged["record_id"] == 3].iloc[0]
+        assert len(m3["parts"]) == 3
+
+    def test_remove_holes(self, polys):
+        out = V.remove_polygon_holes(rd.from_arrow(polys)).to_pandas()
+        donut = out[out["record_id"] == 3].iloc[0]
+        assert len(donut["parts"]) == 1  # only the shell survives
+
+    def test_clean_vector_drops_degenerate(self, ray_session):
+        rec = make_polygon_record(1, [[(0, 0), (1, 0), (0, 1)]], "tri", 1)
+        bad = dict(rec, record_id=2, xs=[0.0, 1.0], ys=[0.0, 0.0])
+        t = pa.Table.from_pydict(
+            {k: [rec[k], bad[k]] for k in POLY_SCHEMA.names}, schema=POLY_SCHEMA
+        )
+        out = V.clean_vector(rd.from_arrow(t)).to_pandas()
+        assert out["record_id"].tolist() == [1]
+
+    def test_smooth_keeps_endpoints_and_closure(self, polys):
+        out = V.smooth_vectors(rd.from_arrow(polys), filter_size=3).to_pandas()
+        r1 = out[out["record_id"] == 1].iloc[0]
+        assert r1["xs"][0] == r1["xs"][-1] and r1["ys"][0] == r1["ys"][-1]
+
+    def test_lines_to_polygons_closes(self, ray_session):
+        t = pa.table(
+            {
+                "record_id": pa.array([1], pa.int32()),
+                "parts": pa.array([[0]], pa.list_(pa.int32())),
+                "xs": pa.array([[0.0, 5.0, 5.0]], pa.list_(pa.float64())),
+                "ys": pa.array([[0.0, 0.0, 5.0]], pa.list_(pa.float64())),
+            }
+        )
+        out = V.lines_to_polygons(rd.from_arrow(t)).to_pandas().iloc[0]
+        assert out["xs"][-1] == 0.0 and out["ys"][-1] == 0.0
+
+    def test_extend_lines(self, ray_session):
+        t = pa.table(
+            {
+                "record_id": pa.array([1], pa.int32()),
+                "parts": pa.array([[0]], pa.list_(pa.int32())),
+                "xs": pa.array([[0.0, 10.0]], pa.list_(pa.float64())),
+                "ys": pa.array([[0.0, 0.0]], pa.list_(pa.float64())),
+            }
+        )
+        out = V.extend_vector_lines(rd.from_arrow(t), 2.0).to_pandas().iloc[0]
+        assert out["xs"][0] == -2.0 and out["xs"][-1] == 12.0
+
+    def test_add_coordinates(self, ray_session):
+        t = pa.table({"record_id": [1], "x": [3.0], "y": [4.0]})
+        out = V.add_point_coordinates(rd.from_arrow(t)).to_pandas()
+        assert out["XCOORD"].iloc[0] == 3.0 and out["YCOORD"].iloc[0] == 4.0
+
+
+class TestTileSelection:
+    def test_footprints_and_select(self, ray_session):
+        spec = tsrc.SceneSpec(tiles_x=4, tiles_y=4, tile_px=8)
+        table = tsrc.generate_tiles(spec, fmt_cycle=("f32",))
+        fps = V.tile_footprints(rd.from_arrow(table)).to_pandas()
+        assert len(fps) == 16
+        gs = spec.grid_spec()
+        # polygon covering only the north-west tile
+        rec = make_polygon_record(
+            1,
+            [[(gs.west + 10, gs.north - 10), (gs.west + 10, gs.north - 300),
+              (gs.west + 300, gs.north - 300), (gs.west + 300, gs.north - 10)]],
+            "nw",
+            1,
+        )
+        pt = pa.Table.from_pydict({k: [rec[k]] for k in POLY_SCHEMA.names}, schema=POLY_SCHEMA)
+        sel = V.select_tiles_by_polygon(rd.from_arrow(table), pt).to_pandas()
+        assert len(sel) >= 1
+        assert ((sel["tile_row"] == 0) & (sel["tile_col"] == 0)).any()
+        # the polygon is 290 m wide vs 720 m tiles → only the NW tile hit
+        assert len(sel) == 1
+
+
+class TestColor:
+    def test_rgb_ihs_roundtrip(self, ray_session):
+        import pyarrow as pa
+
+        from whitebox_tools_ray.stages.color import ihs2rgb_arrays, rgb2ihs_arrays
+
+        rng = np.random.RandomState(0)
+        r = rng.uniform(0.05, 1.0, 500)
+        g = rng.uniform(0.05, 1.0, 500)
+        b = rng.uniform(0.05, 1.0, 500)
+        h, s, i = rgb2ihs_arrays(r, g, b)
+        r2, g2, b2 = ihs2rgb_arrays(h, s, i)
+        np.testing.assert_allclose(r2, r, atol=1e-9)
+        np.testing.assert_allclose(g2, g, atol=1e-9)
+        np.testing.assert_allclose(b2, b, atol=1e-9)
+
+    def test_known_values(self, ray_session):
+        from whitebox_tools_ray.stages.color import rgb2ihs_arrays
+
+        # pure red: h=0, s=1, i=1/3
+        h, s, i = rgb2ihs_arrays(np.array([1.0]), np.array([0.0]), np.array([0.0]))
+        assert h[0] == 0.0 and s[0] == 1.0 and i[0] == pytest.approx(1 / 3)
+        # grey: s=0, h=0
+        h, s, i = rgb2ihs_arrays(np.array([0.5]), np.array([0.5]), np.array([0.5]))
+        assert h[0] == 0.0 and abs(s[0]) < 1e-12

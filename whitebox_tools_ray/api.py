@@ -91,6 +91,31 @@ def tool_parameters(name: str) -> list[dict]:
 # --- registrations -----------------------------------------------------------
 
 
+def __flip(ds, direction="vertical"):
+    import pyarrow as _pa
+
+    from .kernels import codecs as _codecs
+
+    def fn(batch):
+        blobs = []
+        for i in range(batch.num_rows):
+            g = _codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            if direction == "vertical":
+                g = g[::-1, :]
+            elif direction == "horizontal":
+                g = g[:, ::-1]
+            else:
+                g = g[::-1, ::-1]
+            blobs.append(_codecs.encode_tile(np.ascontiguousarray(g), "f32"))
+        t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", _pa.array(blobs, _pa.binary()))
+        return t.set_column(t.schema.get_field_index("fmt"), "fmt", _pa.array(["f32"] * t.num_rows))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16)
+
+
+import numpy as np
+
+
 def _register_all():
     from .stages import (
         ann,
@@ -167,6 +192,32 @@ def _register_all():
         register(m, vector_metrics.polygon_metrics, desc, "gis_analysis",
                  [P("poly_ds", "Dataset"), P("metrics", "StringList")], "gis_analysis (metric family, SURVEY §2.4)")
 
+    vo = __import__("whitebox_tools_ray.stages.vector_ops", fromlist=["x"])
+    register("ExtractNodes", vo.extract_nodes, "Vertices -> points", "gis_analysis",
+             [], "gis_analysis/extract_nodes.rs")
+    register("MultiPartToSinglePart", vo.multipart_to_singlepart, "Explode parts -> records",
+             "data_tools", [], "data_tools/multipart_to_singlepart.rs")
+    register("SinglePartToMultiPart", vo.singlepart_to_multipart, "Merge records by field -> multipart",
+             "data_tools", [], "data_tools/singlepart_to_multipart.rs")
+    register("RemovePolygonHoles", vo.remove_polygon_holes, "Drop CCW parts", "data_tools",
+             [], "data_tools/remove_polygon_holes.rs")
+    register("CleanVector", vo.clean_vector, "Drop degenerate geometries", "data_tools",
+             [], "data_tools/clean_vector.rs")
+    register("SmoothVectors", vo.smooth_vectors, "Moving-average vertices", "gis_analysis",
+             [], "gis_analysis/smooth_vectors.rs")
+    register("PolygonsToLines", vo.polygons_to_lines, "Poly -> polyline retype", "data_tools",
+             [], "data_tools/polygons_to_lines.rs")
+    register("LinesToPolygons", vo.lines_to_polygons, "Close polylines -> polys", "data_tools",
+             [], "data_tools/lines_to_polygons.rs")
+    register("ExtendVectorLines", vo.extend_vector_lines, "Lengthen line ends", "gis_analysis",
+             [], "gis_analysis/extend_vector_lines.rs")
+    register("AddPointCoordinatesToTable", vo.add_point_coordinates, "Append XCOORD/YCOORD",
+             "data_tools", [], "data_tools/add_point_coordinates_to_table.rs")
+    register("LidarTileFootprint", vo.tile_footprints, "Per-tile bounding polygons",
+             "lidar_analysis", [], "lidar_analysis/lidar_tile_footprint.rs")
+    register("SelectTilesByPolygon", vo.select_tiles_by_polygon, "Tiles touching a polygon layer",
+             "lidar_analysis", [], "lidar_analysis/select_tiles_by_polygon.rs:240-300")
+
     # lidar_analysis (tiling surface)
     from .kernels.grid import TileGrid
 
@@ -242,6 +293,13 @@ def _register_all():
              "image_analysis", [], "image_analysis/percentage_contrast_stretch.rs")
     register("GaussianContrastStretch", stretch.gaussian_stretch, "Histogram-to-normal remap",
              "image_analysis", [], "image_analysis/gaussian_contrast_stretch.rs")
+    col = __import__("whitebox_tools_ray.stages.color", fromlist=["x"])
+    register("RgbToIhs", col.rgb_to_ihs, "RGB -> hue/saturation/intensity", "image_analysis",
+             [], "image_analysis/rgb_to_ihs.rs:798-818")
+    register("IhsToRgb", col.ihs_to_rgb, "IHS -> RGB (3-sector inverse)", "image_analysis",
+             [], "image_analysis/ihs_to_rgb.rs:628")
+    register("FlipImage", lambda ds, spec, direction="vertical": __flip(ds, direction), "Flip tile pixels",
+             "image_analysis", [], "image_analysis/flip_image.rs")
     register("KMeansClustering", kmeans.kmeans_fit, "Iterative k-means", "image_analysis",
              [], "image_analysis/k_means_clustering.rs")
 
@@ -324,6 +382,13 @@ def _register_all():
              "Terminal labeling via pointer doubling", "hydro_analysis", [], "hydro_analysis/basins.rs")
     register("Watershed", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).watershed,
              "Pour-point catchments via pointer doubling", "hydro_analysis", [], "hydro_analysis/watershed.rs")
+    co = __import__("whitebox_tools_ray.stages.cost", fromlist=["x"])
+    register("CostDistance", co.cost_distance_tiled, "Weighted Dijkstra accumulated cost (tiled exact)",
+             "gis_analysis", [], "gis_analysis/cost_distance.rs")
+    register("CostAllocation", lambda c, s, n, r: co.cost_distance(c, s, n, r)[2],
+             "Nearest-source id by accumulated cost", "gis_analysis", [], "gis_analysis/cost_allocation.rs")
+    register("CostPathway", co.cost_pathway, "Least-cost path trace", "gis_analysis",
+             [], "gis_analysis/cost_pathway.rs")
     register("D8Pointer", flow.d8_pointer_masked, "Steepest-drop D8 direction", "hydro_analysis",
              [], "hydro_analysis/d8_pointer.rs; d8_flow_accum.rs:261-321")
     register("D8FlowAccumulation", flow.flow_accumulation, "Tiled BSP topological accumulation", "hydro_analysis",

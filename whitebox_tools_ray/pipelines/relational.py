@@ -872,3 +872,59 @@ Q_POLYGON_METRICS_SQL = """
            ROUND(s + h + SQRT(s * s + h * h), 6) AS "PERIMETER"
     FROM tri
 """
+
+
+def q_rgb_to_ihs(sf_dir: str):
+    """RgbToIhs (rgb_to_ihs.rs:798-818 exact formula) over deterministic
+    0-1 bands derived from lineitem."""
+    import pyarrow as pa
+
+    from ..stages.color import rgb_to_ihs
+
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "record_id": pa.array(ok * 10 + ln, pa.int64()),
+                "r": pa.array(((ok * 7 + ln) % 254 + 1) / 255.0),
+                "g": pa.array((pk * 11 % 254 + 1) / 255.0),
+                "b": pa.array((sk * 13 % 254 + 1) / 255.0),
+            }
+        )
+
+    out = rgb_to_ihs(ds.map_batches(bands, batch_format="pyarrow"))
+    return out.select_columns(["record_id", "hue", "saturation", "intensity"])
+
+
+Q_RGB_TO_IHS_SQL = """
+    WITH bands AS (
+        SELECT l_orderkey * 10 + l_linenumber AS record_id,
+               ((l_orderkey * 7 + l_linenumber) % 254 + 1) / 255.0 AS r,
+               (l_partkey * 11 % 254 + 1) / 255.0 AS g,
+               (l_suppkey * 13 % 254 + 1) / 255.0 AS b
+        FROM lineitem
+    ), n AS (
+        SELECT record_id, r, g, b,
+               r / (r + g + b) AS rn, g / (r + g + b) AS gn, b / (r + g + b) AS bn,
+               (r + g + b) / 3.0 AS i
+        FROM bands
+    )
+    SELECT record_id,
+           ROUND(CASE WHEN rn != gn OR rn != bn THEN
+                   CASE WHEN b > g THEN 2 * PI() - ACOS(LEAST(1.0, GREATEST(-1.0,
+                        (0.5 * ((rn - gn) + (rn - bn)))
+                        / SQRT((rn - gn) * (rn - gn) + (rn - bn) * (gn - bn)))))
+                        ELSE ACOS(LEAST(1.0, GREATEST(-1.0,
+                        (0.5 * ((rn - gn) + (rn - bn)))
+                        / SQRT((rn - gn) * (rn - gn) + (rn - bn) * (gn - bn)))))
+                   END
+                 ELSE 0.0 END, 6) AS hue,
+           1.0 - 3.0 * LEAST(rn, gn, bn) AS saturation,
+           i AS intensity
+    FROM n
+"""
