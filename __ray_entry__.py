@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_binning": R.q_hex_binning,
         "polygon_metrics": R.q_polygon_metrics,
         "rgb_to_ihs": R.q_rgb_to_ihs,
+        "colour_composite": R.q_colour_composite,
     }
 
 
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": R.q_sliding_window_sql(),
         "polygon_metrics": R.Q_POLYGON_METRICS_SQL,
         "rgb_to_ihs": R.Q_RGB_TO_IHS_SQL,
+        "colour_composite": R.Q_COLOUR_COMPOSITE_SQL,
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:
         # non-SQL-expressible (sketch / iterative / heuristic / eigen) →

@@ -162,3 +162,32 @@ class TestFlowAccumulation:
         np.testing.assert_array_equal(eng_dir[valid], fdir[valid])
         # accumulation exact (integer counts)
         np.testing.assert_array_equal(got[valid], expect[valid])
+
+
+class TestExtraFilters:
+    def test_median_filter_matches_oracle(self, scene):
+        spec, table, grid = scene
+        from whitebox_tools_ray.stages.focal import window_filter
+
+        out = window_filter(rd.from_arrow(table), spec, stat="median", radius=1).to_pandas()
+        got = assemble_result(out, spec)
+        rows, cols = grid.shape
+        expect = np.zeros_like(grid)
+        for rr in range(rows):
+            for cc in range(cols):
+                r0, r1 = max(0, rr - 1), min(rows, rr + 2)
+                c0, c1 = max(0, cc - 1), min(cols, cc + 2)
+                expect[rr, cc] = np.median(grid[r0:r1, c0:c1])
+        np.testing.assert_allclose(got.astype(np.float32), expect.astype(np.float32), rtol=1e-5)
+
+    def test_olympic_filter(self, scene):
+        spec, table, grid = scene
+        from whitebox_tools_ray.stages.focal import window_filter
+
+        out = window_filter(rd.from_arrow(table), spec, stat="olympic", radius=1).to_pandas()
+        got = assemble_result(out, spec)
+        # interior spot check
+        r, c = 10, 10
+        w = grid[r - 1 : r + 2, c - 1 : c + 2].ravel()
+        expect = (w.sum() - w.max() - w.min()) / (len(w) - 2)
+        assert got[r, c] == pytest.approx(expect, rel=1e-6)

@@ -155,6 +155,29 @@ def _register_all():
     register("VectorPointsToRaster", raster_vector.vector_points_to_raster, "Point burn-in w/ collision policy",
              "data_tools", [P("points_ds", "Dataset"), P("gs", "GridSpec"), P("collision", "OptionList")],
              "data_tools/vector_points_to_raster.rs")
+    ro = __import__("whitebox_tools_ray.stages.raster_ops", fromlist=["x"])
+    register("ConvertNodataToZero", ro.convert_nodata_to_zero, "nodata -> 0 per cell", "data_tools",
+             [], "data_tools/convert_nodata_to_zero.rs")
+    register("ModifyNoDataValue", ro.modify_nodata_value, "Rewrite nodata sentinel", "data_tools",
+             [], "data_tools/modify_nodata_value.rs")
+    register("SetNodataValue", ro.set_nodata_value, "Set header nodata", "data_tools",
+             [], "data_tools/set_nodata_value.rs")
+    register("RasterCellAssignment", ro.raster_cell_assignment, "Fill with row/col/x/y", "gis_analysis",
+             [], "gis_analysis/raster_cell_assignment.rs")
+    register("IntegralImage", ro.integral_image_tiled, "Exact tiled summed-area table", "image_analysis",
+             [], "image_analysis/integral_image.rs")
+    register("CreateColourComposite", ro.create_colour_composite, "Pack RGB into composite float",
+             "image_analysis", [], "image_analysis/create_colour_composite.rs; raster/mod.rs:604-611")
+    register("SplitColourComposite", ro.split_colour_composite, "Unpack composite -> r/g/b",
+             "image_analysis", [], "image_analysis/split_colour_composite.rs")
+    register("NewRasterFromBase", __import__("whitebox_tools_ray.pipelines.flagship", fromlist=["x"]).synthesize_tiles_parallel,
+             "Synthesize a tile table on a grid", "data_tools", [], "data_tools/new_raster.rs")
+    register("AttributeCorrelation", stats2.correlation, "Pearson r of attribute columns",
+             "math_stat_analysis", [], "math_stat_analysis/attribute_correlation.rs")
+    register("AttributeHistogram", stats.histogram, "Histogram of an attribute column",
+             "math_stat_analysis", [], "math_stat_analysis/attribute_histogram.rs")
+    register("HypsometricAnalysis", stats.histogram, "Elevation-distribution curve",
+             "terrain_analysis", [], "terrain_analysis/hypsometric_analysis.rs")
     register("ConvertRasterFormat", assign.DecodeVerifyReencode, "Decode + re-encode tiles", "data_tools",
              [P("out_fmt", "OptionList")], "data_tools/convert_raster_format.rs")
 
@@ -279,6 +302,22 @@ def _register_all():
              "Square sum filter", "image_analysis", [], "image_analysis/total_filter.rs")
     register("StandardDeviationFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "stdev", radius),
              "Square stdev filter", "image_analysis", [], "image_analysis/stdev_filter.rs")
+    register("MedianFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "median", radius),
+             "Square median filter", "image_analysis", [], "image_analysis/median_filter.rs")
+    register("PercentileFilter", lambda ds, spec, radius=2, q=50.0: focal.window_filter(ds, spec, f"percentile:{q}", radius),
+             "Square percentile filter", "image_analysis", [], "image_analysis/percentile_filter.rs")
+    register("OlympicFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "olympic", radius),
+             "Mean excluding min+max", "image_analysis", [], "image_analysis/olympic_filter.rs")
+    register("MajorityFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "majority", radius),
+             "Square mode filter", "image_analysis", [], "image_analysis/majority_filter.rs")
+    register("DiversityFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "diversity", radius),
+             "Distinct-count filter", "image_analysis", [], "image_analysis/diversity_filter.rs")
+    register("LidarPointDensity", lambda ds, x, y, lvl=12: __import__("whitebox_tools_ray.stages.zonal", fromlist=["x"]).cell_binning(ds, x, y, "quad", lvl),
+             "Per-cell point counts", "lidar_analysis", [], "lidar_analysis/lidar_point_density.rs")
+    register("LidarHexBinning", lambda ds, x, y, res=7: __import__("whitebox_tools_ray.stages.zonal", fromlist=["x"]).cell_binning(ds, x, y, "hex", res),
+             "Hex-bin point counts", "lidar_analysis", [], "lidar_analysis/lidar_hex_bin.rs")
+    register("LidarHistogram", stats.histogram, "Histogram of a point attribute", "lidar_analysis",
+             [], "lidar_analysis/lidar_histogram.rs")
     register("LaplacianFilter", lambda ds, spec: focal.focal_op(ds, spec, focal.laplacian_kernel, 1),
              "3x3 Laplacian", "image_analysis", [], "image_analysis/laplacian_filter.rs")
     register("SobelFilter", lambda ds, spec: focal.focal_op(ds, spec, focal.sobel_kernel, 1),

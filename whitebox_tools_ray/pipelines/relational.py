@@ -928,3 +928,40 @@ Q_RGB_TO_IHS_SQL = """
            i AS intensity
     FROM n
 """
+
+
+def q_colour_composite(sf_dir: str):
+    """CreateColourComposite packing (raster/mod.rs:604-611 bit layout)
+    over deterministic 0-255 channels."""
+    import pyarrow as pa
+
+    from ..stages.raster_ops import create_colour_composite
+
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "record_id": pa.array(ok * 10 + ln, pa.int64()),
+                "r": pa.array(((ok * 7 + ln) % 256).astype(np.float64)),
+                "g": pa.array((pk * 11 % 256).astype(np.float64)),
+                "b": pa.array((sk * 13 % 256).astype(np.float64)),
+            }
+        )
+
+    out = create_colour_composite(ds.map_batches(bands, batch_format="pyarrow"))
+    return out.select_columns(["record_id", "composite"])
+
+
+Q_COLOUR_COMPOSITE_SQL = """
+    SELECT l_orderkey * 10 + l_linenumber AS record_id,
+           CAST(4278190080
+                + (l_suppkey * 13 % 256) * 65536
+                + (l_partkey * 11 % 256) * 256
+                + ((l_orderkey * 7 + l_linenumber) % 256) AS DOUBLE) AS composite
+    FROM lineitem
+"""

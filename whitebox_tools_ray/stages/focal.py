@@ -213,6 +213,42 @@ def _window_stat(pad, nodata, spec, stat: str, radius: int):
             ss = np.where(valid, win**2, 0.0).sum(axis=(-2, -1))
             m = s / np.maximum(c, 1)
             out = np.where(c > 0, np.sqrt(np.maximum(ss / np.maximum(c, 1) - m**2, 0.0)), nodata)
+        elif stat == "median":
+            masked = np.where(valid, win, np.nan)
+            out = np.nanmedian(masked.reshape(*masked.shape[:2], -1), axis=-1)
+            out = np.where(np.isnan(out), nodata, out)
+        elif stat.startswith("percentile"):
+            q = float(stat.split(":")[1]) if ":" in stat else 50.0
+            masked = np.where(valid, win, np.nan)
+            out = np.nanpercentile(masked.reshape(*masked.shape[:2], -1), q, axis=-1)
+            out = np.where(np.isnan(out), nodata, out)
+        elif stat == "olympic":
+            # mean excluding one min and one max (olympic_filter.rs)
+            c = valid.sum(axis=(-2, -1)).astype(np.float64)
+            s = np.where(valid, win, 0.0).sum(axis=(-2, -1))
+            mx = np.where(valid, win, -np.inf).max(axis=(-2, -1))
+            mn = np.where(valid, win, np.inf).min(axis=(-2, -1))
+            out = np.where(c > 2, (s - mx - mn) / np.maximum(c - 2, 1), nodata)
+        elif stat == "majority":
+            flat = np.where(valid, win, np.nan).reshape(*win.shape[:2], -1)
+            out = np.empty(flat.shape[:2])
+            for ii in range(flat.shape[0]):
+                for jj in range(flat.shape[1]):
+                    v = flat[ii, jj]
+                    v = v[~np.isnan(v)]
+                    if len(v) == 0:
+                        out[ii, jj] = nodata
+                    else:
+                        vals, counts = np.unique(v, return_counts=True)
+                        out[ii, jj] = vals[counts.argmax()]
+        elif stat == "diversity":
+            flat = np.where(valid, win, np.nan).reshape(*win.shape[:2], -1)
+            out = np.empty(flat.shape[:2])
+            for ii in range(flat.shape[0]):
+                for jj in range(flat.shape[1]):
+                    v = flat[ii, jj]
+                    v = v[~np.isnan(v)]
+                    out[ii, jj] = len(np.unique(v)) if len(v) else nodata
         else:
             raise ValueError(stat)
     return np.where(z != nodata, out, nodata)
