@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_metrics": R.q_polygon_metrics,
         "rgb_to_ihs": R.q_rgb_to_ihs,
         "colour_composite": R.q_colour_composite,
+        "regression": R.q_regression,
     }
 
 
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_metrics": R.Q_POLYGON_METRICS_SQL,
         "rgb_to_ihs": R.Q_RGB_TO_IHS_SQL,
         "colour_composite": R.Q_COLOUR_COMPOSITE_SQL,
+        "regression": R.Q_REGRESSION_SQL,
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:
         # non-SQL-expressible (sketch / iterative / heuristic / eigen) →

@@ -131,3 +131,87 @@ class TestColor:
         # grey: s=0, h=0
         h, s, i = rgb2ihs_arrays(np.array([0.5]), np.array([0.5]), np.array([0.5]))
         assert h[0] == 0.0 and abs(s[0]) < 1e-12
+
+
+class TestLineIntersections:
+    def test_cross_lines(self, ray_session):
+        from whitebox_tools_ray.stages.line_ops import line_intersections, segment_intersections
+
+        # kernel: X crossing at (5, 5)
+        xs, ys = segment_intersections(
+            np.array([0.0, 10.0]), np.array([0.0, 10.0]),
+            np.array([0.0, 10.0]), np.array([10.0, 0.0]),
+        )
+        assert len(xs) == 1 and xs[0] == 5.0 and ys[0] == 5.0
+
+        mk = lambda rid, pts: {
+            "record_id": rid,
+            "parts": [0],
+            "xs": [p[0] for p in pts],
+            "ys": [p[1] for p in pts],
+        }
+        a = pa.Table.from_pylist([mk(1, [(0.0, 0.0), (10.0, 10.0)])])
+        b = pa.Table.from_pylist([mk(7, [(0.0, 10.0), (10.0, 0.0)]), mk(8, [(0.0, 4.0), (10.0, 4.0)])])
+        out = line_intersections(rd.from_arrow(a), b).to_pandas().sort_values("record_b")
+        assert len(out) == 2
+        assert out.iloc[0]["record_b"] == 7 and out.iloc[0]["x"] == 5.0
+        assert out.iloc[1]["record_b"] == 8 and out.iloc[1]["x"] == 4.0 and out.iloc[1]["y"] == 4.0
+
+    def test_no_intersection_disjoint(self, ray_session):
+        from whitebox_tools_ray.stages.line_ops import line_intersections
+
+        mk = lambda rid, pts: {
+            "record_id": rid,
+            "parts": [0],
+            "xs": [p[0] for p in pts],
+            "ys": [p[1] for p in pts],
+        }
+        a = pa.Table.from_pylist([mk(1, [(0.0, 0.0), (1.0, 0.0)])])
+        b = pa.Table.from_pylist([mk(2, [(5.0, 5.0), (6.0, 5.0)])])
+        out = line_intersections(rd.from_arrow(a), b).to_pandas()
+        assert len(out) == 0
+
+
+class TestRasterize:
+    def test_polygons_to_raster(self, ray_session):
+        from whitebox_tools_ray.kernels import codecs as C
+        from whitebox_tools_ray.stages.rasterize import polygons_to_raster
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        table = tsrc.generate_tiles(spec, fmt_cycle=("f32",))
+        gs = spec.grid_spec()
+        # polygon over a known cell block (cells 2..5 x 2..5 by centers)
+        x0 = gs.west + 2 * gs.res_x - 1.0
+        x1 = gs.west + 6 * gs.res_x + 1.0
+        y1 = gs.north - 2 * gs.res_y + 1.0
+        y0 = gs.north - 6 * gs.res_y - 1.0
+        rec = make_polygon_record(9, [[(x0, y0), (x0, y1), (x1, y1), (x1, y0)]], "sq", 1)
+        pt = pa.Table.from_pydict({k: [rec[k]] for k in POLY_SCHEMA.names}, schema=POLY_SCHEMA)
+        out = polygons_to_raster(rd.from_arrow(table), pt, spec).to_pandas()
+        full = np.full((16, 16), gs.nodata)
+        for _, r in out.iterrows():
+            g = C.decode_tile(bytes(r["bytes"]), r["fmt"])
+            full[r["tile_row"] * 8 : r["tile_row"] * 8 + 8, r["tile_col"] * 8 : r["tile_col"] * 8 + 8] = g
+        assert (full[2:6, 2:6] == 9.0).all()
+        assert full[0, 0] == np.float32(gs.nodata)
+        assert full[7, 7] == np.float32(gs.nodata)
+
+    def test_lines_to_raster(self, ray_session):
+        from whitebox_tools_ray.kernels import codecs as C
+        from whitebox_tools_ray.stages.rasterize import lines_to_raster
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        table = tsrc.generate_tiles(spec, fmt_cycle=("f32",))
+        gs = spec.grid_spec()
+        # horizontal line through the centers of row 3, crossing both tiles
+        y = float(gs.y_from_row(3))
+        line = pa.Table.from_pylist(
+            [{"record_id": 5, "parts": [0], "xs": [gs.west + 1.0, gs.east - 1.0], "ys": [y, y]}]
+        )
+        out = lines_to_raster(rd.from_arrow(table), line, spec).to_pandas()
+        full = np.full((16, 16), gs.nodata)
+        for _, r in out.iterrows():
+            g = C.decode_tile(bytes(r["bytes"]), r["fmt"])
+            full[r["tile_row"] * 8 : r["tile_row"] * 8 + 8, r["tile_col"] * 8 : r["tile_col"] * 8 + 8] = g
+        assert (full[3, :] == 5.0).all()
+        assert (full[5, :] == np.float32(gs.nodata)).all()

@@ -178,6 +178,13 @@ def _register_all():
              "math_stat_analysis", [], "math_stat_analysis/attribute_histogram.rs")
     register("HypsometricAnalysis", stats.histogram, "Elevation-distribution curve",
              "terrain_analysis", [], "terrain_analysis/hypsometric_analysis.rs")
+    rz = __import__("whitebox_tools_ray.stages.rasterize", fromlist=["x"])
+    register("VectorLinesToRaster", rz.lines_to_raster, "Segment burn-in (sub-cell stepping)",
+             "data_tools", [], "data_tools/vector_lines_to_raster.rs")
+    register("VectorPolygonsToRaster", rz.polygons_to_raster, "Cell-center polygon fill",
+             "data_tools", [], "data_tools/vector_polygons_to_raster.rs")
+    register("RasterizeStreams", rz.lines_to_raster, "Stream lines burn-in", "stream_network_analysis",
+             [], "stream_network_analysis/rasterize_streams.rs")
     register("ConvertRasterFormat", assign.DecodeVerifyReencode, "Decode + re-encode tiles", "data_tools",
              [P("out_fmt", "OptionList")], "data_tools/convert_raster_format.rs")
 
@@ -197,6 +204,8 @@ def _register_all():
     register("VectorHexBinning", zonal.cell_binning, "Cell-bin counts (hex/quad)", "gis_analysis",
              [P("ds", "Dataset"), P("x_col", "String"), P("y_col", "String"), P("kind", "OptionList")],
              "gis_analysis/vector_hex_bin.rs:313-386")
+    register("LineIntersections", __import__("whitebox_tools_ray.stages.line_ops", fromlist=["x"]).line_intersections,
+             "Intersection points of two line layers", "gis_analysis", [], "gis_analysis/line_intersections.rs")
     register("EliminateCoincidentPoints", dedup.exact_dedup, "Exact-key dedup keep-first", "gis_analysis",
              [], "gis_analysis/eliminate_coincident_points.rs")
     for m, desc in [

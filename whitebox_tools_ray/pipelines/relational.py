@@ -965,3 +965,31 @@ Q_COLOUR_COMPOSITE_SQL = """
                 + ((l_orderkey * 7 + l_linenumber) % 256) AS DOUBLE) AS composite
     FROM lineitem
 """
+
+
+def q_regression(sf_dir: str):
+    """ImageRegression analog (image_regression.rs): OLS slope/intercept/r²
+    of price vs quantity via the trend-surface normal equations."""
+    from ..stages.stats2 import _pair_partials
+
+    ds = read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    p = _pair_partials(ds, "l_quantity", "l_extendedprice")
+    n = p["n"]
+    mx, my = p["sx"] / n, p["sy"] / n
+    cov = p["sxy"] / n - mx * my
+    vx = p["sxx"] / n - mx * mx
+    vy = p["syy"] / n - my * my
+    slope = cov / vx
+    intercept = my - slope * mx
+    r2 = (cov * cov) / (vx * vy)
+    return pd.DataFrame(
+        {"slope": [round(slope, 6)], "intercept": [round(intercept, 6)], "r2": [round(r2, 6)]}
+    )
+
+
+Q_REGRESSION_SQL = """
+    SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+"""
