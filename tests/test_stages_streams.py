@@ -235,3 +235,40 @@ class TestCostDistance:
         assert accum[2, 2] == pytest.approx(2 * np.sqrt(2.0))
         path = cost_pathway(bl, (3, 0))
         assert path[-1] == (0, 0)
+
+
+class TestDownslopeOps:
+    def test_distance_and_elevation_to_stream(self):
+        from whitebox_tools_ray.stages.basins import (
+            downslope_distance_to_stream,
+            elevation_above_stream,
+            snap_pour_points,
+        )
+
+        spec, ptr, stream = build_y_network()
+        pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
+        # streams = the trunk only (rows 3..7, col 3)
+        trunk = np.zeros((8, 8))
+        trunk[3:8, 3] = 1.0
+        out = downslope_distance_to_stream(pointer_tiles, {0: trunk}, spec)[0]
+        assert out[3, 3] == 0.0
+        # head cell (2,2) → one SE step (diag) to (3,3)
+        assert out[2, 2] == pytest.approx(np.sqrt(2.0) * spec.res)
+        assert out[1, 2] == pytest.approx(spec.res + np.sqrt(2.0) * spec.res)
+        # a cell with dir -1 off-stream never reaches → nodata
+        assert out[0, 0] == spec.nodata
+
+        dem = np.arange(64, dtype=np.float64).reshape(8, 8)
+        el = elevation_above_stream(pointer_tiles, {0: trunk}, {0: dem}, spec)[0]
+        assert el[3, 3] == 0.0
+        assert el[2, 2] == dem[2, 2] - dem[3, 3]
+
+        gs = spec.grid_spec()
+        # accum peak at (5,3): snapping a point near (5,1) within 3 cells
+        accum = np.zeros((8, 8))
+        accum[5, 3] = 99.0
+        pts = snap_pour_points(
+            [(float(gs.x_from_col(1)), float(gs.y_from_row(5)), 7)], {0: accum}, spec, 3 * gs.res_x
+        )
+        assert pts[0][0] == float(gs.x_from_col(3))
+        assert pts[0][2] == 7

@@ -437,6 +437,23 @@ def _register_all():
              "Nearest-source id by accumulated cost", "gis_analysis", [], "gis_analysis/cost_allocation.rs")
     register("CostPathway", co.cost_pathway, "Least-cost path trace", "gis_analysis",
              [], "gis_analysis/cost_pathway.rs")
+    ba = __import__("whitebox_tools_ray.stages.basins", fromlist=["x"])
+    register("DownslopeDistanceToStream", ba.downslope_distance_to_stream,
+             "Flow-path length to nearest stream (additive pointer doubling)", "hydro_analysis",
+             [], "hydro_analysis/downslope_distance_to_stream.rs")
+    register("ElevationAboveStream", ba.elevation_above_stream,
+             "z minus z of first downstream stream cell", "hydro_analysis",
+             [], "hydro_analysis/elevation_above_stream.rs")
+    register("SnapPourPoints", ba.snap_pour_points, "Snap points to max accumulation in radius",
+             "hydro_analysis", [], "hydro_analysis/snap_pour_points.rs")
+    register("NumInflowingNeighbours", lambda tiles_ds, spec: focal.focal_op(tiles_ds, spec, __import__("whitebox_tools_ray.stages.flow", fromlist=["x"])._num_inflowing_kernel, 1, out_fmt="i8"),
+             "Count of D8 neighbors flowing in", "hydro_analysis", [], "hydro_analysis/num_inflowing_neighbours.rs; d8_flow_accum.rs:343-397")
+    register("MergeVectors", lambda a, b: a.union(b), "Concat layers (schema-aligned union)",
+             "data_tools", [], "data_tools/merge_vectors.rs")
+    register("ExportTableToCsv", lambda ds, path: ds.write_csv(path), "Dump a table to CSV",
+             "data_tools", [], "data_tools/export_table_to_csv.rs")
+    register("CsvPointsToVector", lambda path, **kw: __import__("ray.data", fromlist=["x"]).read_csv(path, **kw),
+             "CSV -> point table", "data_tools", [], "data_tools/csv_points_to_vector.rs")
     register("D8Pointer", flow.d8_pointer_masked, "Steepest-drop D8 direction", "hydro_analysis",
              [], "hydro_analysis/d8_pointer.rs; d8_flow_accum.rs:261-321")
     register("D8FlowAccumulation", flow.flow_accumulation, "Tiled BSP topological accumulation", "hydro_analysis",
