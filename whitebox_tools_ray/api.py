@@ -454,6 +454,33 @@ def _register_all():
              "data_tools", [], "data_tools/export_table_to_csv.rs")
     register("CsvPointsToVector", lambda path, **kw: __import__("ray.data", fromlist=["x"]).read_csv(path, **kw),
              "CSV -> point table", "data_tools", [], "data_tools/csv_points_to_vector.rs")
+    st2 = __import__("whitebox_tools_ray.stages.stretch", fromlist=["x"])
+
+    def _elev_rel_minmax(tiles_ds):
+        lo, hi = st2._pixel_minmax(tiles_ds)
+        span = (hi - lo) or 1.0
+        return st2._remap_tiles(tiles_ds, lambda g: (g - lo) / span)
+
+    register("ElevRelativeToMinMax", _elev_rel_minmax, "(z-min)/(max-min) over the scene",
+             "terrain_analysis", [], "terrain_analysis/elev_relative_to_min_max.rs")
+
+    def _find_no_flow(tiles_ds, spec):
+        import pyarrow as _pa
+
+        from .kernels import codecs as _c
+
+        def fn(batch):
+            blobs = []
+            for i in range(batch.num_rows):
+                g = _c.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+                blobs.append(_c.encode_tile((g == -1.0).astype(np.float64), "f32"))
+            t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", _pa.array(blobs, _pa.binary()))
+            return t.set_column(t.schema.get_field_index("fmt"), "fmt", _pa.array(["f32"] * t.num_rows))
+
+        return tiles_ds.map_batches(fn, batch_format="pyarrow", batch_size=16)
+
+    register("FindNoFlowCells", _find_no_flow, "Mask of pointer==-1 cells", "hydro_analysis",
+             [], "hydro_analysis/find_noflow_cells.rs")
     register("D8Pointer", flow.d8_pointer_masked, "Steepest-drop D8 direction", "hydro_analysis",
              [], "hydro_analysis/d8_pointer.rs; d8_flow_accum.rs:261-321")
     register("D8FlowAccumulation", flow.flow_accumulation, "Tiled BSP topological accumulation", "hydro_analysis",
