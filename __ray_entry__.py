@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rgb_to_ihs": R.q_rgb_to_ihs,
         "colour_composite": R.q_colour_composite,
         "regression": R.q_regression,
+        "erase_points_convex": R.q_erase_points_convex,
+        "quantiles": R.q_quantiles,
     }
 
 
@@ -111,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "rgb_to_ihs": R.Q_RGB_TO_IHS_SQL,
         "colour_composite": R.Q_COLOUR_COMPOSITE_SQL,
         "regression": R.Q_REGRESSION_SQL,
+        "erase_points_convex": R.q_erase_points_convex_sql(),
+        "quantiles": R.q_quantiles_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:
         # non-SQL-expressible (sketch / iterative / heuristic / eigen) →

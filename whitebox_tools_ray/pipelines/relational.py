@@ -993,3 +993,55 @@ Q_REGRESSION_SQL = """
            ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
     FROM lineitem
 """
+
+
+def q_erase_points_convex(sf_dir: str):
+    """Erase (erase.rs inverse-clip semantics): the COMPLEMENT of the
+    pentagon clip — exercises mode='erase' end to end."""
+    from ..sources.vectors import POLY_SCHEMA, make_polygon_record
+    from ..stages.spatial_join import clip_points
+
+    rec = make_polygon_record(1, [PENTAGON], "pentagon", 1)
+    poly = pa.Table.from_pydict({k: [rec[k]] for k in POLY_SCHEMA.names}, schema=POLY_SCHEMA)
+    out = clip_points(synth_points(sf_dir), poly, mode="erase", renumber_fid=False)
+    return out.select_columns(["record_id"])
+
+
+def q_erase_points_convex_sql() -> str:
+    ring = PENTAGON + [PENTAGON[0]]
+    conds = []
+    for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+        conds.append(f"(({x1!r} - {x0!r}) * (y - {y0!r}) - (x - {x0!r}) * ({y1!r} - {y0!r})) < 0")
+    inside = " AND ".join(conds)
+    return f"""
+        SELECT record_id FROM ({SYNTH_POINTS_SQL}) WHERE NOT ({inside})
+    """
+
+
+def q_quantiles(sf_dir: str, num_quantiles: int = 5):
+    """Quantiles (quantiles.rs GA→M): classes of l_extendedprice.
+
+    The cut points are np.quantile(linear) — DuckDB's quantile_cont is
+    the same interpolation, so the oracle recomputes them in SQL; class
+    membership uses >= cut (searchsorted side='right')."""
+    from ray.data.aggregate import Count
+
+    from ..stages.stats import quantiles
+
+    ds = read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    out = quantiles(ds, "l_extendedprice", num_quantiles=num_quantiles, out_col="q")
+    return out.groupby("q").aggregate(Count(alias_name="n"))
+
+
+def q_quantiles_sql(num_quantiles: int = 5) -> str:
+    qs = [i / num_quantiles for i in range(1, num_quantiles)]
+    cuts = ", ".join(
+        f"(SELECT quantile_cont(l_extendedprice, {q}) FROM lineitem) AS c{i}"
+        for i, q in enumerate(qs)
+    )
+    cls = " + ".join(f"CAST(l_extendedprice >= c{i} AS BIGINT)" for i in range(len(qs)))
+    return f"""
+        WITH cuts AS (SELECT {cuts})
+        SELECT 1 + {cls} AS q, COUNT(*) AS n
+        FROM lineitem, cuts GROUP BY 1
+    """
