@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression": R.q_regression,
         "erase_points_convex": R.q_erase_points_convex,
         "quantiles": R.q_quantiles,
+        "semi_join": R.q_semi_join,
+        "topk_per_group": R.q_topk_per_group,
     }
 
 
@@ -115,6 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "regression": R.Q_REGRESSION_SQL,
         "erase_points_convex": R.q_erase_points_convex_sql(),
         "quantiles": R.q_quantiles_sql(),
+        "semi_join": R.Q_SEMI_JOIN_SQL,
+        "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:
         # non-SQL-expressible (sketch / iterative / heuristic / eigen) →

@@ -1045,3 +1045,49 @@ def q_quantiles_sql(num_quantiles: int = 5) -> str:
         SELECT 1 + {cls} AS q, COUNT(*) AS n
         FROM lineitem, cuts GROUP BY 1
     """
+
+
+def q_semi_join(sf_dir: str):
+    """Semi-join (broadcast key set, stages.joins.semi_join): orders
+    whose customer is in the BUILDING segment."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import semi_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    keys = [k for k, seg in zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()) if seg == "BUILDING"]
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return semi_join(orders, keys, "o_custkey").select_columns(["o_orderkey"])
+
+
+Q_SEMI_JOIN_SQL = """
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_topk_per_group(sf_dir: str, k: int = 2):
+    """Per-group top-k (groupby.map_groups): the k most expensive orders
+    per market segment — the grouped-rank operator family."""
+    from ..stages.joins import hash_join_bucketed
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join_bucketed(orders, cust, key="o_custkey", right_key="c_custkey", how="inner", num_buckets=16)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False]).head(k)
+        return g[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    return joined.groupby("c_mktsegment").map_groups(topk, batch_format="pandas")
+
+
+def q_topk_per_group_sql(k: int = 2) -> str:
+    return f"""
+        SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rn <= {k}
+    """
