@@ -272,3 +272,43 @@ class TestDownslopeOps:
         )
         assert pts[0][0] == float(gs.x_from_col(3))
         assert pts[0][2] == 7
+
+
+class TestFillTiledNodataHole:
+    def test_tiled_matches_global_with_interior_nodata(self):
+        """ADVICE r1: depressions beside interior nodata holes must drain
+        in the tiled path exactly as in the whole-grid priority flood."""
+        from whitebox_tools_ray.stages.fill import fill_depressions_tiled, priority_flood
+
+        spec = SceneSpec(tiles_x=3, tiles_y=3, tile_px=8)
+        rng = np.random.RandomState(7)
+        full = rng.uniform(50, 100, (24, 24))
+        full[4:20, 4:20] -= 40  # big cross-tile depression
+        full[10:13, 10:13] = spec.nodata  # interior hole inside the depression
+        full[2, 2] = spec.nodata  # lone hole near a corner tile edge
+        whole = priority_flood(full, spec.nodata)
+        tiles = {
+            tid: full[(tid // 3) * 8 : (tid // 3) * 8 + 8, (tid % 3) * 8 : (tid % 3) * 8 + 8]
+            for tid in range(9)
+        }
+        got = fill_depressions_tiled(tiles, spec)
+        for tid, g in got.items():
+            r0, c0 = (tid // 3) * 8, (tid % 3) * 8
+            np.testing.assert_allclose(g, whole[r0 : r0 + 8, c0 : c0 + 8])
+
+    def test_hole_straddling_tile_border(self):
+        from whitebox_tools_ray.stages.fill import fill_depressions_tiled, priority_flood
+
+        spec = SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        full = np.full((16, 16), 90.0)
+        full[4:12, 4:12] = 30.0  # depression across all four tiles
+        full[7:9, 7:9] = spec.nodata  # hole exactly on the 4-tile corner
+        whole = priority_flood(full, spec.nodata)
+        tiles = {
+            tid: full[(tid // 2) * 8 : (tid // 2) * 8 + 8, (tid % 2) * 8 : (tid % 2) * 8 + 8]
+            for tid in range(4)
+        }
+        got = fill_depressions_tiled(tiles, spec)
+        for tid, g in got.items():
+            r0, c0 = (tid // 2) * 8, (tid % 2) * 8
+            np.testing.assert_allclose(g, whole[r0 : r0 + 8, c0 : c0 + 8])

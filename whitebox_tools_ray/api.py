@@ -176,7 +176,7 @@ def _register_all():
              "math_stat_analysis", [], "math_stat_analysis/attribute_correlation.rs")
     register("AttributeHistogram", stats.histogram, "Histogram of an attribute column",
              "math_stat_analysis", [], "math_stat_analysis/attribute_histogram.rs")
-    register("HypsometricAnalysis", stats.histogram, "Elevation-distribution curve",
+    register("HypsometricAnalysis", stats.hypsometric_curve, "Cumulative area-above-elevation curve",
              "terrain_analysis", [], "terrain_analysis/hypsometric_analysis.rs")
     rz = __import__("whitebox_tools_ray.stages.rasterize", fromlist=["x"])
     register("VectorLinesToRaster", rz.lines_to_raster, "Segment burn-in (sub-cell stepping)",
@@ -206,8 +206,10 @@ def _register_all():
              "gis_analysis/vector_hex_bin.rs:313-386")
     register("LineIntersections", __import__("whitebox_tools_ray.stages.line_ops", fromlist=["x"]).line_intersections,
              "Intersection points of two line layers", "gis_analysis", [], "gis_analysis/line_intersections.rs")
-    register("EliminateCoincidentPoints", dedup.exact_dedup, "Exact-key dedup keep-first", "gis_analysis",
-             [], "gis_analysis/eliminate_coincident_points.rs")
+    register("EliminateCoincidentPoints", dedup.coincident_dedup,
+             "Tolerance-quantized coordinate dedup keep-first", "gis_analysis",
+             [P("ds", "Dataset"), P("x_col", "String"), P("y_col", "String"), P("tolerance", "Float")],
+             "gis_analysis/eliminate_coincident_points.rs")
     for m, desc in [
         ("PolygonArea", "Shoelace area, holes subtract"),
         ("PolygonPerimeter", "All-ring perimeter"),
@@ -255,8 +257,11 @@ def _register_all():
 
     register("LidarTile", lambda ds, tg, **kw: assign.assign_tiles(ds, tg, **kw), "Tile-grid assignment",
              "lidar_analysis", [P("ds", "Dataset"), P("tile_grid", "TileGrid")], "lidar_analysis/lidar_tile.rs:257-281")
-    register("LidarRemoveDuplicates", dedup.exact_dedup, "Exact x,y dedup", "lidar_analysis",
-             [], "lidar_analysis/remove_duplicates.rs")
+    register("LidarRemoveDuplicates",
+             lambda ds, **kw: dedup.coincident_dedup(ds, z_col=kw.pop("z_col", None), **kw),
+             "Quantized x,y[,z] dedup keep-first", "lidar_analysis",
+             [P("ds", "Dataset"), P("x_col", "String"), P("y_col", "String"), P("tolerance", "Float")],
+             "lidar_analysis/remove_duplicates.rs")
 
     # math_stat_analysis
     register("ZonalStatistics", zonal.zonal_statistics, "Per-zone n/total/min/max/mean/std", "math_stat_analysis",

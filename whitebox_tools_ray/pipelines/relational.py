@@ -32,9 +32,19 @@ SYNTH_POINTS_SQL = """
 
 
 def read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    # The generated parquet carries pandas schema metadata that makes
+    # pa.Schema unhashable in this pyarrow build → every downstream
+    # reduce logs "Failed to hash the schemas (for deduplication)".
+    # Passing a metadata-stripped schema to the read fixes block-schema
+    # dedup (and drops the noise) at zero cost.
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def synth_points(sf_dir: str):

@@ -25,21 +25,20 @@ labels convergence state, never the pair set (unless provably small).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 
 
-def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of string tokens (md5-derived, process-stable)."""
-    return np.array(
-        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in tokens],
-        dtype=np.uint64,
-    )
+def _hash_tokens(tokens: list[str] | np.ndarray) -> np.ndarray:
+    """Stable 64-bit hashes of string tokens (vectorized pandas siphash
+    with a fixed key — process-stable, no per-token Python hashing)."""
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object), hash_key="wbtr_tok_hash_1_")
 
 
 def shingles(text: str, k: int = 5) -> list[str]:
@@ -49,41 +48,128 @@ def shingles(text: str, k: int = 5) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constant
+
+
+def shingle_hashes_from_tokens(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """k-gram shingle hashes from per-token hashes, vectorized: positional
+    mix-and-sum over k shifted views (order-sensitive, uint64 wraparound)."""
+    n = len(token_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    th = token_hashes.astype(np.uint64)
+    out = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):  # k is tiny (3-5); the vector axis is n
+        out = (out * _MIX) ^ th[j : n - k + 1 + j]
+    return out
+
+
 def minhash_signature(shingle_hashes: np.ndarray, perms_a: np.ndarray, perms_b: np.ndarray) -> np.ndarray:
-    """num_perms minima of (a*h + b) mod M — the classic permutation family."""
+    """num_perms minima of the multiply-shift family a*h+b (mod 2^64),
+    computed as ONE (perms × shingles) uint64 broadcast — no Python loop,
+    no object dtype."""
     if len(shingle_hashes) == 0:
         return np.full(len(perms_a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    h = shingle_hashes.astype(np.object_)  # python ints to avoid overflow
-    out = np.empty(len(perms_a), dtype=np.uint64)
     hs = shingle_hashes.astype(np.uint64)
-    for i in range(len(perms_a)):
-        vals = (int(perms_a[i]) * hs.astype(object) + int(perms_b[i])) % _MERSENNE
-        out[i] = np.uint64(min(vals))
-    return out
+    m = perms_a[:, None].astype(np.uint64) * hs[None, :] + perms_b[:, None].astype(np.uint64)
+    return m.min(axis=1)
 
 
 def make_perms(num_perms: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perms, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perms, dtype=np.int64)
+    a = rng.randint(1, _MERSENNE, size=num_perms, dtype=np.int64).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, _MERSENNE, size=num_perms, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
+def content_hash128(values: list[str] | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 128-bit content hash: two independent 64-bit siphashes
+    (pandas hash_array, fixed keys → process-stable). 128 bits keeps the
+    birthday-collision expectation ≪1 even at 10^12 rows, where a single
+    64-bit key would collide ~10^7 times."""
+    arr = np.asarray(values, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key="wbtr_content_h1_")
+    h2 = pd.util.hash_array(arr, hash_key="wbtr_content_h2_")
+    return h1.view(np.int64), h2.view(np.int64)
+
+
 def exact_dedup(ds, text_col: str, id_col: str, keep: str = "min"):
-    """Hash-partition exact dedup: one surviving id per distinct content."""
+    """Hash-partition exact dedup: one surviving id per distinct content.
+
+    Scale shape: vectorized 128-bit content hash per batch → groupby the
+    hash (the only shuffle; shuffles 2×int64 + id, never the content) →
+    Min/Count native aggregates (no per-group Python)."""
+    from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
-        return batch.append_column("__h", pa.array(h, pa.string()))
+        h1, h2 = content_hash128(batch[text_col].to_pylist())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "__h1": pa.array(h1, pa.int64()),
+                "__h2": pa.array(h2, pa.int64()),
+            }
+        )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        keep_id = g[id_col].min() if keep == "min" else g[id_col].iloc[0]
-        return pd.DataFrame({id_col: [keep_id], "n_dups": [len(g)]})
+    agg = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby(["__h1", "__h2"])
+        .aggregate(Min(id_col), Count())
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[f"min({id_col})"],
+                "n_dups": batch["count()"],
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
+def coincident_dedup(
+    ds,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str | None = None,
+    tolerance: float = 1e-9,
+    id_col: str | None = None,
+):
+    """Coordinate dedup with tolerance — EliminateCoincidentPoints /
+    LidarRemoveDuplicates semantics (reference
+    gis_analysis/eliminate_coincident_points.rs,
+    lidar_analysis/remove_duplicates.rs: FRS-quantized x,y[,z] match,
+    keep the first point per occupied cell).
+
+    Quantize each coordinate to the tolerance grid (floor), groupby the
+    quantized key, keep the record with the smallest id (scan order when
+    ids are scan-ordered). Records shuffle once on the quantized key —
+    the minimum any dedup that must emit surviving full rows can do."""
+    cols = [x_col, y_col] + ([z_col] if z_col else [])
+    if id_col is None:
+        # assign a deterministic scan-order id per row if none provided
+        raise ValueError("coincident_dedup requires id_col (stable point id)")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            v = np.asarray(batch[c].to_numpy(zero_copy_only=False), dtype=np.float64)
+            batch = batch.append_column(
+                "__q_" + c, pa.array(np.floor(v / tolerance).astype(np.int64), pa.int64())
+            )
+        return batch
+
+    keys = ["__q_" + c for c in cols]
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, id_col).drop(columns=keys)
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(first, batch_format="pandas")
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(keep_first, batch_format="pandas")
     )
 
 
@@ -103,21 +189,51 @@ class _MinhashActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id: list = []
-        out_band: list[int] = []
-        out_bh: list[int] = []
-        for doc_id, text in zip(ids, texts):
-            sh = _hash_tokens(shingles(text, self.k))
-            sig = minhash_signature(sh, self.a, self.b)
-            for band in range(self.bands):
-                seg = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bh = int.from_bytes(hashlib.md5(seg.tobytes()).digest()[:8], "little")
-                out_id.append(doc_id)
-                out_band.append(band)
-                out_bh.append(bh - (1 << 63))  # signed int64
+        ndocs = len(texts)
+        if ndocs == 0:
+            return pa.table(
+                {self.id_col: pa.array([]), "band_id": pa.array([], pa.int64()),
+                 "band_hash": pa.array([], pa.int64())}
+            )
+        # ONE vectorized token-hash call over the whole batch, then per-doc
+        # shingle mixing (numpy per doc), then ONE (perms × shingles)
+        # broadcast + minimum.reduceat for every signature in the batch.
+        tok_lists = [t.split() for t in texts]
+        flat = [tok for toks in tok_lists for tok in toks]
+        th_flat = _hash_tokens(flat)
+        sh_list: list[np.ndarray] = []
+        offsets = [0]
+        empty: list[int] = []
+        pos = 0
+        sent = np.array([np.iinfo(np.uint64).max], np.uint64)
+        for di, toks in enumerate(tok_lists):
+            n = len(toks)
+            sh = shingle_hashes_from_tokens(th_flat[pos : pos + n], self.k)
+            pos += n
+            if len(sh) == 0:
+                sh = sent
+                empty.append(di)
+            sh_list.append(sh)
+            offsets.append(offsets[-1] + len(sh))
+        hs_all = np.concatenate(sh_list)
+        m = self.a[:, None] * hs_all[None, :] + self.b[:, None]
+        sig = np.minimum.reduceat(m, np.array(offsets[:-1]), axis=1)  # (P, D)
+        if empty:
+            sig[:, empty] = np.iinfo(np.uint64).max
+        # band hashes: fold rows_per_band signature rows per band (vector over docs)
+        r = self.rows_per_band
+        bh = np.zeros((self.bands, ndocs), dtype=np.uint64)
+        for band in range(self.bands):
+            acc = np.zeros(ndocs, dtype=np.uint64)
+            for row in range(band * r, (band + 1) * r):
+                acc = (acc * _MIX) ^ sig[row]
+            bh[band] = acc
+        out_id = np.repeat(np.asarray(ids, dtype=object), self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int64), ndocs)
+        out_bh = bh.T.reshape(-1).view(np.int64)
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
+                self.id_col: pa.array(out_id.tolist()),
                 "band_id": pa.array(out_band, pa.int64()),
                 "band_hash": pa.array(out_bh, pa.int64()),
             }
@@ -198,18 +314,17 @@ def verify_pairs_jaccard(pairs_ds, docs_table: pa.Table, text_col="text", id_col
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (weighted by term frequency)."""
-    acc = np.zeros(64, dtype=np.int64)
+    """64-bit SimHash over word tokens (weighted by term frequency) —
+    one (tokens × 64) bit matrix, no per-token Python loop."""
     toks = text.split()
     if not toks:
         return 0
     vals, counts = np.unique(toks, return_counts=True)
-    hs = _hash_tokens(list(vals))
+    hs = _hash_tokens(vals)
     shifts = np.arange(64, dtype=np.uint64)
-    for h, cnt in zip(hs, counts):
-        bits = (np.uint64(h) >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, cnt, -cnt)
-    v = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+    bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    v = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << shifts))
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
@@ -221,22 +336,21 @@ def simhash_dedup(ds, text_col="text", id_col="doc_id", hamming_t: int = 3):
     groupby (block_idx, block_value) buckets, verify hamming inside."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in batch[text_col].to_pylist()]
-        ids = batch[id_col]
-        out = {id_col: [], "block_idx": [], "block_val": [], "sh": []}
-        for i, h in enumerate(hs):
-            uh = h & 0xFFFFFFFFFFFFFFFF
-            for bi in range(4):
-                out[id_col].append(ids[i].as_py())
-                out["block_idx"].append(bi)
-                out["block_val"].append((uh >> (16 * bi)) & 0xFFFF)
-                out["sh"].append(h)
+        ids = batch[id_col].to_pylist()
+        hs = np.array([simhash64(t) for t in batch[text_col].to_pylist()], dtype=np.int64)
+        uh = hs.view(np.uint64)
+        n = len(ids)
+        block_idx = np.tile(np.arange(4, dtype=np.int64), n)
+        block_val = (
+            (uh[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)[None, :]))
+            & np.uint64(0xFFFF)
+        ).reshape(-1).astype(np.int64)
         return pa.table(
             {
-                id_col: pa.array(out[id_col]),
-                "block_idx": pa.array(out["block_idx"], pa.int64()),
-                "block_val": pa.array(out["block_val"], pa.int64()),
-                "sh": pa.array(out["sh"], pa.int64()),
+                id_col: pa.array(np.repeat(np.asarray(ids, dtype=object), 4).tolist()),
+                "block_idx": pa.array(block_idx, pa.int64()),
+                "block_val": pa.array(block_val, pa.int64()),
+                "sh": pa.array(np.repeat(hs, 4), pa.int64()),
             }
         )
 
@@ -258,13 +372,32 @@ def simhash_dedup(ds, text_col="text", id_col="doc_id", hamming_t: int = 3):
     return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
-def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id", emb_col: str = "embedding"):
-    """Cosine-similarity near-dup pairs.
+def embedding_near_dup(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    method: str = "broadcast",
+    num_planes: int = 8,
+    num_tables: int = 12,
+):
+    """Cosine-similarity near-dup pairs (id_a < id_b).
 
-    Baseline: the (small) embedding table is broadcast normalized; each
-    batch matmuls against it and emits pairs above threshold with
-    id_a < id_b. The scale path replaces the broadcast side with
-    LSH-bucketed candidates (see ann.lsh_buckets)."""
+    Two paths:
+    - ``broadcast`` — EXACT: the embedding table is broadcast once
+      (``ray.put``) and every batch matmuls against it. O(N²) work but
+      zero shuffle; correct only while the table fits one worker heap
+      (the oracle-checked gate query uses this path at sf scale).
+    - ``lsh`` — the 100-TB path: multi-table random-hyperplane codes,
+      ``groupby(table, code)`` buckets, exact pairwise cosine inside a
+      bucket, pair-dedup across tables. Near-1 recall at high thresholds
+      (miss prob ≈ (1-(1-θ/π)^b)^L per pair), linear shuffle volume —
+      codes + ids only, never an all-pairs exchange.
+    """
+    if method == "lsh":
+        return _embedding_near_dup_lsh(
+            ds, threshold, id_col, emb_col, num_planes=num_planes, num_tables=num_tables
+        )
     import ray
 
     all_rows = ds.to_pandas()  # broadcast side — documented small-side cap
@@ -295,28 +428,159 @@ def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id", emb_
     return ds.map_batches(PairFinder, batch_format="pandas", batch_size=512, concurrency=(1, 4))
 
 
-def components_minlabel(pairs_ds, max_rounds: int = 20):
-    """Connected components of a pair list by iterative min-label
-    propagation (groupby rounds) — returns Dataset[node, component]."""
-    import ray.data as rd
+def _embedding_near_dup_lsh(
+    ds,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    num_planes: int = 8,
+    num_tables: int = 12,
+    seed: int = 42,
+):
+    """LSH-bucketed near-dup: emit (table, code, id, embedding) rows,
+    groupby bucket, exact cosine inside, dedup pairs across tables."""
+    from .ann import lsh_codes, make_planes
 
-    edges = pairs_ds.to_pandas()
-    # start: every node labeled with itself
-    nodes = pd.unique(pd.concat([edges["id_a"], edges["id_b"]]))
-    labels = pd.DataFrame({"node": nodes, "component": nodes})
+    dim = len(ds.take(1)[0][emb_col])
+    tables = np.stack([make_planes(dim, num_planes, seed=seed + 17 * t) for t in range(num_tables)])
+    import ray
+
+    ref = ray.put(tables)
+
+    class CodeEmit:
+        def __init__(self):
+            self.tables = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            bids = batch[id_col].to_numpy()
+            m = np.stack([np.asarray(e, dtype=np.float64) for e in batch[emb_col]])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            frames = []
+            for t, planes in enumerate(self.tables):
+                codes = lsh_codes(m, planes)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "table": t,
+                            "code": codes,
+                            id_col: bids,
+                            emb_col: list(m),
+                        }
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    rows = ds.map_batches(CodeEmit, batch_format="pandas", batch_size=1024, concurrency=(1, 8))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack(g[emb_col].to_list())
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "cosine": np.round(sims[ii, jj], 6)}
+        )
+
+    pairs = rows.groupby(["table", "code"]).map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def components_minlabel(pairs_ds, max_rounds: int = 20):
+    """Connected components of a pair list by DISTRIBUTED min-label
+    propagation — returns Dataset[node, component].
+
+    Each round is two keyed shuffles (the GraphX-style label push):
+    group every node's current label with its incident edges, push the
+    label across each edge, take the min label per node. The driver holds
+    only a per-round convergence checksum (sum of labels — monotone
+    non-increasing, so equal sum ⇒ fixed point); edges and labels stay in
+    the object store throughout. Converges in O(component diameter)
+    rounds."""
+    from ray.data.aggregate import Min, Sum
+
+    # node ids may be strings or ints; propagate on whatever the min order is
+    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([batch["id_a"], batch["id_b"]], ignore_index=True),
+                "peer": pd.concat([batch["id_b"], batch["id_a"]], ignore_index=True),
+            }
+        )
+
+    edges = pairs_ds.map_batches(edge_rows, batch_format="pandas").materialize()
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("peer"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "component": pc.min_element_wise(b["node"], b["min(peer)"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def checksum(lab) -> float:
+        h = lab.map_batches(
+            lambda b: pa.table(
+                {
+                    "s": pa.array(
+                        [float(np.sum(pd.util.hash_array(
+                            np.asarray(b["component"].to_pylist(), dtype=object)
+                        ).view(np.int64) % (1 << 40)))]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return h.aggregate(Sum("s"))["sum(s)"]
+
+    prev = checksum(labels)
     for _ in range(max_rounds):
-        m = edges.merge(labels, left_on="id_a", right_on="node").merge(
-            labels, left_on="id_b", right_on="node", suffixes=("_a", "_b")
+        # push labels across edges: union(labels-as-self-msg, edge rows) →
+        # per-node group carries its label and its peers → emit candidate
+        # labels to peers → min per node
+        lab_msgs = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "peer": b["node"], "lbl": b["component"]}),
+            batch_format="pyarrow",
         )
-        prop = pd.concat(
-            [
-                m[["id_a", "component_b"]].rename(columns={"id_a": "node", "component_b": "component"}),
-                m[["id_b", "component_a"]].rename(columns={"id_b": "node", "component_a": "component"}),
-                labels,
-            ]
+        edge_msgs = edges.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "peer": b["peer"],
+                 "lbl": pa.nulls(len(b), b["node"].type)}
+            ),
+            batch_format="pyarrow",
         )
-        new_labels = prop.groupby("node", as_index=False)["component"].min()
-        if new_labels.equals(labels.sort_values("node").reset_index(drop=True)):
+
+        def push(g: pd.DataFrame) -> pd.DataFrame:
+            own = g["lbl"].dropna()
+            if own.empty:
+                return pd.DataFrame({"node": [], "cand": []})
+            lbl = own.min()
+            peers = g.loc[g["lbl"].isna(), "peer"]
+            nodes = pd.concat([peers, pd.Series([g["node"].iloc[0]])], ignore_index=True)
+            return pd.DataFrame({"node": nodes, "cand": lbl})
+
+        labels = (
+            lab_msgs.union(edge_msgs)
+            .groupby("node")
+            .map_groups(push, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("cand"))
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "component": b["min(cand)"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
             break
-        labels = new_labels
-    return rd.from_pandas(labels)
+        prev = cur
+    return labels

@@ -106,7 +106,10 @@ def fill_depressions_tiled(tiles: dict[int, np.ndarray], spec, max_rounds: int =
     z = {tid: g.astype(np.float64) for tid, g in tiles.items()}
 
     def initial_seeds(tid: int) -> np.ndarray:
-        """Round 0: only TRUE scene-edge borders drain (at z)."""
+        """Round 0: TRUE scene-edge borders drain (at z), and so do cells
+        adjacent to nodata holes — the reference seeds next-to-nodata
+        cells too (fill_depressions.rs; matches priority_flood's default
+        seeding), else depressions beside interior holes never drain."""
         g = z[tid]
         h, w = g.shape
         tr, tc = tid // spec.tiles_x, tid % spec.tiles_x
@@ -119,6 +122,14 @@ def fill_depressions_tiled(tiles: dict[int, np.ndarray], spec, max_rounds: int =
             sl[:, 0] = g[:, 0]
         if tc == spec.tiles_x - 1:
             sl[:, -1] = g[:, -1]
+        nod = g == nodata
+        if nod.any():
+            pad = np.zeros((h + 2, w + 2), dtype=bool)
+            pad[1:-1, 1:-1] = nod
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            near_nod = sliding_window_view(pad, (3, 3)).any(axis=(-2, -1)) & ~nod
+            sl = np.where(near_nod, np.maximum(sl, g), sl)
         return sl
 
     seed_levels = {tid: initial_seeds(tid) for tid in z}
@@ -152,6 +163,9 @@ def fill_depressions_tiled(tiles: dict[int, np.ndarray], spec, max_rounds: int =
                         pad[0 if dr == -1 else h + 1, 0 if dc == -1 else w + 1] = (
                             nb[-1 if dr == -1 else 0, -1 if dc == -1 else 0]
                         )
+            # external nodata cells drain freely — water exits the scene
+            # through a hole exactly like through the scene edge
+            pad[pad == nodata] = -np.inf
             new_sl = seed_levels[tid]
             for r, c in _border_cells(h, w):
                 ext = []

@@ -81,17 +81,17 @@ def semi_join(probe_ds, keys, key: str, anti: bool = False, concurrency=(1, 2)):
     """Semi/anti join: broadcast the key SET, filter inside map_batches."""
     import ray
 
-    key_set = frozenset(keys)
-    ref = ray.put(key_set)
+    ref = ray.put(pa.array(sorted(set(keys))))
 
     class _Filter:
         def __init__(self):
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch[key].to_pylist()
-            m = np.array([v in self.keys for v in vals])
-            return batch.filter(pa.array(~m if anti else m))
+            import pyarrow.compute as pc
+
+            m = pc.is_in(batch[key], value_set=self.keys.cast(batch[key].type))
+            return batch.filter(pc.invert(m) if anti else m)
 
     return probe_ds.map_batches(_Filter, batch_format="pyarrow", concurrency=concurrency)
 
@@ -127,11 +127,9 @@ def hash_join_bucketed(
     def _hash_key(k: pa.ChunkedArray | pa.Array) -> np.ndarray:
         if pa.types.is_integer(k.type):
             return k.to_numpy(zero_copy_only=False).astype(np.int64) % num_buckets
-        import zlib
-
-        return np.array(
-            [zlib.crc32(str(v).encode()) % num_buckets for v in k.to_pylist()], dtype=np.int64
-        )
+        # vectorized, process-stable string hashing (pandas siphash, fixed key)
+        h = pd.util.hash_array(np.asarray(k.to_pylist(), dtype=object))
+        return (h % np.uint64(num_buckets)).astype(np.int64)
 
     def tag(col, side, ren):
         def fn(batch: pa.Table) -> pa.Table:

@@ -238,7 +238,7 @@ def clip_points_shuffle(
     cell_index = build_part_cell_index(parts, cell_level)
     keep_inside = mode == "clip"
 
-    cell_key_ref = ray.put(frozenset(cell_index.keys()))
+    cell_key_ref = ray.put(np.array(sorted(cell_index.keys()), dtype=np.int64))
     parts_ref = ray.put(parts)
     index_ref = ray.put(cell_index)
 
@@ -256,8 +256,8 @@ def clip_points_shuffle(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             cid = batch["__cell"].to_numpy(zero_copy_only=False)
-            cand = np.array([int(c) in self.cell_keys for c in cid])
-            return batch.filter(pa.array(cand if keep_inside else cand))
+            cand = np.isin(cid, self.cell_keys, assume_unique=False)
+            return batch.filter(pa.array(cand))
 
     # candidates shuffle; non-candidates resolve immediately
     candidates = with_cell.map_batches(SplitByCandidacy, batch_format="pyarrow", concurrency=(1, 2))
@@ -268,7 +268,7 @@ def clip_points_shuffle(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             cid = batch["__cell"].to_numpy(zero_copy_only=False)
-            noncand = np.array([int(c) not in self.cell_keys for c in cid])
+            noncand = ~np.isin(cid, self.cell_keys, assume_unique=False)
             return batch.filter(pa.array(noncand))
 
     def per_cell(g: pd.DataFrame) -> pd.DataFrame:

@@ -135,3 +135,28 @@ def histogram(ds, col: str, bins: int = 64, lo: float | None = None, hi: float |
     counts = np.zeros(bins, dtype=np.int64)
     counts[out["bin"].to_numpy()] = out["n"].to_numpy()
     return edges, counts
+
+
+def hypsometric_curve(ds, col: str, bins: int = 100):
+    """Hypsometric curve (terrain_analysis/hypsometric_analysis.rs):
+    normalized cumulative area ABOVE each normalized elevation.
+
+    For each of ``bins`` relative-elevation levels h_i in [0,1]:
+    rel_area_i = (#cells with elevation > lo + h_i*(hi-lo)) / N — the
+    classic area-above-elevation distribution. Computed from the global
+    histogram (one pass + one tiny shuffle); returns a pandas DataFrame
+    (rel_elev, rel_area) with rel_elev ascending.
+    """
+    import pandas as pd
+
+    edges, counts = histogram(ds, col, bins=bins)
+    n = counts.sum()
+    if n == 0:
+        return pd.DataFrame({"rel_elev": [], "rel_area": []})
+    lo, hi = edges[0], edges[-1]
+    span = (hi - lo) or 1.0
+    # area above the LOWER edge of each bin = suffix sum of counts
+    above = np.cumsum(counts[::-1])[::-1]
+    rel_elev = (edges[:-1] - lo) / span
+    rel_area = above / n
+    return pd.DataFrame({"rel_elev": rel_elev, "rel_area": rel_area})

@@ -74,7 +74,17 @@ class Manifest:
             "ts": time.time(),
         }
         line = json.dumps(rec) + "\n"
+        # A crash can tear the previous append mid-line; if the file tail is
+        # not "\n", lead with one so this record never concatenates onto the
+        # torn fragment (which would silently drop BOTH records at resume).
+        needs_leading_newline = False
+        if os.path.exists(self.path) and os.path.getsize(self.path) > 0:
+            with open(self.path, "rb") as rf:
+                rf.seek(-1, os.SEEK_END)
+                needs_leading_newline = rf.read(1) != b"\n"
         with open(self.path, "a") as f:
+            if needs_leading_newline:
+                f.write("\n")
             f.write(line)
             f.flush()
             os.fsync(f.fileno())
