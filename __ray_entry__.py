@@ -78,6 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles": R.q_quantiles,
         "semi_join": R.q_semi_join,
         "topk_per_group": R.q_topk_per_group,
+        "overlay_intersect": R.q_overlay_intersect,
+        "overlay_difference": R.q_overlay_difference,
+        "overlay_union": R.q_overlay_union,
+        "dissolve_zones": R.q_dissolve_zones,
+        "polygonize_grid": R.q_polygonize_grid,
     }
 
 
@@ -118,6 +123,11 @@ def oracle_sql() -> dict[str, str]:
         "erase_points_convex": R.q_erase_points_convex_sql(),
         "quantiles": R.q_quantiles_sql(),
         "semi_join": R.Q_SEMI_JOIN_SQL,
+        "overlay_intersect": R.Q_OVERLAY_INTERSECT_SQL,
+        "overlay_difference": R.Q_OVERLAY_DIFFERENCE_SQL,
+        "overlay_union": R.Q_OVERLAY_UNION_SQL,
+        "dissolve_zones": R.Q_DISSOLVE_ZONES_SQL,
+        "polygonize_grid": R.Q_POLYGONIZE_GRID_SQL,
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

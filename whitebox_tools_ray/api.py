@@ -204,6 +204,30 @@ def _register_all():
     register("VectorHexBinning", zonal.cell_binning, "Cell-bin counts (hex/quad)", "gis_analysis",
              [P("ds", "Dataset"), P("x_col", "String"), P("y_col", "String"), P("kind", "OptionList")],
              "gis_analysis/vector_hex_bin.rs:313-386")
+    # vector overlay family (planar-arrangement kernel, kernels/arrangement.py)
+    ovl = __import__("whitebox_tools_ray.stages.overlay", fromlist=["x"])
+    register("Intersect", ovl.intersect, "Geometric AND of two polygon layers", "gis_analysis",
+             [P("a_ds", "Dataset"), P("b_table", "Table")], "gis_analysis/intersect.rs; algorithms/line_ops.rs:86-199")
+    register("Difference", ovl.difference, "Subject minus overlay region", "gis_analysis",
+             [P("a_ds", "Dataset"), P("b_table", "Table")], "gis_analysis/difference.rs")
+    register("Union", ovl.union_layers, "Region covered by either layer (A ⊎ B−A fragments)",
+             "gis_analysis", [P("a_ds", "Dataset"), P("b_table", "Table"), P("b_ds", "Dataset"), P("a_table", "Table")],
+             "gis_analysis/union.rs")
+    register("SymmetricalDifference", ovl.symmetrical_difference, "(A−B) ⊎ (B−A)", "gis_analysis",
+             [P("a_ds", "Dataset"), P("b_table", "Table"), P("b_ds", "Dataset"), P("a_table", "Table")],
+             "gis_analysis/symmetrical_difference.rs")
+    register("ClipPolygons", ovl.clip_polys, "Clip, polygon branch", "gis_analysis",
+             [P("a_ds", "Dataset"), P("clip_table", "Table")], "gis_analysis/clip.rs:574-1600")
+    register("ErasePolygons", ovl.erase_polys, "Erase, polygon branch", "gis_analysis",
+             [P("a_ds", "Dataset"), P("erase_table", "Table")], "gis_analysis/erase.rs")
+    register("SplitWithLines", ovl.split_with_lines, "Cut polygons by a line layer (per-face fragments)",
+             "gis_analysis", [P("a_ds", "Dataset"), P("lines_table", "Table")], "gis_analysis/split_with_lines.rs")
+    register("Polygonize", ovl.polygonize, "Bounded faces of a line arrangement", "gis_analysis",
+             [P("lines_table", "Table")], "gis_analysis/polygonize.rs")
+    register("Dissolve", ovl.dissolve, "Merge polygons sharing an attribute (shared edges removed)",
+             "gis_analysis", [P("ds", "Dataset"), P("field", "VectorAttributeField")], "gis_analysis/dissolve.rs:254-302")
+    register("MergeLineSegments", ovl.merge_line_segments, "Stitch touching segments into chains",
+             "gis_analysis", [P("ds", "Dataset")], "gis_analysis/merge_line_segments.rs")
     register("LineIntersections", __import__("whitebox_tools_ray.stages.line_ops", fromlist=["x"]).line_intersections,
              "Intersection points of two line layers", "gis_analysis", [], "gis_analysis/line_intersections.rs")
     register("EliminateCoincidentPoints", dedup.coincident_dedup,

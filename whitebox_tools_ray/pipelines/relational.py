@@ -1101,3 +1101,241 @@ def q_topk_per_group_sql(k: int = 2) -> str:
             FROM orders JOIN customer ON o_custkey = c_custkey
         ) WHERE rn <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# vector overlay gate queries (round 2): rectangle pairs derived from the
+# part table with INTEGER corners, each pair isolated in its own 1000-unit
+# grid cell so the oracle can compute intersection/union areas exactly
+# (iw*ih int arithmetic on both sides → bit-identical doubles).
+# ---------------------------------------------------------------------------
+
+_PAIR_RECT_SQL = """
+    SELECT p_partkey AS pair_id,
+           (p_partkey % 100) * 1000 + (p_partkey * 13) % 500  AS ax0,
+           (p_partkey // 100) * 1000 + (p_partkey * 29) % 500 AS ay0,
+           20 + p_partkey % 80        AS aw,
+           20 + (p_partkey * 7) % 80  AS ah,
+           (p_partkey % 100) * 1000 + (p_partkey * 17) % 500  AS bx0,
+           (p_partkey // 100) * 1000 + (p_partkey * 37) % 500 AS by0,
+           20 + (p_partkey * 3) % 80  AS bw,
+           20 + (p_partkey * 11) % 80 AS bh
+    FROM part
+"""
+
+
+def _pair_rect_frames(sf_dir: str):
+    """(pair_id, A rect, B rect) pandas frame mirroring _PAIR_RECT_SQL."""
+    ds = read(sf_dir, "part", columns=["p_partkey"])
+    k = ds.to_pandas()["p_partkey"].to_numpy().astype(np.int64)
+    cx = (k % 100) * 1000
+    cy = (k // 100) * 1000
+    return pd.DataFrame(
+        {
+            "pair_id": k,
+            "ax0": cx + (k * 13) % 500,
+            "ay0": cy + (k * 29) % 500,
+            "aw": 20 + k % 80,
+            "ah": 20 + (k * 7) % 80,
+            "bx0": cx + (k * 17) % 500,
+            "by0": cy + (k * 37) % 500,
+            "bw": 20 + (k * 3) % 80,
+            "bh": 20 + (k * 11) % 80,
+        }
+    )
+
+
+def _pair_rect_layers(sf_dir: str):
+    """Build the A Dataset and broadcast-B table of pair rectangles."""
+    import ray.data as rd
+
+    from ..sources.vectors import POLY_SCHEMA, make_polygon_record
+
+    f = _pair_rect_frames(sf_dir)
+
+    def rec(rid, x0, y0, w, h):
+        x0, y0, w, h = float(x0), float(y0), float(w), float(h)
+        return make_polygon_record(
+            int(rid), [[(x0, y0), (x0, y0 + h), (x0 + w, y0 + h), (x0 + w, y0)]], "r", 1
+        )
+
+    a_rows = [rec(r.pair_id, r.ax0, r.ay0, r.aw, r.ah) for r in f.itertuples()]
+    b_rows = [rec(r.pair_id, r.bx0, r.by0, r.bw, r.bh) for r in f.itertuples()]
+    a_tbl = pa.Table.from_pylist(a_rows, schema=POLY_SCHEMA)
+    b_tbl = pa.Table.from_pylist(b_rows, schema=POLY_SCHEMA)
+    return rd.from_arrow(a_tbl), b_tbl, a_tbl, rd.from_arrow(b_tbl)
+
+
+def q_overlay_intersect(sf_dir: str):
+    """Intersect (intersect.rs): per-pair intersection area of the
+    rectangle layers; pairs with empty intersection emit nothing."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import overlay as ov
+
+    a_ds, b_tbl, _a_tbl, _b_ds = _pair_rect_layers(sf_dir)
+    out = ov.intersect(a_ds, b_tbl)
+    agg = out.groupby("record_id").aggregate(Sum("area", alias_name="area"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"pair_id": t["record_id"].cast(pa.int64()), "area": t["area"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_OVERLAY_INTERSECT_SQL = f"""
+    WITH r AS ({_PAIR_RECT_SQL})
+    SELECT pair_id,
+           CAST(GREATEST(0, LEAST(ax0+aw, bx0+bw) - GREATEST(ax0, bx0))
+              * GREATEST(0, LEAST(ay0+ah, by0+bh) - GREATEST(ay0, by0)) AS DOUBLE) AS area
+    FROM r
+    WHERE GREATEST(0, LEAST(ax0+aw, bx0+bw) - GREATEST(ax0, bx0))
+        * GREATEST(0, LEAST(ay0+ah, by0+bh) - GREATEST(ay0, by0)) > 0
+"""
+
+
+def q_overlay_difference(sf_dir: str):
+    """Difference (difference.rs / erase.rs polygon branch): per-pair
+    area of A − B (disjoint pairs pass through whole)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import overlay as ov
+
+    a_ds, b_tbl, _a_tbl, _b_ds = _pair_rect_layers(sf_dir)
+    out = ov.difference(a_ds, b_tbl)
+    agg = out.groupby("record_id").aggregate(Sum("area", alias_name="area"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"pair_id": t["record_id"].cast(pa.int64()), "area": t["area"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_OVERLAY_DIFFERENCE_SQL = f"""
+    WITH r AS ({_PAIR_RECT_SQL})
+    SELECT pair_id,
+           CAST(aw*ah - GREATEST(0, LEAST(ax0+aw, bx0+bw) - GREATEST(ax0, bx0))
+                      * GREATEST(0, LEAST(ay0+ah, by0+bh) - GREATEST(ay0, by0)) AS DOUBLE) AS area
+    FROM r
+    WHERE aw*ah > GREATEST(0, LEAST(ax0+aw, bx0+bw) - GREATEST(ax0, bx0))
+               * GREATEST(0, LEAST(ay0+ah, by0+bh) - GREATEST(ay0, by0))
+"""
+
+
+def q_overlay_union(sf_dir: str):
+    """Union (union.rs): per-pair area of A ∪ B via the fragment
+    decomposition A∩B ⊎ A−B ⊎ B−A."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import overlay as ov
+
+    a_ds, b_tbl, a_tbl, b_ds = _pair_rect_layers(sf_dir)
+    out = ov.union_layers(a_ds, b_tbl, b_ds, a_tbl)
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        rid = np.asarray(t["record_id"], dtype=np.int64) % 1_000_000
+        return pa.table({"pair_id": pa.array(rid, pa.int64()), "area": t["area"]})
+
+    agg = (
+        out.map_batches(pair_key, batch_format="pyarrow")
+        .groupby("pair_id")
+        .aggregate(Sum("area", alias_name="area"))
+    )
+    return agg
+
+
+Q_OVERLAY_UNION_SQL = f"""
+    WITH r AS ({_PAIR_RECT_SQL})
+    SELECT pair_id,
+           CAST(aw*ah + bw*bh - GREATEST(0, LEAST(ax0+aw, bx0+bw) - GREATEST(ax0, bx0))
+                              * GREATEST(0, LEAST(ay0+ah, by0+bh) - GREATEST(ay0, by0)) AS DOUBLE) AS area
+    FROM r
+"""
+
+
+def q_dissolve_zones(sf_dir: str):
+    """Dissolve (dissolve.rs): nations become 10-wide rectangles laid
+    edge-to-edge within their region row with 5-unit overlaps; dissolve
+    by region merges each row into ONE polygon of area 5*cnt + 5."""
+    import ray.data as rd
+
+    from ..sources.vectors import POLY_SCHEMA, make_polygon_record
+    from ..stages import overlay as ov
+
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    nat = nat.sort_values("n_nationkey").reset_index(drop=True)
+    nat["rank"] = nat.groupby("n_regionkey").cumcount()
+    recs = []
+    for r in nat.itertuples():
+        x0 = float(r.rank * 5)
+        y0 = float(r.n_regionkey * 20)
+        recs.append(
+            make_polygon_record(
+                int(r.n_nationkey),
+                [[(x0, y0), (x0, y0 + 1), (x0 + 10, y0 + 1), (x0 + 10, y0)]],
+                "n",
+                int(r.n_regionkey),
+            )
+        )
+    ds = rd.from_arrow(pa.Table.from_pylist(recs, schema=POLY_SCHEMA))
+    out = ov.dissolve(ds, "zone")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "zone": t["zone"].cast(pa.int64()),
+                "area": t["area"],
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+Q_DISSOLVE_ZONES_SQL = """
+    SELECT CAST(n_regionkey AS BIGINT) AS zone,
+           CAST(5 * COUNT(*) + 5 AS DOUBLE) AS area
+    FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_polygonize_grid(sf_dir: str):
+    """Polygonize (polygonize.rs): a (C+1)x(C+1) line grid (C = region
+    count) → C*C unit-100 faces."""
+    from ..sources.vectors import POLY_SCHEMA
+    from ..stages import overlay as ov
+
+    c = read(sf_dir, "region", columns=["r_regionkey"]).count()
+    rows = []
+    rid = 1
+    for i in range(c + 1):
+        rows.append(
+            {"record_id": rid, "parts": [0], "xs": [0.0, 10.0 * c], "ys": [10.0 * i, 10.0 * i],
+             "x_min": 0.0, "x_max": 10.0 * c, "y_min": 10.0 * i, "y_max": 10.0 * i,
+             "name": "h", "zone": 0}
+        )
+        rid += 1
+        rows.append(
+            {"record_id": rid, "parts": [0], "xs": [10.0 * i, 10.0 * i], "ys": [0.0, 10.0 * c],
+             "x_min": 10.0 * i, "x_max": 10.0 * i, "y_min": 0.0, "y_max": 10.0 * c,
+             "name": "v", "zone": 0}
+        )
+        rid += 1
+    tbl = pa.Table.from_pylist(rows, schema=POLY_SCHEMA)
+    out = ov.polygonize(tbl)
+    import pyarrow.compute as pc
+
+    return pd.DataFrame(
+        {
+            "n_faces": [len(out)],
+            "total_area": [float(pc.sum(out["area"]).as_py())],
+        }
+    )
+
+
+Q_POLYGONIZE_GRID_SQL = """
+    SELECT CAST(c * c AS BIGINT) AS n_faces,
+           CAST(c * c * 100 AS DOUBLE) AS total_area
+    FROM (SELECT COUNT(*) AS c FROM region)
+"""

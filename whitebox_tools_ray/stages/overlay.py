@@ -1,0 +1,462 @@
+"""Vector overlay family — Intersect / Union / Difference /
+SymmetricalDifference / polygon Clip & Erase / SplitWithLines /
+Polygonize / Dissolve — on the planar-arrangement kernel
+(kernels/arrangement.py).
+
+Reference parity targets: gis_analysis/intersect.rs, union.rs,
+difference.rs, symmetrical_difference.rs, clip.rs:574-1600 (polygon
+branch), erase.rs, split_with_lines.rs, polygonize.rs, dissolve.rs.
+The reference splits all polylines at mutual intersections
+(src/algorithms/line_ops.rs:86-199) and classifies fragments by interior
+point-in-polygon tests; this engine does the same inside a per-record
+arrangement, so outputs agree as point sets. Fragment records carry the
+subject record's attributes; FIDs are renumbered deterministically by
+(record_id, fragment index).
+
+Distribution shape: the subject layer streams through ``map_batches``;
+the overlay layer is broadcast ONCE via ``ray.put`` (polygon layers are
+the small side in the reference's workflows) with per-record bbox
+pruning. The per-record kernel is pure NumPy. For overlay layers too
+large to broadcast, co-partition both layers by quad-cell and run the
+same kernel per cell group (the SJ pattern used by clip_points) — the
+kernel is partition-agnostic because each subject record only ever needs
+the overlay records its bbox touches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels.arrangement import overlay_groups, polygon_overlay, ring_signed_area
+from ..sources.vectors import part_slices
+
+OVERLAY_SCHEMA = pa.schema(
+    [
+        ("record_id", pa.int32()),
+        ("frag", pa.int32()),
+        ("parts", pa.list_(pa.int32())),
+        ("xs", pa.list_(pa.float64())),
+        ("ys", pa.list_(pa.float64())),
+        ("x_min", pa.float64()),
+        ("x_max", pa.float64()),
+        ("y_min", pa.float64()),
+        ("y_max", pa.float64()),
+        ("area", pa.float64()),
+    ]
+)
+
+
+def record_rings(parts, xs, ys) -> list[np.ndarray]:
+    """Split one record's flat parts/xs/ys into (N,2) rings (open)."""
+    parts = np.asarray(parts, dtype=np.int64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    rings = []
+    for first, last in part_slices(parts, len(xs)):
+        r = np.column_stack([xs[first : last + 1], ys[first : last + 1]])
+        if len(r) > 1 and (r[0] == r[-1]).all():
+            r = r[:-1]
+        if len(r) >= 2:
+            rings.append(r)
+    return rings
+
+
+def _poly_to_record_cols(poly: dict) -> tuple[list[int], list[float], list[float]]:
+    """Arrangement polygon (shell CCW / holes CW) → repo record parts
+    (shells CW, holes CCW — the Bourke-test convention, closed rings)."""
+    parts: list[int] = []
+    xs: list[float] = []
+    ys: list[float] = []
+    for ring, reverse in [(poly["shell"], True)] + [(h, True) for h in poly["holes"]]:
+        r = ring[::-1] if reverse else ring
+        r = np.vstack([r, r[:1]])  # close
+        parts.append(len(xs))
+        xs.extend(r[:, 0].tolist())
+        ys.extend(r[:, 1].tolist())
+    return parts, xs, ys
+
+
+def _table_records(table: pa.Table) -> list[dict]:
+    """Materialize an overlay-side table into python record dicts with
+    numpy rings + bbox."""
+    recs = []
+    for row in table.to_pylist():
+        recs.append(
+            {
+                "record_id": row["record_id"],
+                "rings": record_rings(row["parts"], row["xs"], row["ys"]),
+                "bbox": (row["x_min"], row["y_min"], row["x_max"], row["y_max"]),
+            }
+        )
+    return recs
+
+
+def _emit_polys(rid: int, polys: list[dict], out: dict, extra: dict | None = None):
+    for frag, poly in enumerate(polys):
+        parts, xs, ys = _poly_to_record_cols(poly)
+        area = abs(ring_signed_area(poly["shell"])) - sum(
+            abs(ring_signed_area(h)) for h in poly["holes"]
+        )
+        out["record_id"].append(rid)
+        out["frag"].append(frag)
+        out["parts"].append(parts)
+        out["xs"].append(xs)
+        out["ys"].append(ys)
+        out["x_min"].append(min(xs))
+        out["x_max"].append(max(xs))
+        out["y_min"].append(min(ys))
+        out["y_max"].append(max(ys))
+        out["area"].append(area)
+        if extra:
+            for k, v in extra.items():
+                out[k].append(v)
+
+
+def _new_out(extra_cols=()) -> dict:
+    out = {name: [] for name in OVERLAY_SCHEMA.names}
+    for c in extra_cols:
+        out[c] = []
+    return out
+
+
+def _out_table(out: dict) -> pa.Table:
+    fields = list(OVERLAY_SCHEMA)
+    extra = [k for k in out if k not in OVERLAY_SCHEMA.names]
+    for k in extra:
+        fields.append(pa.field(k, pa.string()))
+    schema = pa.schema(fields)
+    return pa.table({k: pa.array(out[k], schema.field(k).type) for k in schema.names})
+
+
+class _OverlayActor:
+    """Broadcast-B overlay: B records fetched once per worker, subject
+    records stream through; per record bbox-prune + arrangement kernel."""
+
+    def __init__(self, b_ref, op: str, keep_disjoint: bool):
+        import ray
+
+        self.b = ray.get(b_ref)
+        self.op = op
+        self.keep_disjoint = keep_disjoint
+        self.b_bbox = np.array([r["bbox"] for r in self.b]) if self.b else np.empty((0, 4))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _new_out()
+        for row in batch.to_pylist():
+            rings = record_rings(row["parts"], row["xs"], row["ys"])
+            if not rings:
+                continue
+            bx0, by0, bx1, by1 = row["x_min"], row["y_min"], row["x_max"], row["y_max"]
+            if len(self.b_bbox):
+                cand = np.nonzero(
+                    (self.b_bbox[:, 0] <= bx1)
+                    & (self.b_bbox[:, 2] >= bx0)
+                    & (self.b_bbox[:, 1] <= by1)
+                    & (self.b_bbox[:, 3] >= by0)
+                )[0]
+            else:
+                cand = np.empty(0, dtype=np.int64)
+            b_groups = [self.b[i]["rings"] for i in cand]
+            if not b_groups:
+                # bbox fast path: disjoint subjects pass difference
+                # unchanged and drop out of intersect (reference's
+                # bounding-box prune, e.g. difference.rs)
+                if self.keep_disjoint:
+                    # net even-odd area: |sum of signed areas| over rings
+                    area = abs(sum(ring_signed_area(r) for r in rings))
+                    out["record_id"].append(row["record_id"])
+                    out["frag"].append(0)
+                    out["parts"].append(list(row["parts"]))
+                    out["xs"].append(list(row["xs"]))
+                    out["ys"].append(list(row["ys"]))
+                    out["x_min"].append(bx0)
+                    out["x_max"].append(bx1)
+                    out["y_min"].append(by0)
+                    out["y_max"].append(by1)
+                    out["area"].append(area)
+                continue
+            polys = polygon_overlay(rings, b_groups, self.op)
+            _emit_polys(row["record_id"], polys, out)
+        return _out_table(out)
+
+
+def overlay(a_ds, b_table: pa.Table, op: str, concurrency=(1, 8)):
+    """Per-subject-record overlay of a polygon Dataset against a
+    broadcast polygon table.
+
+    op: "intersect" (clip.rs polygon branch / intersect.rs),
+        "difference" (erase.rs / difference.rs),
+        "symdiff" (subject side of symmetrical_difference.rs — run once
+        per side and union the outputs for the full op).
+    Disjoint subjects pass through difference/symdiff unchanged and are
+    dropped by intersect, exactly like the reference's bbox fast paths."""
+    import ray
+
+    b_ref = ray.put(_table_records(b_table))
+    return a_ds.map_batches(
+        _OverlayActor,
+        fn_constructor_args=(b_ref, op, op == "difference"),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+def intersect(a_ds, b_table, **kw):
+    return overlay(a_ds, b_table, "intersect", **kw)
+
+
+def difference(a_ds, b_table, **kw):
+    return overlay(a_ds, b_table, "difference", **kw)
+
+
+def clip_polys(a_ds, clip_table, **kw):
+    """Clip, polygon branch (clip.rs:574-1600): subject ∩ clip region,
+    subject attributes preserved."""
+    return overlay(a_ds, clip_table, "intersect", **kw)
+
+
+def erase_polys(a_ds, erase_table, **kw):
+    """Erase, polygon branch (erase.rs): subject − erase region."""
+    return overlay(a_ds, erase_table, "difference", **kw)
+
+
+def symmetrical_difference(a_ds, b_table, b_ds, a_table, **kw):
+    """symmetrical_difference.rs: (A − B) ⊎ (B − A). Each side streams
+    against the other side broadcast; record_ids from layer B are offset
+    by 1_000_000 to keep fragment keys unique."""
+    a_side = overlay(a_ds, b_table, "difference", **kw)
+    b_side = overlay(b_ds, a_table, "difference", **kw).map_batches(
+        _offset_record_id, batch_format="pyarrow"
+    )
+    return a_side.union(b_side)
+
+
+def union_layers(a_ds, b_table, b_ds, a_table, **kw):
+    """union.rs: region covered by either layer, decomposed as
+    A ⊎ (B − A): subject records pass through fragmented only where B
+    boundaries cross them (A ∩ B and A − B fragments), plus B − A.
+    Point-set equal to the reference's union output."""
+    a_int = overlay(a_ds, b_table, "intersect", **kw)
+    a_diff = overlay(a_ds, b_table, "difference", **kw).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("frag"),
+            "frag",
+            pa.array((np.asarray(t["frag"]) + 10_000).astype(np.int32), pa.int32()),
+        ),
+        batch_format="pyarrow",
+    )
+    b_diff = overlay(b_ds, a_table, "difference", **kw).map_batches(
+        _offset_record_id, batch_format="pyarrow"
+    )
+    return a_int.union(a_diff).union(b_diff)
+
+
+def _offset_record_id(t: pa.Table) -> pa.Table:
+    rid = np.asarray(t["record_id"], dtype=np.int64) + 1_000_000
+    return t.set_column(
+        t.schema.get_field_index("record_id"), "record_id", pa.array(rid.astype(np.int32), pa.int32())
+    )
+
+
+class _SplitActor:
+    """SplitWithLines (split_with_lines.rs): cut subject polygons by a
+    broadcast polyline layer; each arrangement face inside the subject
+    becomes its own fragment (no dissolve)."""
+
+    def __init__(self, lines_ref):
+        import ray
+
+        self.lines = ray.get(lines_ref)  # list of (N,2) polylines + bbox
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _new_out()
+        for row in batch.to_pylist():
+            rings = record_rings(row["parts"], row["xs"], row["ys"])
+            if not rings:
+                continue
+            bx0, by0, bx1, by1 = row["x_min"], row["y_min"], row["x_max"], row["y_max"]
+            segs = [
+                ln
+                for ln, (lx0, ly0, lx1, ly1) in self.lines
+                if lx0 <= bx1 and lx1 >= bx0 and ly0 <= by1 and ly1 >= by0
+            ]
+            polys = overlay_groups(
+                [rings], lambda m: bool(m[0]), extra_segments=segs, dissolve=False
+            )
+            _emit_polys(row["record_id"], polys, out)
+        return _out_table(out)
+
+
+def split_with_lines(a_ds, lines_table: pa.Table, concurrency=(1, 8)):
+    import ray
+
+    lines = []
+    for row in lines_table.to_pylist():
+        for r in record_rings(row["parts"], row["xs"], row["ys"]):
+            # polylines: record_rings drops the closing vertex only when
+            # closed; re-append nothing — treat as open chain
+            lines.append((r, (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())))
+    ref = ray.put(lines)
+    return a_ds.map_batches(
+        _SplitActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+def dissolve(ds, field: str = "zone"):
+    """dissolve.rs:254-302: merge polygons sharing an attribute value by
+    removing shared edges — groupby(field), per-group arrangement union.
+    Each group's records co-locate via the groupby shuffle; the kernel
+    dissolves internal boundaries exactly (shared borders collapse to
+    single arrangement edges)."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        groups = [
+            record_rings(row["parts"], row["xs"], row["ys"]) for _, row in g.iterrows()
+        ]
+        groups = [r for r in groups if r]
+        polys = overlay_groups(groups, lambda m: bool(m.any()))
+        out = _new_out()
+        key = g[field].iloc[0]
+        _emit_polys(int(g["record_id"].min()), polys, out)
+        df = pa.Table.from_pydict({k: out[k] for k in out}).to_pandas()
+        df[field] = key
+        return df
+
+    return ds.groupby(field).map_groups(merge, batch_format="pandas")
+
+
+def polygonize(lines_table: pa.Table):
+    """polygonize.rs: bounded faces of a polyline arrangement. The line
+    layer is a single small table (the reference loads it whole too);
+    returns a pa.Table of polygon records."""
+    from ..kernels.arrangement import polygonize_segments
+
+    segs = []
+    for row in lines_table.to_pylist():
+        segs.extend(record_rings(row["parts"], row["xs"], row["ys"]))
+    polys = polygonize_segments(segs)
+    out = _new_out()
+    _emit_polys(1, polys, out)
+    # renumber fragments as standalone FIDs
+    out["record_id"] = list(range(1, len(out["frag"]) + 1))
+    out["frag"] = [0] * len(out["frag"])
+    return _out_table(out)
+
+
+def merge_line_segments(ds, snap: float = 1e-9):
+    """MergeLineSegments (merge_line_segments.rs): stitch touching line
+    segments into maximal chains.
+
+    Scale shape: endpoint keys (quantized) + segment ids aggregate to the
+    driver (keys only — geometry never leaves the workers); the driver
+    builds the tiny adjacency graph, broadcasts segment→chain ids, and a
+    final groupby(chain) assembles polylines in order."""
+    import ray
+
+    # 1. collect (segment_id, endpoint keys) — ids + 4 ints per record
+    def keys(batch: pa.Table) -> pa.Table:
+        rid = batch["record_id"].to_numpy(zero_copy_only=False)
+        k = {"record_id": [], "ax": [], "ay": [], "bx": [], "by": []}
+        for i, row in enumerate(batch.to_pylist()):
+            xs = np.asarray(row["xs"])
+            ys = np.asarray(row["ys"])
+            k["record_id"].append(int(rid[i]))
+            k["ax"].append(int(round(xs[0] / snap)))
+            k["ay"].append(int(round(ys[0] / snap)))
+            k["bx"].append(int(round(xs[-1] / snap)))
+            k["by"].append(int(round(ys[-1] / snap)))
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in k.items()})
+
+    kt = ds.map_batches(keys, batch_format="pyarrow").to_pandas()
+    # 2. driver-side chain building on the id graph
+    from collections import defaultdict
+
+    node_segs = defaultdict(list)
+    for _, r in kt.iterrows():
+        node_segs[(r.ax, r.ay)].append(int(r.record_id))
+        node_segs[(r.bx, r.by)].append(int(r.record_id))
+    seg_nodes = {
+        int(r.record_id): ((r.ax, r.ay), (r.bx, r.by)) for _, r in kt.iterrows()
+    }
+    chain_of: dict[int, int] = {}
+    order_of: dict[int, int] = {}
+    flip_of: dict[int, bool] = {}
+    cid = 0
+    for sid in sorted(seg_nodes):
+        if sid in chain_of:
+            continue
+        # walk both directions from this segment through degree-2 nodes
+        chain = [(sid, False)]
+        for direction in (0, 1):
+            cur, flipped = sid, False
+            while True:
+                n0, n1 = seg_nodes[cur]
+                tip = (n1 if not flipped else n0) if direction == 0 else (n0 if not flipped else n1)
+                nxts = [s for s in node_segs[tip] if s != cur and s not in {c for c, _ in chain}]
+                if len(node_segs[tip]) != 2 or not nxts:
+                    break
+                nxt = nxts[0]
+                na, nb = seg_nodes[nxt]
+                nflip = (na != tip) if direction == 0 else (nb != tip)
+                if direction == 0:
+                    chain.append((nxt, nflip))
+                else:
+                    chain.insert(0, (nxt, not nflip))
+                cur, flipped = nxt, nflip
+        for order, (s, fl) in enumerate(chain):
+            chain_of[s] = cid
+            order_of[s] = order
+            flip_of[s] = fl
+        cid += 1
+    ref = ray.put((chain_of, order_of, flip_of))
+
+    class Tag:
+        def __init__(self):
+            self.chain_of, self.order_of, self.flip_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rid = batch["record_id"].to_numpy(zero_copy_only=False)
+            chain = [self.chain_of.get(int(r), -1) for r in rid]
+            order = [self.order_of.get(int(r), 0) for r in rid]
+            flip = [self.flip_of.get(int(r), False) for r in rid]
+            return (
+                batch.append_column("chain", pa.array(chain, pa.int64()))
+                .append_column("ord", pa.array(order, pa.int64()))
+                .append_column("flip", pa.array(flip, pa.bool_()))
+            )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ord")
+        xs: list[float] = []
+        ys: list[float] = []
+        for _, row in g.iterrows():
+            rx = list(row["xs"])
+            ry = list(row["ys"])
+            if row["flip"]:
+                rx, ry = rx[::-1], ry[::-1]
+            if xs and abs(xs[-1] - rx[0]) < snap * 2 and abs(ys[-1] - ry[0]) < snap * 2:
+                rx, ry = rx[1:], ry[1:]
+            xs.extend(rx)
+            ys.extend(ry)
+        return pd.DataFrame(
+            {
+                "record_id": [int(g["chain"].iloc[0]) + 1],
+                "parts": [[0]],
+                "xs": [xs],
+                "ys": [ys],
+                "n_segments": [len(g)],
+            }
+        )
+
+    return (
+        ds.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("chain")
+        .map_groups(assemble, batch_format="pandas")
+    )
