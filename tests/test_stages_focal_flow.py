@@ -191,3 +191,19 @@ class TestExtraFilters:
         w = grid[r - 1 : r + 2, c - 1 : c + 2].ravel()
         expect = (w.sum() - w.max() - w.min()) / (len(w) - 2)
         assert got[r, c] == pytest.approx(expect, rel=1e-6)
+
+
+class TestFlowAccumulationDatasetNative:
+    def test_ds_path_equals_whole(self, scene, ray_session):
+        """Dataset-in → Dataset-out accumulation (flow_accumulation_ds):
+        same result as the whole-raster oracle, no driver pixel dicts."""
+        import tempfile
+
+        spec, table, grid = scene
+        ptr_ds = flow.d8_pointer_masked(rd.from_arrow(table), spec)
+        out_dir = tempfile.mkdtemp(prefix="flowtest_", dir="/tmp")
+        out_ds = flow.flow_accumulation_ds(ptr_ds, spec, num_workers=3, out_dir=out_dir)
+        got = assemble_result(out_ds.to_pandas(), spec)
+        _fdir, expect = whole_raster_d8(grid, spec)
+        valid = grid != spec.nodata
+        np.testing.assert_array_equal(got[valid], expect[valid])

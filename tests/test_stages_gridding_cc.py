@@ -164,3 +164,72 @@ class TestStretch:
         assert vals.min() >= 0.0 and vals.max() <= 255.0
         # tails clipped: a noticeable mass at the extremes
         assert (vals == 0.0).mean() > 0.005
+
+
+class TestClumpDatasetNative:
+    def test_clump_ds_matches_whole_raster(self, ray_session):
+        """Round-2 clump_ds: Dataset in/out, only equivalence pairs on
+        the driver, vectorized local pass; identical labels to the
+        whole-raster oracle (row-major discovery numbering)."""
+        from whitebox_tools_ray.stages.cc import _local_labels, clump_ds
+
+        spec = tsrc.SceneSpec(tiles_x=3, tiles_y=3, tile_px=8)
+        rng = np.random.RandomState(5)
+        cat = rng.randint(0, 3, (spec.rows, spec.columns)).astype(np.float64)
+        cat[1, 1] = spec.nodata
+        import pyarrow as pa
+
+        cols = {n: [] for n in ["tile_row", "tile_col", "bytes", "fmt"]}
+        for tr in range(spec.tiles_y):
+            for tc in range(spec.tiles_x):
+                g = cat[tr * 8 : tr * 8 + 8, tc * 8 : tc * 8 + 8]
+                cols["tile_row"].append(tr)
+                cols["tile_col"].append(tc)
+                cols["bytes"].append(codecs.encode_tile(g, "f32"))
+                cols["fmt"].append("f32")
+        t = pa.table(
+            {
+                "tile_row": pa.array(cols["tile_row"], pa.int32()),
+                "tile_col": pa.array(cols["tile_col"], pa.int32()),
+                "bytes": pa.array(cols["bytes"], pa.binary()),
+                "fmt": pa.array(cols["fmt"], pa.string()),
+            }
+        )
+        labeled, n_comp = clump_ds(rd.from_arrow(t), spec, diag=True)
+        got = np.full_like(cat, spec.nodata)
+        for _, row in labeled.to_pandas().iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            r0, c0 = int(row["tile_row"]) * 8, int(row["tile_col"]) * 8
+            got[r0 : r0 + 8, c0 : c0 + 8] = g
+        expect = _local_labels(cat, spec.nodata, True, False).astype(np.float64)
+        expect[cat == spec.nodata] = spec.nodata
+        assert n_comp == int(expect.max())
+        np.testing.assert_array_equal(got, expect)
+
+    def test_local_labels_vec_matches_loop(self):
+        from whitebox_tools_ray.stages.cc import _local_labels, _local_labels_vec
+
+        rng = np.random.RandomState(9)
+        for diag in (True, False):
+            g = rng.randint(0, 4, (16, 16)).astype(np.float64)
+            g[3, 3] = -32768.0
+            loop = _local_labels(g, -32768.0, diag, False)
+            vec = _local_labels_vec(g, -32768.0, diag, False)
+            # same partition, same row-major first-cell ordering → verify
+            # bijection and identical discovery numbering
+            remap = {}
+            dense = 0
+            out = np.zeros_like(vec)
+            order = np.argsort(vec.ravel(), kind="stable")
+            flat = vec.ravel()
+            seen = {}
+            k = 0
+            for i in range(len(flat)):
+                l = flat[i]
+                if l < 0:
+                    continue
+                if l not in seen:
+                    k += 1
+                    seen[l] = k
+                out.ravel()[i] = seen[l]
+            np.testing.assert_array_equal(out, loop)

@@ -312,3 +312,206 @@ class TestFillTiledNodataHole:
         for tid, g in got.items():
             r0, c0 = (tid // 2) * 8, (tid % 2) * 8
             np.testing.assert_allclose(g, whole[r0 : r0 + 8, c0 : c0 + 8])
+
+
+class TestFillDatasetNative:
+    def _tiles_table(self, full, spec):
+        import pyarrow as pa
+        from whitebox_tools_ray.kernels import codecs
+        rows = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+        t = spec.tile_px
+        for tr in range(spec.tiles_y):
+            for tc in range(spec.tiles_x):
+                rows["tile_row"].append(tr)
+                rows["tile_col"].append(tc)
+                rows["bytes"].append(codecs.encode_tile(full[tr*t:(tr+1)*t, tc*t:(tc+1)*t], "f32"))
+                rows["fmt"].append("f32")
+        return pa.table({"tile_row": pa.array(rows["tile_row"], pa.int32()),
+                         "tile_col": pa.array(rows["tile_col"], pa.int32()),
+                         "bytes": pa.array(rows["bytes"], pa.binary()),
+                         "fmt": pa.array(rows["fmt"], pa.string())})
+
+    def test_ds_fill_matches_global(self, ray_session):
+        import ray.data as rd
+        import tempfile
+        from whitebox_tools_ray.stages.fill import fill_depressions_ds, priority_flood
+        from whitebox_tools_ray.kernels import codecs
+
+        spec = SceneSpec(tiles_x=3, tiles_y=3, tile_px=8)
+        rng = np.random.RandomState(23)
+        full = np.float32(rng.uniform(0, 100, (24, 24))).astype(np.float64)
+        full[5:15, 5:15] -= 60.0
+        full[11, 11] = spec.nodata  # interior hole
+        whole = priority_flood(full, spec.nodata)
+        ds = rd.from_arrow(self._tiles_table(full, spec))
+        out = fill_depressions_ds(ds, spec, num_workers=3,
+                                  out_dir=tempfile.mkdtemp(prefix="fds_", dir="/tmp"))
+        got = np.full((24, 24), np.nan)
+        for _, row in out.to_pandas().iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            r0, c0 = int(row["tile_row"]) * 8, int(row["tile_col"]) * 8
+            got[r0:r0+8, c0:c0+8] = g
+        valid = full != spec.nodata
+        np.testing.assert_allclose(got[valid], whole[valid], rtol=1e-6)
+
+
+class TestTerminalResolutionDatasetNative:
+    def _ptr_ds(self, spec, grid):
+        import ray.data as rd
+        import pyarrow as pa
+        from whitebox_tools_ray.stages import flow
+        from whitebox_tools_ray.kernels import codecs
+        t = spec.tile_px
+        cols = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+        for tr in range(spec.tiles_y):
+            for tc in range(spec.tiles_x):
+                cols["tile_row"].append(tr)
+                cols["tile_col"].append(tc)
+                cols["bytes"].append(codecs.encode_tile(grid[tr*t:(tr+1)*t, tc*t:(tc+1)*t].astype(np.float64), "i8"))
+                cols["fmt"].append("i8")
+        return rd.from_arrow(pa.table({
+            "tile_row": pa.array(cols["tile_row"], pa.int32()),
+            "tile_col": pa.array(cols["tile_col"], pa.int32()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "fmt": pa.array(cols["fmt"], pa.string())}))
+
+    def _assemble(self, out_ds, spec):
+        from whitebox_tools_ray.kernels import codecs
+        t = spec.tile_px
+        full = np.full((spec.rows, spec.columns), np.nan)
+        for _, row in out_ds.to_pandas().iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            r0, c0 = int(row["tile_row"]) * t, int(row["tile_col"]) * t
+            full[r0:r0+t, c0:c0+t] = g
+        return full
+
+    def _random_pointers(self, spec, seed):
+        """Random valid D8 pointer field from a random DEM (acyclic by
+        construction)."""
+        from whitebox_tools_ray.stages import flow
+        from whitebox_tools_ray.kernels import codecs
+        rng = np.random.RandomState(seed)
+        dem = rng.uniform(0, 100, (spec.rows, spec.columns))
+        dem[2, 2] = spec.nodata
+        # whole-grid pointer via the engine kernel on a padded grid
+        pad = np.full((spec.rows + 2, spec.columns + 2), spec.nodata)
+        pad[1:-1, 1:-1] = dem
+
+        class FakeSpec:
+            tile_px = spec.rows
+            res = spec.res
+        ptr = flow.d8_pointer_kernel_masked(pad, spec.nodata, FakeSpec).astype(np.int8)
+        return ptr
+
+    def test_basins_ds_matches_dict_path(self, ray_session):
+        from whitebox_tools_ray.stages.basins import basins, basins_ds
+        from whitebox_tools_ray.kernels import codecs
+
+        spec = SceneSpec(tiles_x=3, tiles_y=3, tile_px=8)
+        ptr = self._random_pointers(spec, 31)
+        t = spec.tile_px
+        tiles = {tr*3+tc: codecs.encode_tile(ptr[tr*t:(tr+1)*t, tc*t:(tc+1)*t].astype(np.float64), "i8")
+                 for tr in range(3) for tc in range(3)}
+        expect_tiles = basins(tiles, spec)
+        expect = np.zeros((spec.rows, spec.columns))
+        for tid, g in expect_tiles.items():
+            r0, c0 = (tid // 3) * t, (tid % 3) * t
+            expect[r0:r0+t, c0:c0+t] = g
+        got = self._assemble(basins_ds(self._ptr_ds(spec, ptr), spec, num_workers=3), spec)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_downslope_distance_ds_matches_dict_path(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from whitebox_tools_ray.stages.basins import (
+            downslope_distance_to_stream, downslope_distance_to_stream_ds)
+        from whitebox_tools_ray.kernels import codecs
+
+        spec = SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        ptr = self._random_pointers(spec, 7)
+        t = spec.tile_px
+        stream = np.zeros((spec.rows, spec.columns))
+        stream[8, :] = 1.0  # a stream row crossing tiles
+        ptiles = {tr*2+tc: codecs.encode_tile(ptr[tr*t:(tr+1)*t, tc*t:(tc+1)*t].astype(np.float64), "i8")
+                  for tr in range(2) for tc in range(2)}
+        stiles = {tr*2+tc: stream[tr*t:(tr+1)*t, tc*t:(tc+1)*t] for tr in range(2) for tc in range(2)}
+        expect_tiles = downslope_distance_to_stream(ptiles, stiles, spec)
+        expect = np.zeros((spec.rows, spec.columns))
+        for tid, g in expect_tiles.items():
+            r0, c0 = (tid // 2) * t, (tid % 2) * t
+            expect[r0:r0+t, c0:c0+t] = g
+
+        cols = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+        for tr in range(2):
+            for tc in range(2):
+                cols["tile_row"].append(tr); cols["tile_col"].append(tc)
+                cols["bytes"].append(codecs.encode_tile(stiles[tr*2+tc], "f32")); cols["fmt"].append("f32")
+        stream_ds = rd.from_arrow(pa.table({
+            "tile_row": pa.array(cols["tile_row"], pa.int32()),
+            "tile_col": pa.array(cols["tile_col"], pa.int32()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "fmt": pa.array(cols["fmt"], pa.string())}))
+        got = self._assemble(
+            downslope_distance_to_stream_ds(self._ptr_ds(spec, ptr), stream_ds, spec, num_workers=2), spec)
+        np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+
+def _tiles_ds_from_full(full, spec, fmt="f32"):
+    import ray.data as rd
+    import pyarrow as pa
+    from whitebox_tools_ray.kernels import codecs
+    t = spec.tile_px
+    cols = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+    for tr in range(spec.tiles_y):
+        for tc in range(spec.tiles_x):
+            cols["tile_row"].append(tr)
+            cols["tile_col"].append(tc)
+            cols["bytes"].append(codecs.encode_tile(full[tr*t:(tr+1)*t, tc*t:(tc+1)*t].astype(np.float64), fmt))
+            cols["fmt"].append(fmt)
+    return rd.from_arrow(pa.table({
+        "tile_row": pa.array(cols["tile_row"], pa.int32()),
+        "tile_col": pa.array(cols["tile_col"], pa.int32()),
+        "bytes": pa.array(cols["bytes"], pa.binary()),
+        "fmt": pa.array(cols["fmt"], pa.string())}))
+
+
+def _assemble_full(out_ds, spec):
+    from whitebox_tools_ray.kernels import codecs
+    t = spec.tile_px
+    full = np.full((spec.rows, spec.columns), np.nan)
+    for _, row in out_ds.to_pandas().iterrows():
+        g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+        r0, c0 = int(row["tile_row"]) * t, int(row["tile_col"]) * t
+        full[r0:r0+t, c0:c0+t] = g
+    return full
+
+
+class TestDistanceCostDatasetNative:
+    def test_euclidean_ds_matches_whole(self, ray_session):
+        from whitebox_tools_ray.stages.distance import euclidean_distance, euclidean_distance_ds
+
+        spec = SceneSpec(tiles_x=3, tiles_y=2, tile_px=8)
+        rng = np.random.RandomState(13)
+        full = (rng.uniform(0, 1, (16, 24)) < 0.05).astype(np.float64)
+        full[3, 17] = spec.nodata
+        whole = euclidean_distance(full, spec.nodata, spec.res)
+        got = _assemble_full(euclidean_distance_ds(_tiles_ds_from_full(full, spec), spec), spec)
+        valid = full != spec.nodata
+        np.testing.assert_allclose(got[valid].astype(np.float32), whole[valid].astype(np.float32), rtol=1e-6)
+
+    def test_cost_ds_matches_whole(self, ray_session):
+        from whitebox_tools_ray.stages.cost import cost_distance, cost_distance_ds
+
+        spec = SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        rng = np.random.RandomState(17)
+        cost = np.float32(rng.uniform(0.5, 3.0, (16, 16))).astype(np.float64)
+        cost[5, 5] = spec.nodata
+        src = np.zeros((16, 16))
+        src[2, 2] = 1.0
+        src[14, 13] = 2.0
+        whole, _bl, _al = cost_distance(cost, src.astype(np.int64), spec.nodata, spec.res)
+        got = _assemble_full(
+            cost_distance_ds(_tiles_ds_from_full(cost, spec),
+                             _tiles_ds_from_full(src, spec), spec, num_workers=2), spec)
+        valid = cost != spec.nodata
+        np.testing.assert_allclose(got[valid].astype(np.float32), whole[valid].astype(np.float32), rtol=1e-5)

@@ -380,8 +380,8 @@ def _register_all():
     register("KMeansClustering", kmeans.kmeans_fit, "Iterative k-means", "image_analysis",
              [], "image_analysis/k_means_clustering.rs")
 
-    register("Clump", cc.clump, "Connected components, 2-pass tiled union-find", "gis_analysis",
-             [], "gis_analysis/clump.rs:246-281")
+    register("Clump", cc.clump_ds, "Connected components, Dataset-native 2-pass merge", "gis_analysis",
+             [P("tiles_ds", "Dataset"), P("spec", "SceneSpec")], "gis_analysis/clump.rs:246-281")
     register("IdwInterpolation", gridding.idw_gridding, "IDW points->raster via per-tile FRS",
              "gis_analysis", [], "gis_analysis/idw_interpolation.rs")
     register("NearestNeighbourGridding", lambda p, s2, radius, **kw: gridding.idw_gridding(p, s2, radius, method="nearest", **kw),
@@ -432,8 +432,9 @@ def _register_all():
     register("NormalizedDifferenceIndex", bm.normalized_difference, "(A-B)/(A+B) with 0/0 guard",
              "image_analysis", [], "image_analysis/normalized_difference_index.rs")
     fl = __import__("whitebox_tools_ray.stages.fill", fromlist=["x"])
-    register("FillDepressions", fl.fill_depressions_tiled, "Hierarchical priority-flood fill (exact)",
-             "hydro_analysis", [], "hydro_analysis/fill_depressions.rs (Barnes-style hierarchical)")
+    register("FillDepressions", fl.fill_depressions_ds, "Hierarchical priority-flood fill (Dataset-native, exact)",
+             "hydro_analysis", [P("dem_ds", "Dataset"), P("spec", "SceneSpec")],
+             "hydro_analysis/fill_depressions.rs (Barnes-style hierarchical)")
 
     # terrain_analysis
     register("Slope", focal.slope, "Horn slope degrees", "terrain_analysis", [], "terrain_analysis/slope.rs:256-292")
@@ -445,8 +446,10 @@ def _register_all():
              [], "terrain_analysis/ruggedness_index.rs")
 
     # hydro_analysis
-    register("EuclideanDistance", __import__("whitebox_tools_ray.stages.distance", fromlist=["x"]).euclidean_distance_tiled,
-             "Exact EDT (separable lower-envelope)", "gis_analysis", [], "gis_analysis/euclidean_distance.rs:23-33 (exact-EDT substitute)")
+    register("EuclideanDistance", __import__("whitebox_tools_ray.stages.distance", fromlist=["x"]).euclidean_distance_ds,
+             "Exact EDT, Dataset-native two-pass strips", "gis_analysis",
+             [P("tiles_ds", "Dataset"), P("spec", "SceneSpec")],
+             "gis_analysis/euclidean_distance.rs:23-33 (exact-EDT substitute)")
     register("ExtractStreams", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).extract_streams,
              "Accumulation threshold -> stream mask", "stream_network_analysis", [], "stream_network_analysis/extract_streams.rs")
     register("StreamLinkIdentifier", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).stream_links,
@@ -455,19 +458,23 @@ def _register_all():
              "Strahler order on the link DAG", "stream_network_analysis", [], "stream_network_analysis/strahler_order.rs")
     register("ShreveStreamMagnitude", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).shreve_magnitude,
              "Shreve magnitude on the link DAG", "stream_network_analysis", [], "stream_network_analysis/shreve_magnitude.rs")
-    register("Basins", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).basins,
-             "Terminal labeling via pointer doubling", "hydro_analysis", [], "hydro_analysis/basins.rs")
-    register("Watershed", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).watershed,
-             "Pour-point catchments via pointer doubling", "hydro_analysis", [], "hydro_analysis/watershed.rs")
+    register("Basins", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).basins_ds,
+             "Terminal labeling, Dataset-native border condensation", "hydro_analysis",
+             [P("pointer_ds", "Dataset"), P("spec", "SceneSpec")], "hydro_analysis/basins.rs")
+    register("Watershed", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).watershed_ds,
+             "Pour-point catchments, Dataset-native", "hydro_analysis",
+             [P("pointer_ds", "Dataset"), P("spec", "SceneSpec"), P("pour_points", "List")],
+             "hydro_analysis/watershed.rs")
     co = __import__("whitebox_tools_ray.stages.cost", fromlist=["x"])
-    register("CostDistance", co.cost_distance_tiled, "Weighted Dijkstra accumulated cost (tiled exact)",
-             "gis_analysis", [], "gis_analysis/cost_distance.rs")
+    register("CostDistance", co.cost_distance_ds, "Weighted Dijkstra accumulated cost, Dataset-native BSP",
+             "gis_analysis", [P("cost_ds", "Dataset"), P("source_ds", "Dataset"), P("spec", "SceneSpec")],
+             "gis_analysis/cost_distance.rs")
     register("CostAllocation", lambda c, s, n, r: co.cost_distance(c, s, n, r)[2],
              "Nearest-source id by accumulated cost", "gis_analysis", [], "gis_analysis/cost_allocation.rs")
     register("CostPathway", co.cost_pathway, "Least-cost path trace", "gis_analysis",
              [], "gis_analysis/cost_pathway.rs")
     ba = __import__("whitebox_tools_ray.stages.basins", fromlist=["x"])
-    register("DownslopeDistanceToStream", ba.downslope_distance_to_stream,
+    register("DownslopeDistanceToStream", ba.downslope_distance_to_stream_ds,
              "Flow-path length to nearest stream (additive pointer doubling)", "hydro_analysis",
              [], "hydro_analysis/downslope_distance_to_stream.rs")
     register("ElevationAboveStream", ba.elevation_above_stream,
@@ -512,8 +519,9 @@ def _register_all():
              [], "hydro_analysis/find_noflow_cells.rs")
     register("D8Pointer", flow.d8_pointer_masked, "Steepest-drop D8 direction", "hydro_analysis",
              [], "hydro_analysis/d8_pointer.rs; d8_flow_accum.rs:261-321")
-    register("D8FlowAccumulation", flow.flow_accumulation, "Tiled BSP topological accumulation", "hydro_analysis",
-             [], "hydro_analysis/d8_flow_accum.rs:399-431")
+    register("D8FlowAccumulation", flow.flow_accumulation_ds, "Dataset-native BSP topological accumulation",
+             "hydro_analysis", [P("pointer_ds", "Dataset"), P("spec", "SceneSpec")],
+             "hydro_analysis/d8_flow_accum.rs:399-431")
 
     # training-data pipeline value-add (no reference analog)
     register("ExactDedup", dedup.exact_dedup, "Content-hash dedup", "training_data", [], "")

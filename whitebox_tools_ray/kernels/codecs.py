@@ -182,6 +182,11 @@ def encode_tile(grid: np.ndarray, fmt: str) -> bytes:
     """Encode a float64 (h, w) pixel grid into the tile ``bytes`` payload."""
     if fmt == "f32":
         return _f32_encode(grid)
+    if fmt == "f64":
+        # exact float64 payload (label grids / large integer ids that
+        # exceed f32's 2^24 integer range)
+        h, w = grid.shape
+        return struct.pack("<II", h, w) + np.ascontiguousarray(grid, dtype="<f8").tobytes()
     if fmt == "i8":
         return _i8_encode(grid)
     if fmt == "q16":
@@ -206,6 +211,9 @@ def decode_tile(data: bytes, fmt: str) -> np.ndarray:
     """Decode a tile payload into a float64 (h, w) grid."""
     if fmt == "f32":
         return _f32_decode(data)
+    if fmt == "f64":
+        h, w = struct.unpack("<II", data[:8])
+        return np.frombuffer(data[8:], dtype="<f8").reshape(h, w).copy()
     if fmt == "i8":
         return _i8_decode(data).astype(np.float64)
     if fmt == "q16":

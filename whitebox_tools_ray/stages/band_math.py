@@ -85,39 +85,44 @@ def overlay(layer_dss: list, spec, op: str = "max", weights: list[float] | None 
 
 def normalized_difference(ds_a, ds_b, spec, clip: float = 0.0):
     """NDI = (A−B)/(A+B); 0/0 → 0 (normalized_difference_index.rs
-    convention); nodata in either input propagates."""
+    convention); nodata in either input propagates.
+
+    Routed through the same keyed tile zip as ``overlay`` (one groupby
+    shuffle, both layers STREAM) — the broadcast-B driver dict of round 1
+    capped B at driver memory and is gone (VERDICT r1)."""
     nodata = spec.nodata
-    # broadcast B (decode once per worker) — both layers stream in the
-    # shuffle-free variant when B fits the object store
-    import ray
 
-    b_tiles = {}
-    for row in ds_b.to_pandas().itertuples():
-        b_tiles[(int(row.tile_row), int(row.tile_col))] = codecs.decode_tile(bytes(row.bytes), row.fmt)
-    ref = ray.put(b_tiles)
+    def tag(i):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
+            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
 
-    class NDI:
-        def __init__(self):
-            self.b = ray.get(ref)
+        return fn
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_b = []
-            trows = batch["tile_row"].to_numpy(zero_copy_only=False)
-            tcols = batch["tile_col"].to_numpy(zero_copy_only=False)
-            for i in range(batch.num_rows):
-                a = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
-                b = self.b[(int(trows[i]), int(tcols[i]))]
-                denom = a + b
-                with np.errstate(all="ignore"):
-                    nd = np.where(denom != 0.0, (a - b) / denom, 0.0)
-                nd[(a == nodata) | (b == nodata)] = nodata
-                if clip > 0:
-                    nd = np.clip(nd, -clip, clip)
-                out_b.append(codecs.encode_tile(nd, "f32"))
-            t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", pa.array(out_b, pa.binary()))
-            return t.set_column(t.schema.get_field_index("fmt"), "fmt", pa.array(["f32"] * t.num_rows))
+    tagged = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    )
 
-    return ds_a.map_batches(NDI, batch_format="pyarrow", batch_size=16, concurrency=(1, 4))
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__layer")
+        a = codecs.decode_tile(bytes(g["bytes"].iloc[0]), g["fmt"].iloc[0])
+        b = codecs.decode_tile(bytes(g["bytes"].iloc[1]), g["fmt"].iloc[1])
+        denom = a + b
+        with np.errstate(all="ignore"):
+            nd = np.where(denom != 0.0, (a - b) / denom, 0.0)
+        nd[(a == nodata) | (b == nodata)] = nodata
+        if clip > 0:
+            nd = np.clip(nd, -clip, clip)
+        return pd.DataFrame(
+            {
+                "tile_row": [int(g["tile_row"].iloc[0])],
+                "tile_col": [int(g["tile_col"].iloc[0])],
+                "bytes": [codecs.encode_tile(nd, "f32")],
+                "fmt": ["f32"],
+            }
+        )
+
+    return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
 
 
 def count_if(layer_dss: list, spec, value: float):

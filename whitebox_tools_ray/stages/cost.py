@@ -168,3 +168,149 @@ def _border_cells(h: int, w: int):
     for r in range(1, h - 1):
         yield r, 0
         yield r, w - 1
+
+
+# ---------------------------------------------------------------------------
+# Dataset-native path: (cost, sources) tile Datasets → shard actors → BSP
+# with 1-cell border frames carrying (accumulated-cost, cost) strips →
+# accumulated-cost tiles Dataset. Vectorized seed update (8 shifted ring
+# views) replaces the per-border-cell loop.
+# ---------------------------------------------------------------------------
+
+
+class CostShardDS:
+    def __init__(self, tile_px: int, tiles_x: int, tiles_y: int, nodata: float, res: float):
+        self.tpx = tile_px
+        self.tiles_x = tiles_x
+        self.tiles_y = tiles_y
+        self.nodata = nodata
+        self.res = res
+        self.cost: dict[int, np.ndarray] = {}
+        self.src: dict[int, np.ndarray] = {}
+        self.seed: dict[int, np.ndarray] = {}
+        self.est: dict[int, np.ndarray] = {}
+        self.frames: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def ingest(self, split_ds) -> list[int]:
+        from ..kernels import codecs
+
+        owned = []
+        for batch in split_ds.iter_batches(batch_format="pyarrow", batch_size=64):
+            trows = batch["tile_row"].to_numpy(zero_copy_only=False)
+            tcols = batch["tile_col"].to_numpy(zero_copy_only=False)
+            for i in range(batch.num_rows):
+                tid = int(trows[i]) * self.tiles_x + int(tcols[i])
+                self.cost[tid] = codecs.decode_tile(
+                    batch["costl"][i].as_py(), batch["costl_fmt"][i].as_py()
+                )
+                self.src[tid] = codecs.decode_tile(
+                    batch["srcl"][i].as_py(), batch["srcl_fmt"][i].as_py()
+                ).astype(np.int64)
+                self.seed[tid] = np.full(self.cost[tid].shape, np.inf)
+                owned.append(tid)
+        return owned
+
+    def _run_tile(self, tid: int):
+        a, _bl, _al = cost_distance(
+            self.cost[tid],
+            self.src[tid],
+            self.nodata,
+            self.res,
+            seed_costs=self.seed[tid],
+            mark_unreached_inf=True,
+        )
+        self.est[tid] = a
+        h, w = a.shape
+        msgs = []
+        tr, tc = tid // self.tiles_x, tid % self.tiles_x
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                ntr, ntc = tr + dr, tc + dc
+                if not (0 <= ntr < self.tiles_y and 0 <= ntc < self.tiles_x):
+                    continue
+                rs = slice(h - 1, h) if dr == 1 else (slice(0, 1) if dr == -1 else slice(None))
+                cs = slice(w - 1, w) if dc == 1 else (slice(0, 1) if dc == -1 else slice(None))
+                est_strip = np.ascontiguousarray(a[rs, cs]).ravel().copy()
+                cost_strip = np.ascontiguousarray(self.cost[tid][rs, cs]).ravel().copy()
+                rel = (1 - dr) * 3 + (1 - dc)
+                msgs.append((ntr * self.tiles_x + ntc, rel, est_strip, cost_strip))
+        return msgs
+
+    def start(self):
+        out = []
+        for tid in self.cost:
+            out.extend(self._run_tile(tid))
+        return out
+
+    def push(self, msgs):
+        touched = set()
+        for tid, rel, est_strip, cost_strip in msgs:
+            self.frames[(tid, rel)] = (est_strip, cost_strip)
+            touched.add(tid)
+        out = []
+        h = w = self.tpx
+        diag = float(np.sqrt(2.0)) * self.res
+        for tid in touched:
+            cg = self.cost[tid]
+            ext_a = np.full((h + 2, w + 2), np.inf)
+            ext_c = np.full((h + 2, w + 2), np.inf)
+            for (ftid, rel), (ea, ec) in self.frames.items():
+                if ftid != tid:
+                    continue
+                rr = rel // 3 - 1
+                cc = rel % 3 - 1
+                rs = slice(0, 1) if rr == -1 else (slice(h + 1, h + 2) if rr == 1 else slice(1, h + 1))
+                cs = slice(0, 1) if cc == -1 else (slice(w + 1, w + 2) if cc == 1 else slice(1, w + 1))
+                ext_a[rs, cs] = ea.reshape(ext_a[rs, cs].shape)
+                ext_c[rs, cs] = ec.reshape(ext_c[rs, cs].shape)
+            ext_a[ext_c == self.nodata] = np.inf  # nodata cost blocks travel
+            best = np.full((h, w), np.inf)
+            from .focal import DX8, DY8
+
+            for i in range(8):
+                dy, dx = int(DY8[i]), int(DX8[i])
+                sh_a = ext_a[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                sh_c = ext_c[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                step = diag if (dy != 0 and dx != 0) else self.res
+                with np.errstate(invalid="ignore"):
+                    cand = sh_a + (sh_c + cg) / 2.0 * step
+                best = np.minimum(best, cand)
+            cur = self.seed[tid]
+            upd = np.isfinite(best) & (best < cur - 1e-9)
+            if upd.any():
+                self.seed[tid] = np.where(upd, best, cur)
+                out.extend(self._run_tile(tid))
+        return out
+
+    def dump(self, path: str):
+        from .bsp import ShardBase
+
+        base = ShardBase(self.tpx, self.tiles_x, self.tiles_y)
+        tiles = {}
+        for tid, a in self.est.items():
+            g = a.copy()
+            g[~np.isfinite(g)] = self.nodata
+            g[self.cost[tid] == self.nodata] = self.nodata
+            tiles[tid] = g
+        ShardBase._dump_tiles(base, path, tiles, "f32")
+
+
+def cost_distance_ds(cost_ds, source_ds, spec, num_workers: int = 4, out_dir: str | None = None):
+    """Dataset-native CostDistance (cost_distance.rs): cost + source tile
+    Datasets zip on the tile key, stream into shard actors, iterate
+    from-above with (accum, cost) border frames until no seed improves."""
+    import tempfile
+
+    from .bsp import combine_tile_layers, run_bsp
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="costdist_", dir="/tmp")
+    combined = combine_tile_layers(spec, costl=cost_ds, srcl=source_ds)
+    return run_bsp(
+        combined,
+        CostShardDS,
+        (spec.tile_px, spec.tiles_x, spec.tiles_y, spec.nodata, spec.res),
+        num_workers,
+        out_dir,
+    )

@@ -195,3 +195,156 @@ def _border_cells(h: int, w: int):
     for r in range(1, h - 1):
         yield r, 0
         yield r, w - 1
+
+
+# ---------------------------------------------------------------------------
+# Dataset-native path: DEM tiles Dataset → shard actors owning z tiles →
+# per-round local priority floods with 1-cell border-frame exchange →
+# filled tiles Dataset. Same monotone-from-above iteration as
+# fill_depressions_tiled, with the border seed update VECTORIZED
+# (min-pool of the external frame ring) instead of the per-cell loop.
+# ---------------------------------------------------------------------------
+
+
+class FillShardDS:
+    """Shard actor for hierarchical depression filling."""
+
+    # frame rel codes: (dr+1)*3 + (dc+1) of the SENDING tile relative to
+    # the receiver; 4 (self) unused.
+
+    def __init__(self, tile_px: int, tiles_x: int, tiles_y: int, nodata: float):
+        self.tpx = tile_px
+        self.tiles_x = tiles_x
+        self.tiles_y = tiles_y
+        self.nodata = nodata
+        self.z: dict[int, np.ndarray] = {}
+        self.seed: dict[int, np.ndarray] = {}
+        self.est: dict[int, np.ndarray] = {}
+        self.frames: dict[tuple[int, int], np.ndarray] = {}  # (tid, rel) → array
+
+    def ingest(self, split_ds) -> list[int]:
+        from ..kernels import codecs
+
+        owned = []
+        for batch in split_ds.iter_batches(batch_format="pyarrow", batch_size=64):
+            trows = batch["tile_row"].to_numpy(zero_copy_only=False)
+            tcols = batch["tile_col"].to_numpy(zero_copy_only=False)
+            for i in range(batch.num_rows):
+                tid = int(trows[i]) * self.tiles_x + int(tcols[i])
+                self.z[tid] = codecs.decode_tile(
+                    batch["bytes"][i].as_py(), batch["fmt"][i].as_py()
+                ).astype(np.float64)
+                owned.append(tid)
+        for tid in owned:
+            self.seed[tid] = self._initial_seeds(tid)
+        return owned
+
+    def _initial_seeds(self, tid: int) -> np.ndarray:
+        g = self.z[tid]
+        h, w = g.shape
+        tr, tc = tid // self.tiles_x, tid % self.tiles_x
+        sl = np.full(g.shape, -np.inf)
+        if tr == 0:
+            sl[0, :] = g[0, :]
+        if tr == self.tiles_y - 1:
+            sl[-1, :] = g[-1, :]
+        if tc == 0:
+            sl[:, 0] = g[:, 0]
+        if tc == self.tiles_x - 1:
+            sl[:, -1] = g[:, -1]
+        nod = g == self.nodata
+        if nod.any():
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            pad = np.zeros((h + 2, w + 2), dtype=bool)
+            pad[1:-1, 1:-1] = nod
+            near = sliding_window_view(pad, (3, 3)).any(axis=(-2, -1)) & ~nod
+            sl = np.where(near, np.maximum(sl, g), sl)
+        return sl
+
+    def _flood_and_frames(self, tid: int):
+        """Re-flood one tile; return its 8 outgoing border frames."""
+        self.est[tid] = priority_flood(
+            self.z[tid], self.nodata, self.seed[tid], mark_unreached_inf=True
+        )
+        e = self.est[tid]
+        h, w = e.shape
+        msgs = []
+        tr, tc = tid // self.tiles_x, tid % self.tiles_x
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                ntr, ntc = tr + dr, tc + dc
+                if not (0 <= ntr < self.tiles_y and 0 <= ntc < self.tiles_x):
+                    continue
+                rs = slice(h - 1, h) if dr == 1 else (slice(0, 1) if dr == -1 else slice(None))
+                cs = slice(w - 1, w) if dc == 1 else (slice(0, 1) if dc == -1 else slice(None))
+                strip = np.ascontiguousarray(e[rs, cs]).ravel().copy()
+                rel = (1 - dr) * 3 + (1 - dc)  # position in RECEIVER's frame
+                msgs.append((ntr * self.tiles_x + ntc, rel, strip))
+        return msgs
+
+    def start(self):
+        out = []
+        for tid in self.z:
+            out.extend(self._flood_and_frames(tid))
+        return out
+
+    def push(self, msgs):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        touched = set()
+        for tid, rel, strip in msgs:
+            self.frames[(tid, rel)] = strip
+            touched.add(tid)
+        out = []
+        h = w = self.tpx
+        for tid in touched:
+            g = self.z[tid]
+            # assemble external ring: +inf where no frame yet (blocked)
+            ext = np.full((h + 2, w + 2), np.inf)
+            for (ftid, rel), strip in self.frames.items():
+                if ftid != tid:
+                    continue
+                rr = rel // 3 - 1
+                cc = rel % 3 - 1
+                rs = slice(0, 1) if rr == -1 else (slice(h + 1, h + 2) if rr == 1 else slice(1, h + 1))
+                cs = slice(0, 1) if cc == -1 else (slice(w + 1, w + 2) if cc == 1 else slice(1, w + 1))
+                ext[rs, cs] = strip.reshape(ext[rs, cs].shape)
+            # external nodata drains freely (scene hole = scene edge)
+            ext[ext == self.nodata] = -np.inf
+            # min external estimate over each cell's 8-neighborhood —
+            # interior stays +inf so only border cells see finite values
+            m = sliding_window_view(ext, (3, 3)).min(axis=(-2, -1))
+            cand = np.maximum(g, m)
+            cur = self.seed[tid]
+            upd = np.isfinite(m) & (~np.isfinite(cur) | (cand < cur - 1e-12))
+            if upd.any():
+                self.seed[tid] = np.where(upd, cand, cur)
+                out.extend(self._flood_and_frames(tid))
+        return out
+
+    def dump(self, path: str):
+        from .bsp import ShardBase
+
+        base = ShardBase(self.tpx, self.tiles_x, self.tiles_y)
+        ShardBase._dump_tiles(base, path, self.est, "f32")
+
+
+def fill_depressions_ds(dem_ds, spec, num_workers: int = 4, out_dir: str | None = None):
+    """Dataset-native FillDepressions (fill_depressions.rs semantics via
+    the hierarchical Barnes-style iteration): DEM tiles Dataset in,
+    filled tiles Dataset out; only 1-cell border frames cross shards."""
+    import tempfile
+
+    from .bsp import run_bsp
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="filldep_", dir="/tmp")
+    return run_bsp(
+        dem_ds,
+        FillShardDS,
+        (spec.tile_px, spec.tiles_x, spec.tiles_y, spec.nodata),
+        num_workers,
+        out_dir,
+    )

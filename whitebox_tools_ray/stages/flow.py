@@ -232,3 +232,140 @@ def flow_accumulation(pointer_tiles: dict[int, bytes], spec, num_workers: int = 
             g[np.isnan(g)] = nodata_out
             tiles_out[tid] = g
     return tiles_out
+
+
+# ---------------------------------------------------------------------------
+# Dataset-native path (VERDICT r1 item 2): pointer Dataset in → indeg via the
+# focal halo pass → shard actors ingest Dataset splits → BSP → accumulation
+# tiles Dataset out. The driver never touches pixel data.
+# ---------------------------------------------------------------------------
+
+
+def pointer_with_indegree(pointer_ds, spec):
+    """One halo exchange over the POINTER tiles Dataset producing rows
+    (tile_row, tile_col, ptr, ind): the tile's i8 pointer plus its
+    num_inflowing grid (d8_flow_accum.rs:343-397) — the distributed form
+    of the reference's phase 2, replacing the old driver-side 9-decode
+    loop."""
+    import pandas as pd
+
+    from .focal import _assemble_padded, _emit_tile_and_margins
+
+    tiles_x, tiles_y, tpx = spec.tiles_x, spec.tiles_y, spec.tile_px
+    nodata = spec.nodata
+
+    margins = pointer_ds.map_batches(
+        lambda b: _emit_tile_and_margins(b, 1, tiles_x, tiles_y),
+        batch_format="pyarrow",
+        batch_size=16,
+    )
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        tkey, pad = _assemble_padded(g, 1, tpx, nodata)
+        d = pad[1:-1, 1:-1]
+        count = np.zeros(d.shape, dtype=np.int8)
+        for i in range(8):
+            di = pad[1 + DY8[i] : 1 + DY8[i] + tpx, 1 + DX8[i] : 1 + DX8[i] + tpx]
+            count += (di == INFLOW_OF[i]).astype(np.int8)
+        ind = np.where(d != -2.0, count, -1).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "tile_row": [tkey // tiles_x],
+                "tile_col": [tkey % tiles_x],
+                "ptr": [codecs.encode_tile(d, "i8")],
+                "ind": [codecs.encode_tile(ind, "i8")],
+            }
+        )
+
+    return margins.groupby("tkey").map_groups(per_tile, batch_format="pandas")
+
+
+class FlowShardDS:
+    """Shard actor for the Dataset-native accumulation: same reference
+    stack algorithm as FlowShardWorker, fed by Dataset splits."""
+
+    def __init__(self, tile_px: int, tiles_x: int, tiles_y: int, nodata_out: float):
+        from .bsp import ShardBase
+
+        self._base = ShardBase(tile_px, tiles_x, tiles_y)
+        self.tpx = tile_px
+        self.tiles_x = tiles_x
+        self.tiles_y = tiles_y
+        self.nodata_out = nodata_out
+        self.dirs: dict[int, np.ndarray] = {}
+        self.indeg: dict[int, np.ndarray] = {}
+        self.accum: dict[int, np.ndarray] = {}
+
+    def ingest(self, split_ds) -> list[int]:
+        owned = []
+        for batch in split_ds.iter_batches(batch_format="pyarrow", batch_size=64):
+            trows = batch["tile_row"].to_numpy(zero_copy_only=False)
+            tcols = batch["tile_col"].to_numpy(zero_copy_only=False)
+            for i in range(batch.num_rows):
+                tid = int(trows[i]) * self.tiles_x + int(tcols[i])
+                self.dirs[tid] = codecs.decode_tile(batch["ptr"][i].as_py(), "i8").astype(np.int8)
+                self.indeg[tid] = codecs.decode_tile(batch["ind"][i].as_py(), "i8").astype(np.int8)
+                self.accum[tid] = np.ones((self.tpx, self.tpx), dtype=np.float64)
+                owned.append(tid)
+        return owned
+
+    _drain = FlowShardWorker._drain
+
+    def _combined(self, raw):
+        """Combine per-destination-cell messages: (tid, r, c, sum, n_edges)."""
+        agg: dict[tuple[int, int, int], list] = {}
+        for tid, r, c, amount in raw:
+            k = (tid, r, c)
+            if k in agg:
+                agg[k][0] += amount
+                agg[k][1] += 1
+            else:
+                agg[k] = [amount, 1]
+        return [(tid, r, c, s, n) for (tid, r, c), (s, n) in agg.items()]
+
+    def start(self):
+        seeds = []
+        for tid, ind in self.indeg.items():
+            rr, cc = np.nonzero(ind == 0)
+            seeds.extend((tid, int(r), int(c)) for r, c in zip(rr, cc))
+        return self._combined(self._drain(seeds))
+
+    def push(self, msgs):
+        seeds = []
+        for tid, r, c, amount, n_edges in msgs:
+            self.accum[tid][r, c] += amount
+            self.indeg[tid][r, c] -= n_edges
+            if self.indeg[tid][r, c] == 0:
+                seeds.append((tid, r, c))
+        return self._combined(self._drain(seeds))
+
+    def dump(self, path: str):
+        from .bsp import ShardBase
+
+        out = {}
+        for tid, acc in self.accum.items():
+            a = acc.copy()
+            a[self.dirs[tid] == -2] = self.nodata_out
+            out[tid] = a
+        ShardBase._dump_tiles(self._base, path, out, "f32")
+
+
+def flow_accumulation_ds(pointer_ds, spec, num_workers: int = 4, out_dir: str | None = None,
+                         nodata_out: float | None = None):
+    """Dataset-native D8 accumulation (out_type=cells,
+    d8_flow_accum.rs:399-431): pointer tiles Dataset →
+    indeg halo pass → BSP shard actors → accumulation tiles Dataset."""
+    import tempfile
+
+    from .bsp import run_bsp
+
+    nodata_out = spec.nodata if nodata_out is None else nodata_out
+    out_dir = out_dir or tempfile.mkdtemp(prefix="flowaccum_", dir="/tmp")
+    combined = pointer_with_indegree(pointer_ds, spec)
+    return run_bsp(
+        combined,
+        FlowShardDS,
+        (spec.tile_px, spec.tiles_x, spec.tiles_y, nodata_out),
+        num_workers,
+        out_dir,
+    )

@@ -385,3 +385,89 @@ def extract_values_at_points(
     if missing.num_rows:
         found = found.union(rd.from_arrow(missing))
     return found
+
+
+def extract_values_at_points_shuffle(
+    tiles_ds,
+    points_ds,
+    scene_spec,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Shuffle variant of ExtractRasterValuesAtPoints for LARGE point
+    tables (VERDICT r1): points co-partition with tiles on tile_id via
+    one keyed groupby — neither side is broadcast, both stream. Per tile
+    group: decode once, vectorized gather for all its points.
+
+    Prefer the broadcast variant when points ≪ tiles; this one when the
+    point table rivals or exceeds the tile table (the common case for
+    training-data pipelines sampling every image)."""
+    import pandas as pd
+
+    from ..kernels import codecs
+
+    gs = scene_spec.grid_spec()
+    tpx = scene_spec.tile_px
+    tiles_x = scene_spec.tiles_x
+    nodata = gs.nodata
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        px = batch[x_col].to_numpy(zero_copy_only=False)
+        py = batch[y_col].to_numpy(zero_copy_only=False)
+        rid = batch["record_id"].to_numpy(zero_copy_only=False)
+        col = gs.col_from_x(px)
+        row = gs.row_from_y(py)
+        in_grid = (row >= 0) & (row < gs.rows) & (col >= 0) & (col < gs.columns)
+        tid = np.where(in_grid, (row // tpx) * tiles_x + (col // tpx), -1)
+        return pa.table(
+            {
+                "tkey": pa.array(tid.astype(np.int64)),
+                "role": pa.array(np.ones(len(rid), dtype=np.int8)),
+                "record_id": pa.array(rid.astype(np.int32), pa.int32()),
+                "r": pa.array(np.where(in_grid, row % tpx, 0).astype(np.int32), pa.int32()),
+                "c": pa.array(np.where(in_grid, col % tpx, 0).astype(np.int32), pa.int32()),
+                "bytes": pa.array([b""] * len(rid), pa.binary()),
+                "fmt": pa.array([""] * len(rid), pa.string()),
+            }
+        )
+
+    def tag_tiles(batch: pa.Table) -> pa.Table:
+        tid = (
+            batch["tile_row"].to_numpy(zero_copy_only=False).astype(np.int64) * tiles_x
+            + batch["tile_col"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n = len(tid)
+        return pa.table(
+            {
+                "tkey": pa.array(tid),
+                "role": pa.array(np.zeros(n, dtype=np.int8)),
+                "record_id": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                "r": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                "c": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                "bytes": batch["bytes"],
+                "fmt": batch["fmt"],
+            }
+        )
+
+    u = tiles_ds.map_batches(tag_tiles, batch_format="pyarrow").union(
+        points_ds.map_batches(tag_points, batch_format="pyarrow")
+    )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        tkey = int(g["tkey"].iloc[0])
+        pts = g[g["role"] == 1]
+        if len(pts) == 0:
+            return pd.DataFrame({"record_id": pd.Series([], dtype="int32"),
+                                 "VALUE1": pd.Series([], dtype="float64")})
+        if tkey < 0:  # out-of-grid points
+            return pd.DataFrame({"record_id": pts["record_id"].astype("int32"),
+                                 "VALUE1": np.full(len(pts), nodata)})
+        tiles = g[g["role"] == 0]
+        if len(tiles) == 0:
+            return pd.DataFrame({"record_id": pts["record_id"].astype("int32"),
+                                 "VALUE1": np.full(len(pts), nodata)})
+        grid = codecs.decode_tile(bytes(tiles["bytes"].iloc[0]), tiles["fmt"].iloc[0])
+        vals = grid[pts["r"].to_numpy(), pts["c"].to_numpy()]
+        return pd.DataFrame({"record_id": pts["record_id"].astype("int32"), "VALUE1": vals})
+
+    return u.groupby("tkey").map_groups(gather, batch_format="pandas")
