@@ -233,3 +233,75 @@ class TestClumpDatasetNative:
                     seen[l] = k
                 out.ravel()[i] = seen[l]
             np.testing.assert_array_equal(out, loop)
+
+
+class TestDelaunayTIN:
+    def test_delaunay_property_and_coverage(self):
+        from whitebox_tools_ray.kernels.delaunay import _circumcircle, delaunay
+
+        rng = np.random.RandomState(11)
+        pts = rng.uniform(0, 10, (150, 2))
+        tris = delaunay(pts)
+        assert len(tris) > 0
+        ctrs, r2s = _circumcircle(pts, tris)
+        for t_i in range(len(tris)):
+            d2 = ((pts - ctrs[t_i]) ** 2).sum(1)
+            inside = d2 < r2s[t_i] * (1 - 1e-9)
+            inside[tris[t_i]] = False
+            assert not inside.any()
+
+    def test_tin_gridding_planar_exact(self, ray_session):
+        """TIN interpolation of a planar field reproduces the plane
+        exactly at every covered cell (tin_gridding.rs parity check)."""
+        import pyarrow as pa
+
+        from whitebox_tools_ray.stages.gridding import tin_gridding
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=16)
+        gs = spec.grid_spec()
+        rng = np.random.RandomState(4)
+        n = 400
+        px = gs.west + rng.uniform(0, 1, n) * (gs.east - gs.west)
+        py = gs.south + rng.uniform(0, 1, n) * (gs.north - gs.south)
+        pz = 2.0 * (px - gs.west) + 0.5 * (py - gs.south) + 7.0
+        pts = pa.table({"x": pa.array(px), "y": pa.array(py), "value": pa.array(pz)})
+        out = tin_gridding(pts, spec, margin_cells=32).to_pandas()
+        covered = 0
+        for _, row in out.iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            tr, tc = int(row["tile_row"]), int(row["tile_col"])
+            rows = np.arange(tr * 16, (tr + 1) * 16)
+            cols = np.arange(tc * 16, (tc + 1) * 16)
+            gx, gy = np.meshgrid(gs.x_from_col(cols), gs.y_from_row(rows))
+            expect = 2.0 * (gx - gs.west) + 0.5 * (gy - gs.south) + 7.0
+            m = g != gs.nodata
+            covered += m.sum()
+            np.testing.assert_allclose(g[m], expect[m], rtol=1e-6)
+        assert covered > 0.5 * (32 * 32)  # most of the scene interpolated
+
+    def test_voronoi_partitions_bbox(self):
+        import pyarrow as pa
+
+        from whitebox_tools_ray.stages.gridding import voronoi_diagram
+
+        rng = np.random.RandomState(5)
+        px, py = rng.uniform(1, 9, 30), rng.uniform(1, 9, 30)
+        pts = pa.table({"x": pa.array(px), "y": pa.array(py)})
+        recs = voronoi_diagram(pts, (0.0, 0.0, 10.0, 10.0))
+        area = 0.0
+        for r in recs:
+            xs, ys = np.array(r["xs"][:-1]), np.array(r["ys"][:-1])
+            area += 0.5 * abs(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1)))
+        assert abs(area - 100.0) < 1e-6
+
+    def test_construct_vector_tin(self):
+        import pyarrow as pa
+
+        from whitebox_tools_ray.stages.gridding import construct_vector_tin
+
+        pts = pa.table(
+            {"x": pa.array([0.0, 1.0, 0.0, 1.0]), "y": pa.array([0.0, 0.0, 1.0, 1.0]),
+             "value": pa.array([1.0, 2.0, 3.0, 4.0])}
+        )
+        recs = construct_vector_tin(pts)
+        assert len(recs) == 2  # unit square → two triangles

@@ -152,3 +152,78 @@ class TestStats2:
         b = random_sample(ds, 0.2, seed=5, id_col="k").to_pandas()
         assert a["k"].tolist() == b["k"].tolist()
         assert 0.17 < len(a) / 10000 < 0.23
+
+
+class TestRound2Stretches:
+    def _tiles(self, spec, full):
+        import pyarrow as pa
+        from whitebox_tools_ray.kernels import codecs
+        t = spec.tile_px
+        cols = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": [], "nodata": []}
+        for tr in range(spec.tiles_y):
+            for tc in range(spec.tiles_x):
+                cols["tile_row"].append(tr)
+                cols["tile_col"].append(tc)
+                cols["bytes"].append(codecs.encode_tile(full[tr*t:(tr+1)*t, tc*t:(tc+1)*t], "f32"))
+                cols["fmt"].append("f32")
+                cols["nodata"].append(spec.nodata)
+        return pa.table({"tile_row": pa.array(cols["tile_row"], pa.int32()),
+                         "tile_col": pa.array(cols["tile_col"], pa.int32()),
+                         "bytes": pa.array(cols["bytes"], pa.binary()),
+                         "fmt": pa.array(cols["fmt"], pa.string()),
+                         "nodata": pa.array(cols["nodata"], pa.float64())})
+
+    def _assemble(self, out_ds, spec):
+        from whitebox_tools_ray.kernels import codecs
+        t = spec.tile_px
+        full = np.zeros((spec.rows, spec.columns))
+        for _, row in out_ds.to_pandas().iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            full[int(row["tile_row"])*t:(int(row["tile_row"])+1)*t,
+                 int(row["tile_col"])*t:(int(row["tile_col"])+1)*t] = g
+        return full
+
+    def test_sigmoidal(self, ray_session):
+        import ray.data as rd
+        from whitebox_tools_ray.stages.stretch import sigmoidal_stretch
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        rng = np.random.RandomState(3)
+        full = np.float32(rng.uniform(10, 90, (16, 16))).astype(np.float64)
+        out = self._assemble(sigmoidal_stretch(rd.from_arrow(self._tiles(spec, full)),
+                                               cutoff=0.4, gain=2.0, num_tones=256), spec)
+        lo, hi = full.min(), full.max()
+        zn = (full - lo) / (hi - lo)
+        a = 1/(1+np.exp(2.0*0.4)); b = 1/(1+np.exp(2.0*(0.4-1.0))) - a
+        expect = (1/(1+np.exp(2.0*(0.4-zn))) - a)/b*255
+        np.testing.assert_allclose(np.float32(out), np.float32(expect), rtol=1e-5)
+
+    def test_bce_maps_min_mean_max(self, ray_session):
+        import ray.data as rd
+        from whitebox_tools_ray.stages.stretch import balance_contrast_enhancement
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        rng = np.random.RandomState(5)
+        full = np.float32(rng.uniform(50, 200, (16, 16))).astype(np.float64)
+        E = 100.0
+        out = self._assemble(balance_contrast_enhancement(
+            rd.from_arrow(self._tiles(spec, full)), e_mean=E), spec)
+        # parabola maps min→0, max→255 exactly; mean(out) ≈ E
+        np.testing.assert_allclose(out.min(), 0.0, atol=1e-6)
+        np.testing.assert_allclose(out.max(), 255.0, atol=1e-6)
+        assert abs(out.mean() - E) < 1.0
+
+    def test_histogram_matching_two_images(self, ray_session):
+        import ray.data as rd
+        from whitebox_tools_ray.stages.stretch import histogram_matching_two_images
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        rng = np.random.RandomState(7)
+        src = np.float32(rng.uniform(0, 50, (16, 16))).astype(np.float64)
+        ref = np.float32(rng.normal(500, 40, (16, 16))).astype(np.float64)
+        out = self._assemble(histogram_matching_two_images(
+            rd.from_arrow(self._tiles(spec, src)), rd.from_arrow(self._tiles(spec, ref)),
+            num_tones=64), spec)
+        # matched output's distribution ≈ reference's (quartiles close)
+        for q in (0.25, 0.5, 0.75):
+            assert abs(np.quantile(out, q) - np.quantile(ref, q)) < 25.0

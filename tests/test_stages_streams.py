@@ -515,3 +515,130 @@ class TestDistanceCostDatasetNative:
                              _tiles_ds_from_full(src, spec), spec, num_workers=2), spec)
         valid = cost != spec.nodata
         np.testing.assert_allclose(got[valid].astype(np.float32), whole[valid].astype(np.float32), rtol=1e-5)
+
+
+class TestStreamNetworkRemainder:
+    """Hand-walked oracles on a known link DAG.
+
+    Topology (ids after stream_links on the Y-network are not used here;
+    we construct links directly):
+
+        1 (len 10) ─┐
+                    ├─→ 3 (len 5) ─┐
+        2 (len 4)  ─┘              ├─→ 5 (len 8, outlet)
+        4 (len 20) ────────────────┘
+    """
+
+    def _links(self):
+        return [
+            {"link_id": 1, "cells": [(0, 0)], "length": 10.0, "ds_link": 3},
+            {"link_id": 2, "cells": [(0, 1)], "length": 4.0, "ds_link": 3},
+            {"link_id": 3, "cells": [(1, 1)], "length": 5.0, "ds_link": 5},
+            {"link_id": 4, "cells": [(2, 0)], "length": 20.0, "ds_link": 5},
+            {"link_id": 5, "cells": [(2, 2)], "length": 8.0, "ds_link": -1},
+        ]
+
+    def test_strahler_shreve(self):
+        links = self._links()
+        s = strahler_order(links)
+        assert s == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
+        from whitebox_tools_ray.stages.streams import shreve_magnitude
+
+        m = shreve_magnitude(links)
+        assert m == {1: 1, 2: 1, 3: 2, 4: 1, 5: 3}
+
+    def test_upstream_distance_and_trunk(self):
+        from whitebox_tools_ray.stages.streams import (
+            _trunk_child,
+            upstream_channel_distance,
+        )
+
+        links = self._links()
+        ud = upstream_channel_distance(links)
+        # link 3 top: max(10, 4) = 10; link 5 top: max(10+5, 20) = 15... vs 20 → 20
+        assert ud == {1: 0.0, 2: 0.0, 3: 10.0, 4: 0.0, 5: 20.0}
+        trunk = _trunk_child(links)
+        # at 3: upstream dists incl own length: 1→10, 2→4 → trunk 1
+        # at 5: 3→15, 4→20 → trunk 4
+        assert trunk == {3: 1, 5: 4}
+
+    def test_horton(self):
+        from whitebox_tools_ray.stages.streams import horton_order
+
+        links = self._links()
+        # strahler: 5→2; trunk path from outlet: 5→4 — so 4 gets 2;
+        # 3 restarts with its strahler 2; 3's trunk is 1 → 1 gets 2; 2 → 1
+        assert horton_order(links) == {5: 2, 4: 2, 3: 2, 1: 2, 2: 1}
+
+    def test_hack(self):
+        from whitebox_tools_ray.stages.streams import hack_order
+
+        links = self._links()
+        # outlet 5 = 1; trunk 4 continues 1; 3 = 2; 3's trunk 1 continues 2; 2 = 3
+        assert hack_order(links) == {5: 1, 4: 1, 3: 2, 1: 2, 2: 3}
+
+    def test_topological(self):
+        from whitebox_tools_ray.stages.streams import topological_order
+
+        assert topological_order(self._links()) == {5: 1, 3: 2, 4: 2, 1: 3, 2: 3}
+
+    def test_upstream_lengths_class_mainstem_tribs(self):
+        from whitebox_tools_ray.stages.streams import (
+            find_main_stem,
+            length_of_upstream_channels,
+            stream_link_class,
+            tributary_identifier,
+        )
+
+        links = self._links()
+        tot = length_of_upstream_channels(links)
+        assert tot == {1: 10.0, 2: 4.0, 3: 19.0, 4: 20.0, 5: 47.0}
+        assert stream_link_class(links) == {1: 1, 2: 1, 4: 1, 3: 2, 5: 2}
+        assert find_main_stem(links) == {5, 4}
+        trib = tributary_identifier(links)
+        # outlet tributary {5,4}; 3 starts a new one continued by 1; 2 its own
+        assert trib[5] == trib[4]
+        assert trib[3] == trib[1] != trib[5]
+        assert trib[2] not in (trib[5], trib[3])
+
+    def test_remove_short_and_rasterize(self):
+        from whitebox_tools_ray.stages.streams import (
+            rasterize_link_attr,
+            remove_short_streams,
+        )
+
+        links = self._links()
+        kept = {lk["link_id"] for lk in remove_short_streams(links, 8.0)}
+        assert kept == {1, 3, 4, 5}  # head link 2 (len 4) dropped
+        grid = np.array([[1, 2], [0, 3]], dtype=np.float64)
+        out = rasterize_link_attr(grid, {1: 10.0, 2: 20.0, 3: 30.0}, -1.0)
+        np.testing.assert_array_equal(out, [[10.0, 20.0], [-1.0, 30.0]])
+
+    def test_distance_to_outlet_and_farthest_head(self, ray_session):
+        from whitebox_tools_ray.stages.streams import (
+            distance_to_outlet,
+            farthest_channel_head,
+        )
+        from whitebox_tools_ray.kernels import codecs
+
+        spec = SceneSpec(tiles_x=1, tiles_y=1, tile_px=4)
+        # straight stream along row 1 flowing east (dir 1), outlet at col 3
+        ptr = np.full((4, 4), -1, dtype=np.float64)
+        ptr[1, 0] = ptr[1, 1] = ptr[1, 2] = 1
+        stream = np.zeros((4, 4))
+        stream[1, :] = 1.0
+        ptiles = {0: codecs.encode_tile(ptr, "i8")}
+        stiles = {0: stream}
+        d = distance_to_outlet(stiles, ptiles, spec)
+        np.testing.assert_allclose(d[1, :], [3 * spec.res, 2 * spec.res, spec.res, 0.0])
+        f = farthest_channel_head(stiles, ptiles, spec)
+        np.testing.assert_allclose(f[1, :], [0.0, spec.res, 2 * spec.res, 3 * spec.res])
+
+    def test_raster_streams_to_vector(self, ray_session):
+        from whitebox_tools_ray.stages.streams import raster_streams_to_vector
+
+        spec = SceneSpec(tiles_x=1, tiles_y=1, tile_px=4)
+        links = [{"link_id": 1, "cells": [(1, 0), (1, 1)], "length": spec.res, "ds_link": -1}]
+        recs = raster_streams_to_vector(np.zeros((4, 4)), links, spec)
+        assert len(recs) == 1 and recs[0]["record_id"] == 1
+        assert len(recs[0]["xs"]) == 2

@@ -201,6 +201,19 @@ def _register_all():
              "Per-tile polygon erase", "gis_analysis", [], "gis_analysis/erase_polygon_from_raster.rs")
     register("ExtractRasterValuesAtPoints", spatial_join.extract_values_at_points, "Point → cell gather",
              "gis_analysis", [], "gis_analysis/extract_raster_values_at_points.rs:243-258")
+    register("TINGridding", gridding.tin_gridding, "Per-tile Delaunay + barycentric interpolation",
+             "gis_analysis", [P("points_table", "Table"), P("spec", "SceneSpec")],
+             "gis_analysis/tin_gridding.rs; algorithms/delaunay_triangulation.rs:446")
+    register("LidarTINGridding", gridding.tin_gridding, "TIN gridding over a point cloud",
+             "lidar_analysis", [P("points_table", "Table"), P("spec", "SceneSpec")],
+             "lidar_analysis (lidar_tin_gridding.rs)")
+    register("ConstructVectorTIN", gridding.construct_vector_tin, "Delaunay triangles as polygons",
+             "gis_analysis", [P("points_table", "Table")], "gis_analysis/construct_vector_tin.rs")
+    register("LidarConstructVectorTIN", gridding.construct_vector_tin, "TIN polygons from a point cloud",
+             "lidar_analysis", [P("points_table", "Table")], "lidar_analysis/lidar_construct_vector_tin.rs")
+    register("VoronoiDiagram", gridding.voronoi_diagram, "Voronoi polygons clipped to a bbox",
+             "gis_analysis", [P("points_table", "Table"), P("bbox", "List")],
+             "gis_analysis/voronoi_diagram.rs")
     register("VectorHexBinning", zonal.cell_binning, "Cell-bin counts (hex/quad)", "gis_analysis",
              [P("ds", "Dataset"), P("x_col", "String"), P("y_col", "String"), P("kind", "OptionList")],
              "gis_analysis/vector_hex_bin.rs:313-386")
@@ -368,6 +381,16 @@ def _register_all():
              "image_analysis", [], "image_analysis/histogram_equalization.rs:252-296")
     register("PercentageContrastStretch", stretch.percentage_stretch, "Tail-clipped linear stretch",
              "image_analysis", [], "image_analysis/percentage_contrast_stretch.rs")
+    register("SigmoidalContrastStretch", stretch.sigmoidal_stretch, "Sigmoidal remap over global min/max",
+             "image_analysis", [], "image_analysis/sigmoidal_contrast_stretch.rs:25-36")
+    register("HistogramMatching", stretch.histogram_matching, "Inverse-reference-CDF remap",
+             "image_analysis", [], "image_analysis/histogram_matching.rs:274-340")
+    register("HistogramMatchingTwoImages", stretch.histogram_matching_two_images,
+             "Match one image's histogram to another's", "image_analysis",
+             [], "image_analysis/histogram_matching_two_images.rs")
+    register("BalanceContrastEnhancement", stretch.balance_contrast_enhancement,
+             "Liu 1991 BCET parabolic stretch", "image_analysis",
+             [], "image_analysis/balance_contrast_enhancement.rs")
     register("GaussianContrastStretch", stretch.gaussian_stretch, "Histogram-to-normal remap",
              "image_analysis", [], "image_analysis/gaussian_contrast_stretch.rs")
     col = __import__("whitebox_tools_ray.stages.color", fromlist=["x"])
@@ -435,6 +458,12 @@ def _register_all():
     register("FillDepressions", fl.fill_depressions_ds, "Hierarchical priority-flood fill (Dataset-native, exact)",
              "hydro_analysis", [P("dem_ds", "Dataset"), P("spec", "SceneSpec")],
              "hydro_analysis/fill_depressions.rs (Barnes-style hierarchical)")
+    register("DepthInSink", fl.depth_in_sink_ds, "Filled minus DEM inside depressions",
+             "hydro_analysis", [P("dem_ds", "Dataset"), P("spec", "SceneSpec")],
+             "hydro_analysis/depth_in_sink.rs")
+    register("Sink", fl.sink_ds, "Labeled depressions (fill > dem, clumped)",
+             "hydro_analysis", [P("dem_ds", "Dataset"), P("spec", "SceneSpec")],
+             "hydro_analysis/sink.rs")
 
     # terrain_analysis
     register("Slope", focal.slope, "Horn slope degrees", "terrain_analysis", [], "terrain_analysis/slope.rs:256-292")
@@ -458,6 +487,36 @@ def _register_all():
              "Strahler order on the link DAG", "stream_network_analysis", [], "stream_network_analysis/strahler_order.rs")
     register("ShreveStreamMagnitude", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).shreve_magnitude,
              "Shreve magnitude on the link DAG", "stream_network_analysis", [], "stream_network_analysis/shreve_magnitude.rs")
+    st = __import__("whitebox_tools_ray.stages.streams", fromlist=["x"])
+    register("HortonStreamOrder", st.horton_order, "Horton order (trunk carries outlet order)",
+             "stream_network_analysis", [], "stream_network_analysis/horton_order.rs")
+    register("HackStreamOrder", st.hack_order, "Hack order (main stream = 1)",
+             "stream_network_analysis", [], "stream_network_analysis/hack_order.rs")
+    register("TopologicalStreamOrder", st.topological_order, "Links-from-outlet order",
+             "stream_network_analysis", [], "stream_network_analysis/topological_stream_order.rs:16-19")
+    register("StreamLinkSlope", st.stream_link_slope, "Per-link gradient (z drop / length)",
+             "stream_network_analysis", [], "stream_network_analysis/stream_link_slope.rs")
+    register("StreamLinkLength", lambda links: {lk["link_id"]: lk["length"] for lk in links},
+             "Per-link channel length", "stream_network_analysis", [], "stream_network_analysis/stream_link_length.rs")
+    register("LengthOfUpstreamChannels", st.length_of_upstream_channels,
+             "Total upstream channel length per link", "stream_network_analysis",
+             [], "stream_network_analysis/total_length_channels.rs")
+    register("DistanceToOutlet", st.distance_to_outlet, "Flow-path distance to outlet per stream cell",
+             "stream_network_analysis", [], "stream_network_analysis/dist_to_outlet.rs")
+    register("FarthestChannelHead", st.farthest_channel_head, "Max upstream channel distance per stream cell",
+             "stream_network_analysis", [], "stream_network_analysis/farthest_channel_head.rs")
+    register("FindMainStem", st.find_main_stem, "Trunk links from each outlet",
+             "stream_network_analysis", [], "stream_network_analysis/find_main_stem.rs")
+    register("TributaryIdentifier", st.tributary_identifier, "Tributary ids (trunk continuation)",
+             "stream_network_analysis", [], "stream_network_analysis/tributary_id.rs")
+    register("RemoveShortStreams", st.remove_short_streams, "Drop short headwater links",
+             "stream_network_analysis", [], "stream_network_analysis/remove_short_streams.rs")
+    register("StreamLinkClass", st.stream_link_class, "Exterior/interior link classes",
+             "stream_network_analysis", [], "stream_network_analysis/stream_link_class.rs")
+    register("MaxBranchLength", st.max_branch_length, "Longest channel path through each link",
+             "terrain_analysis", [], "terrain_analysis/max_branch_length.rs (link form)")
+    register("RasterStreamsToVector", st.raster_streams_to_vector, "Link runs -> polylines (FID = link id)",
+             "stream_network_analysis", [], "stream_network_analysis/raster_streams_to_vector.rs")
     register("Basins", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).basins_ds,
              "Terminal labeling, Dataset-native border condensation", "hydro_analysis",
              [P("pointer_ds", "Dataset"), P("spec", "SceneSpec")], "hydro_analysis/basins.rs")

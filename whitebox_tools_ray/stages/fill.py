@@ -348,3 +348,77 @@ def fill_depressions_ds(dem_ds, spec, num_workers: int = 4, out_dir: str | None 
         num_workers,
         out_dir,
     )
+
+
+def depth_in_sink_ds(dem_ds, spec, zero_background: bool = False,
+                     num_workers: int = 4):
+    """DepthInSink (hydro_analysis/depth_in_sink.rs): filled − dem per
+    cell; cells outside sinks get 0 (``zero_background``) or nodata.
+    Composition: Dataset-native fill, then a keyed tile zip with the DEM
+    (one groupby — both layers stream)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..kernels import codecs
+    from .bsp import combine_tile_layers
+
+    filled = fill_depressions_ds(dem_ds, spec, num_workers=num_workers)
+    combined = combine_tile_layers(spec, deml=dem_ds, filll=filled)
+    nodata = spec.nodata
+    bg = 0.0 if zero_background else nodata
+
+    def depth(g: pd.DataFrame) -> pd.DataFrame:
+        row = g.iloc[0]
+        dem = codecs.decode_tile(bytes(row["deml"]), row["deml_fmt"])
+        fil = codecs.decode_tile(bytes(row["filll"]), row["filll_fmt"])
+        d = fil - dem
+        out = np.where(d > 1e-9, d, bg)
+        out[dem == nodata] = nodata
+        return pd.DataFrame(
+            {
+                "tile_row": [int(row["tile_row"])],
+                "tile_col": [int(row["tile_col"])],
+                "bytes": [codecs.encode_tile(out, "f32")],
+                "fmt": ["f32"],
+            }
+        )
+
+    return combined.map_batches(
+        lambda b: pd.concat([depth(b.iloc[[i]]) for i in range(len(b))], ignore_index=True),
+        batch_format="pandas",
+    )
+
+
+def sink_ds(dem_ds, spec, num_workers: int = 4):
+    """Sink (hydro_analysis/sink.rs): label each distinct depression —
+    cells where the filled surface exceeds the DEM — with a unique id
+    (connected-component labeling of the depth mask via the
+    Dataset-native clump). Returns (labels Dataset, n_sinks)."""
+    from .cc import clump_ds
+
+    depth = depth_in_sink_ds(dem_ds, spec, zero_background=True, num_workers=num_workers)
+
+    # binarize the depth tiles (clump groups by VALUE equality)
+    import pandas as pd
+
+    from ..kernels import codecs
+
+    nodata = spec.nodata
+
+    def binarize(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in b.iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            m = np.where(g == nodata, nodata, (g > 0).astype(np.float64))
+            out.append(
+                {
+                    "tile_row": int(row["tile_row"]),
+                    "tile_col": int(row["tile_col"]),
+                    "bytes": codecs.encode_tile(m, "f32"),
+                    "fmt": "f32",
+                }
+            )
+        return pd.DataFrame(out)
+
+    mask = depth.map_batches(binarize, batch_format="pandas")
+    return clump_ds(mask, spec, diag=True, zero_background=True)

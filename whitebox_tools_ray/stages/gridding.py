@@ -189,3 +189,122 @@ def block_gridding(points_ds, gs: GridSpec, stat: str = "max", x_col="x", y_col=
 
     agg = Max(z_col, alias_name="VALUE") if stat == "max" else Min(z_col, alias_name="VALUE")
     return points_ds.map_batches(assign, batch_format="pyarrow").groupby("cell").aggregate(agg)
+
+
+def tin_gridding(
+    points_table: pa.Table,
+    spec,
+    margin_cells: float = 8.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "value",
+    concurrency=(1, 8),
+):
+    """TINGridding (gis_analysis/tin_gridding.rs / LidarTINGridding):
+    per-tile Delaunay + barycentric interpolation of cell centers
+    (kernels/delaunay.py Bowyer-Watson).
+
+    Partitioning: points co-partition to tiles with a ``margin_cells``-
+    cell neighbor-duplication margin so border triangles form
+    identically on both sides of a tile edge; triangles wider than the
+    margin (very sparse areas) fall back to nodata — the documented
+    assumption of the SURVEY §2.4 per-partition plan."""
+    import ray
+
+    from ..kernels.delaunay import delaunay, tin_interpolate
+
+    px = points_table.column(x_col).to_numpy().astype(np.float64)
+    py = points_table.column(y_col).to_numpy().astype(np.float64)
+    pz = points_table.column(z_col).to_numpy().astype(np.float64)
+    margin = margin_cells * spec.res
+    by_tile = _points_by_tile(px, py, pz, spec, margin)
+    ref = ray.put(by_tile)
+
+    class TinActor:
+        def __init__(self):
+            self.by_tile = ray.get(ref)
+            self.gs = spec.grid_spec()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..kernels import codecs
+
+            tpx = spec.tile_px
+            tids = batch["tile_id"].to_numpy(zero_copy_only=False)
+            blobs = []
+            for t in tids:
+                t = int(t)
+                tr, tc = t // spec.tiles_x, t % spec.tiles_x
+                out = np.full((tpx, tpx), self.gs.nodata)
+                pts = self.by_tile.get(t)
+                if pts is not None and len(pts[0]) >= 3:
+                    p = np.column_stack([pts[0], pts[1]])
+                    tris = delaunay(p)
+                    rows = np.arange(tr * tpx, (tr + 1) * tpx)
+                    cols = np.arange(tc * tpx, (tc + 1) * tpx)
+                    gx, gy = np.meshgrid(self.gs.x_from_col(cols), self.gs.y_from_row(rows))
+                    out = tin_interpolate(p, pts[2], tris, gx, gy, self.gs.nodata)
+                blobs.append(codecs.encode_tile(out, "f32"))
+            return pa.table(
+                {
+                    "tile_id": batch["tile_id"],
+                    "tile_row": pa.array(tids // spec.tiles_x, pa.int64()),
+                    "tile_col": pa.array(tids % spec.tiles_x, pa.int64()),
+                    "bytes": pa.array(blobs, pa.binary()),
+                    "fmt": pa.array(["f32"] * len(blobs), pa.string()),
+                }
+            )
+
+    import ray.data as rd
+
+    n_tiles = spec.tiles_x * spec.tiles_y
+    tiles = rd.range(n_tiles).map_batches(
+        lambda b: pa.table({"tile_id": pa.array(b["id"].to_numpy(zero_copy_only=False), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return tiles.map_batches(
+        TinActor, batch_format="pyarrow", batch_size=4, concurrency=concurrency
+    )
+
+
+def construct_vector_tin(points_table: pa.Table, x_col="x", y_col="y", z_col="value"):
+    """ConstructVectorTIN (construct_vector_tin.rs): the triangle list as
+    polygon records (FID = triangle index, vertices CCW)."""
+    from ..kernels.delaunay import delaunay
+
+    px = points_table.column(x_col).to_numpy().astype(np.float64)
+    py = points_table.column(y_col).to_numpy().astype(np.float64)
+    pz = points_table.column(z_col).to_numpy().astype(np.float64)
+    p = np.column_stack([px, py])
+    tris = delaunay(p)
+    recs = []
+    for i, t in enumerate(tris):
+        xs = [float(px[t[0]]), float(px[t[1]]), float(px[t[2]]), float(px[t[0]])]
+        ys = [float(py[t[0]]), float(py[t[1]]), float(py[t[2]]), float(py[t[0]])]
+        recs.append(
+            {
+                "record_id": i + 1,
+                "parts": [0],
+                "xs": xs,
+                "ys": ys,
+                "z_mean": float((pz[t[0]] + pz[t[1]] + pz[t[2]]) / 3.0),
+            }
+        )
+    return recs
+
+
+def voronoi_diagram(points_table: pa.Table, bbox, x_col="x", y_col="y"):
+    """VoronoiDiagram (voronoi_diagram.rs): one polygon record per input
+    point, clipped to ``bbox``."""
+    from ..kernels.delaunay import voronoi_cells
+
+    px = points_table.column(x_col).to_numpy().astype(np.float64)
+    py = points_table.column(y_col).to_numpy().astype(np.float64)
+    cells = voronoi_cells(np.column_stack([px, py]), bbox)
+    recs = []
+    for i, c in enumerate(cells):
+        if len(c) < 3:
+            continue
+        xs = [float(v) for v in c[:, 0]] + [float(c[0, 0])]
+        ys = [float(v) for v in c[:, 1]] + [float(c[0, 1])]
+        recs.append({"record_id": i + 1, "parts": [0], "xs": xs, "ys": ys})
+    return recs

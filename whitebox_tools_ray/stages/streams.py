@@ -183,3 +183,287 @@ def shreve_magnitude(links: list[dict]) -> dict[int, int]:
         compute(lk["link_id"])
     sys.setrecursionlimit(old)
     return mag
+
+
+# ---------------------------------------------------------------------------
+# Round 2: the stream-network remainder on the link DAG. All consume the
+# ``links`` table from ``stream_links`` (junction-to-junction link graph
+# with lengths + downstream pointers) — the reference walks whole-raster
+# arrays; the link table is O(drainage density × cells), so the graph
+# phase is tiny and the raster-scale work stayed distributed upstream.
+# ---------------------------------------------------------------------------
+
+
+def _ups_map(links: list[dict]) -> dict[int, list[int]]:
+    ups: dict[int, list[int]] = defaultdict(list)
+    for lk in links:
+        if lk["ds_link"] != -1:
+            ups[lk["ds_link"]].append(lk["link_id"])
+    return ups
+
+
+def _topo_order_links(links: list[dict]) -> list[dict]:
+    """Links in upstream→downstream topological order (iterative)."""
+    ups = _ups_map(links)
+    by_id = {lk["link_id"]: lk for lk in links}
+    indeg = {lk["link_id"]: len(ups.get(lk["link_id"], [])) for lk in links}
+    stack = [lid for lid, d in indeg.items() if d == 0]
+    out = []
+    while stack:
+        lid = stack.pop()
+        out.append(by_id[lid])
+        ds = by_id[lid]["ds_link"]
+        if ds != -1 and ds in indeg:
+            indeg[ds] -= 1
+            if indeg[ds] == 0:
+                stack.append(ds)
+    return out
+
+
+def upstream_channel_distance(links: list[dict]) -> dict[int, float]:
+    """Furthest-upstream channel distance at each link's TOP node — the
+    reference's ``trib_length`` trunk criterion (horton_order.rs:397-399,
+    hack_order.rs:285-399)."""
+    updist: dict[int, float] = {}
+    ups = _ups_map(links)
+    by_id = {lk["link_id"]: lk for lk in links}
+    for lk in _topo_order_links(links):
+        u = ups.get(lk["link_id"], [])
+        updist[lk["link_id"]] = (
+            max(updist[x] + by_id[x]["length"] for x in u) if u else 0.0
+        )
+    return updist
+
+
+def _trunk_child(links: list[dict]) -> dict[int, int]:
+    """For each link with upstreams: the TRUNK upstream link — max
+    furthest-upstream distance (ties → lower link id)."""
+    ups = _ups_map(links)
+    updist = upstream_channel_distance(links)
+    by_id = {lk["link_id"]: lk for lk in links}
+    trunk = {}
+    for lid, u in ups.items():
+        trunk[lid] = min(u, key=lambda x: (-(updist[x] + by_id[x]["length"]), x))
+    return trunk
+
+
+def horton_order(links: list[dict]) -> dict[int, int]:
+    """Horton order (horton_order.rs): Strahler, then the main trunk —
+    chosen by furthest upstream channel distance at each junction —
+    carries the outlet's order upstream; tributaries restart with their
+    own Strahler order (which propagates up THEIR trunks)."""
+    strah = strahler_order(links)
+    trunk = _trunk_child(links)
+    horton: dict[int, int] = {}
+    # downstream→upstream topological order
+    for lk in reversed(_topo_order_links(links)):
+        lid = lk["link_id"]
+        ds = lk["ds_link"]
+        if ds != -1 and trunk.get(ds) == lid:
+            horton[lid] = horton[ds]
+        else:
+            horton[lid] = strah[lid]
+    return horton
+
+
+def hack_order(links: list[dict]) -> dict[int, int]:
+    """Hack order (hack_order.rs): outlet link = 1; the trunk upstream
+    (furthest-upstream-distance rule) continues the order; other
+    tributaries get parent + 1."""
+    trunk = _trunk_child(links)
+    hack: dict[int, int] = {}
+    for lk in reversed(_topo_order_links(links)):
+        lid = lk["link_id"]
+        ds = lk["ds_link"]
+        if ds == -1:
+            hack[lid] = 1
+        elif trunk.get(ds) == lid:
+            hack[lid] = hack[ds]
+        else:
+            hack[lid] = hack[ds] + 1
+    return hack
+
+
+def topological_order(links: list[dict]) -> dict[int, int]:
+    """TopologicalStreamOrder (topological_stream_order.rs:16-19): the
+    link draining to the outlet = 1; every tributary = parent + 1."""
+    topo: dict[int, int] = {}
+    for lk in reversed(_topo_order_links(links)):
+        lid = lk["link_id"]
+        ds = lk["ds_link"]
+        topo[lid] = 1 if ds == -1 else topo[ds] + 1
+    return topo
+
+
+def stream_link_slope(links: list[dict], dem: np.ndarray, res: float) -> dict[int, float]:
+    """StreamLinkSlope (stream_link_slope.rs): (z_top − z_bottom) /
+    link length, as percent-free gradient (radians-free ratio)."""
+    out = {}
+    for lk in links:
+        r0, c0 = lk["cells"][0]
+        r1, c1 = lk["cells"][-1]
+        out[lk["link_id"]] = (
+            (float(dem[r0, c0]) - float(dem[r1, c1])) / lk["length"] if lk["length"] > 0 else 0.0
+        )
+    return out
+
+
+def length_of_upstream_channels(links: list[dict]) -> dict[int, float]:
+    """LengthOfUpstreamChannels (total_length_channels.rs): per link, the
+    total channel length upstream of (and including) the link."""
+    ups = _ups_map(links)
+    total: dict[int, float] = {}
+    for lk in _topo_order_links(links):
+        lid = lk["link_id"]
+        total[lid] = lk["length"] + sum(total[x] for x in ups.get(lid, []))
+    return total
+
+
+def distance_to_outlet(stream_tiles: dict[int, np.ndarray], pointer_tiles: dict[int, bytes], spec):
+    """DistanceToOutlet (dist_to_outlet.rs): per stream cell, flow-path
+    distance to the network outlet; non-stream cells → nodata."""
+    from .basins import _doubling_to_targets, _pointer_mosaic
+
+    ptr = _pointer_mosaic(pointer_tiles, spec)
+    stream = _mosaic(stream_tiles, spec) == 1.0
+    diag = float(np.sqrt(2.0)) * spec.res
+    lengths = np.where((DY8 != 0) & (DX8 != 0), diag, spec.res)
+    d = np.where(ptr >= 0, ptr, 0).astype(np.int64)
+    step = np.where(ptr >= 0, lengths[d], 0.0)
+    dist, _reached, _term = _doubling_to_targets(ptr, np.zeros(ptr.shape, dtype=bool), step)
+    out = np.where(stream, dist, spec.nodata)
+    out[ptr == -2] = spec.nodata
+    return out
+
+
+def farthest_channel_head(stream_tiles: dict[int, np.ndarray], pointer_tiles: dict[int, bytes], spec):
+    """FarthestChannelHead (farthest_channel_head.rs): per stream cell,
+    the maximum upstream channel distance to any head."""
+    from .basins import _pointer_mosaic
+
+    ptr = _pointer_mosaic(pointer_tiles, spec)
+    stream = _mosaic(stream_tiles, spec) == 1.0
+    rows, cols = ptr.shape
+    diag = float(np.sqrt(2.0)) * spec.res
+    lengths = [diag, spec.res, diag, spec.res, diag, spec.res, diag, spec.res]
+    INFLOW_OF = np.array([4, 5, 6, 7, 0, 1, 2, 3], dtype=np.int8)
+    # in-degree over STREAM cells only
+    indeg = np.zeros((rows, cols), dtype=np.int32)
+    out = np.full((rows, cols), spec.nodata)
+    out[stream] = 0.0
+    ptr_pad = np.full((rows + 2, cols + 2), -2, dtype=np.int8)
+    ptr_pad[1:-1, 1:-1] = ptr
+    s_pad = np.zeros((rows + 2, cols + 2), dtype=bool)
+    s_pad[1:-1, 1:-1] = stream
+    for i in range(8):
+        np_ = ptr_pad[1 + DY8[i] : 1 + DY8[i] + rows, 1 + DX8[i] : 1 + DX8[i] + cols]
+        ns = s_pad[1 + DY8[i] : 1 + DY8[i] + rows, 1 + DX8[i] : 1 + DX8[i] + cols]
+        indeg += ((np_ == INFLOW_OF[i]) & ns).astype(np.int32)
+    stack = [(int(r), int(c)) for r, c in zip(*np.nonzero(stream & (indeg == 0)))]
+    while stack:
+        r, c = stack.pop()
+        dcur = int(ptr[r, c])
+        if dcur < 0:
+            continue
+        rn, cn = r + int(DY8[dcur]), c + int(DX8[dcur])
+        if not (0 <= rn < rows and 0 <= cn < cols) or not stream[rn, cn]:
+            continue
+        cand = out[r, c] + lengths[dcur]
+        if cand > out[rn, cn]:
+            out[rn, cn] = cand
+        indeg[rn, cn] -= 1
+        if indeg[rn, cn] == 0:
+            stack.append((rn, cn))
+    return out
+
+
+def find_main_stem(links: list[dict]) -> set[int]:
+    """FindMainStem (find_main_stem.rs): link ids on the trunk path from
+    each outlet, following the furthest-upstream-distance rule."""
+    trunk = _trunk_child(links)
+    main: set[int] = set()
+    for lk in links:
+        if lk["ds_link"] == -1:
+            lid = lk["link_id"]
+            while lid is not None:
+                main.add(lid)
+                lid = trunk.get(lid)
+    return main
+
+
+def tributary_identifier(links: list[dict]) -> dict[int, int]:
+    """TributaryIdentifier (tributary_id.rs): links on the same
+    tributary (trunk continuation) share an id; each non-trunk upstream
+    link starts a new tributary id (ids 1..n in outlet-first order)."""
+    trunk = _trunk_child(links)
+    trib: dict[int, int] = {}
+    next_id = 1
+    for lk in reversed(_topo_order_links(links)):
+        lid = lk["link_id"]
+        ds = lk["ds_link"]
+        if ds == -1 or trunk.get(ds) != lid:
+            trib[lid] = next_id
+            next_id += 1
+        else:
+            trib[lid] = trib[ds]
+    return trib
+
+
+def remove_short_streams(links: list[dict], min_length: float) -> list[dict]:
+    """RemoveShortStreams (remove_short_streams.rs): drop HEADWATER links
+    shorter than ``min_length`` (interior links always stay)."""
+    ups = _ups_map(links)
+    return [
+        lk
+        for lk in links
+        if ups.get(lk["link_id"]) or lk["length"] >= min_length
+    ]
+
+
+def stream_link_class(links: list[dict]) -> dict[int, int]:
+    """StreamLinkClass (stream_link_class.rs link-level form): exterior
+    (headwater) links = 1, interior links = 2. (Cell-level node codes:
+    3 head, 4 junction, 5 outlet — see the reference's per-cell pass.)"""
+    ups = _ups_map(links)
+    return {lk["link_id"]: (1 if not ups.get(lk["link_id"]) else 2) for lk in links}
+
+
+def max_branch_length(links: list[dict]) -> dict[int, float]:
+    """MaxBranchLength-style metric on links: the longest upstream
+    channel path THROUGH each link (updist + own length)."""
+    updist = upstream_channel_distance(links)
+    return {lk["link_id"]: updist[lk["link_id"]] + lk["length"] for lk in links}
+
+
+def rasterize_link_attr(link_grid: np.ndarray, attr: dict[int, float], nodata: float) -> np.ndarray:
+    """Paint a per-link attribute back onto the link-id grid (the
+    reference's standard output form for all ordering tools)."""
+    out = np.full(link_grid.shape, nodata)
+    m = link_grid > 0
+    if m.any():
+        ids = link_grid[m].astype(np.int64)
+        keys = np.array(sorted(attr), dtype=np.int64)
+        vals = np.array([attr[k] for k in keys], dtype=np.float64)
+        out[m] = vals[np.searchsorted(keys, ids)]
+    return out
+
+
+def raster_streams_to_vector(link_grid: np.ndarray, links: list[dict], spec):
+    """RasterStreamsToVector (raster_streams_to_vector.rs): each link's
+    cell run becomes a polyline through the cell centers, FID = link id."""
+    gs = spec.grid_spec()
+    recs = []
+    for lk in links:
+        xs = [float(gs.x_from_col(c)) for _r, c in lk["cells"]]
+        ys = [float(gs.y_from_row(r)) for r, _c in lk["cells"]]
+        recs.append(
+            {
+                "record_id": lk["link_id"],
+                "parts": [0],
+                "xs": xs,
+                "ys": ys,
+                "ds_link": lk["ds_link"],
+                "length": lk["length"],
+            }
+        )
+    return recs

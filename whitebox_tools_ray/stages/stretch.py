@@ -174,3 +174,117 @@ def _norm_ppf(p: np.ndarray) -> np.ndarray:
             ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
         )
     return out
+
+
+def sigmoidal_stretch(tiles_ds, cutoff: float = 0.0, gain: float = 1.0,
+                      num_tones: int = 1024, out_fmt: str = "f32"):
+    """SigmoidalContrastStretch (sigmoidal_contrast_stretch.rs:25-36):
+    z normalized to [0,1] over the global min/max, then
+    ``z_out = ((1/(1+exp(gain*(cutoff−z))) − a)/b) * (num_tones−1)``
+    with a = 1/(1+exp(gain*cutoff)),
+    b = 1/(1+exp(gain*(cutoff−1))) − a. GA (min/max) → M remap."""
+    lo, hi = _pixel_minmax(tiles_ds)
+    span = (hi - lo) or 1.0
+    a = 1.0 / (1.0 + np.exp(gain * cutoff))
+    b = 1.0 / (1.0 + np.exp(gain * (cutoff - 1.0))) - a
+
+    def fn(g: np.ndarray) -> np.ndarray:
+        zn = (g - lo) / span
+        return (1.0 / (1.0 + np.exp(gain * (cutoff - zn))) - a) / b * (num_tones - 1)
+
+    return _remap_tiles(tiles_ds, fn, out_fmt)
+
+
+def histogram_matching(tiles_ds, ref_cdf_x: np.ndarray, ref_cdf_p: np.ndarray,
+                       num_tones: int = 1024, out_fmt: str = "f32"):
+    """HistogramMatching (histogram_matching.rs:274-340): source CDF per
+    bin; each pixel's cumulative probability maps through the INVERSE
+    reference CDF (linear interpolation — the reference's x1/x2/p1/p2
+    walk is exactly np.interp on the monotone CDF)."""
+    lo, hi = _pixel_minmax(tiles_ds)
+    edges, counts = _tile_histograms(tiles_ds, num_tones, lo, hi + 1e-9)
+    cdf = np.cumsum(counts).astype(np.float64)
+    cdf /= max(cdf[-1], 1.0)
+    ref_cdf_x = np.asarray(ref_cdf_x, dtype=np.float64)
+    ref_cdf_p = np.asarray(ref_cdf_p, dtype=np.float64)
+
+    def fn(g: np.ndarray) -> np.ndarray:
+        bins = np.clip(((g - lo) / (hi + 1e-9 - lo) * num_tones).astype(np.int64), 0, num_tones - 1)
+        return np.interp(cdf[bins], ref_cdf_p, ref_cdf_x)
+
+    return _remap_tiles(tiles_ds, fn, out_fmt)
+
+
+def histogram_matching_two_images(tiles_ds, ref_tiles_ds, num_tones: int = 1024,
+                                  out_fmt: str = "f32"):
+    """HistogramMatchingTwoImages (histogram_matching_two_images.rs): the
+    reference CDF comes from a second tile Dataset (GA on both inputs,
+    then the same inverse-CDF remap)."""
+    rlo, rhi = _pixel_minmax(ref_tiles_ds)
+    redges, rcounts = _tile_histograms(ref_tiles_ds, num_tones, rlo, rhi + 1e-9)
+    rcdf = np.cumsum(rcounts).astype(np.float64)
+    rcdf /= max(rcdf[-1], 1.0)
+    # reference CDF sampled at bin centers
+    centers = (redges[:-1] + redges[1:]) / 2.0
+    return histogram_matching(tiles_ds, centers, rcdf, num_tones, out_fmt)
+
+
+def balance_contrast_enhancement(tiles_ds, e_mean: float = 100.0,
+                                 out_min: float = 0.0, out_max: float = 255.0,
+                                 out_fmt: str = "f32"):
+    """BalanceContrastEnhancement (balance_contrast_enhancement.rs, Liu
+    1991 BCET): parabolic stretch y = a(x−b)² + c mapping the band's
+    (min, mean, max) to (L, E, H) while keeping histogram shape.
+
+        b = (h²(E−L) − s(H−L) + l²(H−E)) / (2·(h(E−L) − e(H−L) + l(H−E)))
+        a = (H−L) / ((h−l)(h+l−2b)),   c = L − a(l−b)²
+
+    with l/h/e = band min/max/mean and s = band mean square. GA → M."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = 0
+        tot = 0.0
+        tot2 = 0.0
+        lo, hi = np.inf, -np.inf
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            nod = batch["nodata"][i].as_py() if "nodata" in batch.schema.names else None
+            v = g[g != nod].ravel() if nod is not None else g.ravel()
+            if v.size:
+                n += v.size
+                tot += float(v.sum())
+                tot2 += float((v * v).sum())
+                lo = min(lo, float(v.min()))
+                hi = max(hi, float(v.max()))
+        return pa.table({"k": [0], "n": [n], "tot": [tot], "tot2": [tot2], "lo": [lo], "hi": [hi]})
+
+    from ray.data.aggregate import Max, Min
+
+    agg = (
+        tiles_ds.map_batches(partial, batch_format="pyarrow", batch_size=16)
+        .groupby("k")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("tot", alias_name="tot"),
+            Sum("tot2", alias_name="tot2"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    l, h = float(agg["lo"]), float(agg["hi"])
+    n = max(int(agg["n"]), 1)
+    e = float(agg["tot"]) / n
+    s = float(agg["tot2"]) / n
+    L, H, E = out_min, out_max, e_mean
+    denom = 2.0 * (h * (E - L) - e * (H - L) + l * (H - E))
+    b = (h * h * (E - L) - s * (H - L) + l * l * (H - E)) / (denom or 1e-30)
+    a = (H - L) / (((h - l) * (h + l - 2.0 * b)) or 1e-30)
+    c = L - a * (l - b) ** 2
+
+    def fn(g: np.ndarray) -> np.ndarray:
+        return a * (g - b) ** 2 + c
+
+    return _remap_tiles(tiles_ds, fn, out_fmt)
