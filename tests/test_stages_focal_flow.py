@@ -207,3 +207,46 @@ class TestFlowAccumulationDatasetNative:
         _fdir, expect = whole_raster_d8(grid, spec)
         valid = grid != spec.nodata
         np.testing.assert_array_equal(got[valid], expect[valid])
+
+
+class TestWindowedTerrainStats:
+    def _whole_oracle(self, grid, radius, stat, nodata):
+        rows, cols = grid.shape
+        out = np.full_like(grid, nodata)
+        for r in range(rows):
+            for c in range(cols):
+                z = grid[r, c]
+                if z == nodata:
+                    continue
+                r0, r1 = max(0, r - radius), min(rows, r + radius + 1)
+                c0, c1 = max(0, c - radius), min(cols, c + radius + 1)
+                win = grid[r0:r1, c0:c1]
+                win = win[win != nodata]
+                mean = win.mean()
+                if stat == "dev_from_mean":
+                    std = win.std()
+                    out[r, c] = (z - mean) / std if std > 0 else 0.0
+                elif stat == "diff_from_mean":
+                    out[r, c] = z - mean
+                elif stat == "percent_elev_range":
+                    rng = win.max() - win.min()
+                    out[r, c] = z / rng * 100.0 if rng > 0 else 0.0
+                elif stat == "elev_percentile":
+                    out[r, c] = (win < z).sum() / win.size * 100.0
+        return out
+
+    def test_windowed_stats_match_whole(self, scene, ray_session):
+        from whitebox_tools_ray.stages.focal import window_stat_op
+
+        spec, table, grid = scene
+        for stat in ["dev_from_mean", "diff_from_mean", "percent_elev_range", "elev_percentile"]:
+            out = window_stat_op(rd.from_arrow(table), spec, stat, radius=2).to_pandas()
+            got = assemble_result(out, spec)
+            expect = self._whole_oracle(grid, 2, stat, spec.nodata)
+            valid = grid != spec.nodata
+            # edge cells: the tiled pad treats out-of-scene as nodata =
+            # excluded, same as the whole-raster window clamp → equal
+            np.testing.assert_allclose(
+                np.float32(got[valid]), np.float32(expect[valid]), rtol=1e-4, atol=1e-4,
+                err_msg=stat,
+            )

@@ -359,3 +359,68 @@ class TestRound2DedupFixes:
         assert comp[1] == comp[2] == comp[3] == 1
         assert comp[10] == comp[11] == comp[12] == 10
         assert comp[20] == comp[21] == 20
+
+
+class TestLidarPointStream:
+    @pytest.fixture()
+    def cloud(self):
+        rng = np.random.RandomState(8)
+        n = 2000
+        return pd.DataFrame(
+            {
+                "point_id": np.arange(n),
+                "x": rng.uniform(0, 100, n),
+                "y": rng.uniform(0, 100, n),
+                "z": rng.uniform(0, 50, n),
+                "class_": rng.choice([1, 2, 5, 7], n).astype(np.int32),
+                "scan_angle": rng.uniform(-20, 20, n),
+                "flightline": rng.choice([1, 2], n).astype(np.int64),
+                "gps_time": rng.uniform(0, 1000, n),
+            }
+        )
+
+    def test_filters(self, ray_session, cloud):
+        import ray.data as rd
+        from whitebox_tools_ray import api
+
+        ds = rd.from_pandas(cloud)
+        out = api.run("FilterLidarClasses", ds, exclude=[7]).to_pandas()
+        assert (out["class_"] != 7).all()
+        assert len(out) == (cloud["class_"] != 7).sum()
+        out = api.run("FilterLidarScanAngles", ds, threshold=10.0).to_pandas()
+        assert (out["scan_angle"].abs() <= 10.0).all()
+        out = api.run("LidarElevationSlice", ds, minz=10.0, maxz=20.0, cls=8).to_pandas()
+        assert ((out["z"] >= 10) & (out["z"] <= 20)).all()
+        assert (out["class_"] == 8).all()
+
+    def test_thin_and_density(self, ray_session, cloud):
+        import ray.data as rd
+        from whitebox_tools_ray import api
+
+        ds = rd.from_pandas(cloud)
+        thin = api.run("LidarThin", ds, resolution=10.0, method="lowest").to_pandas()
+        # at most one point per 10x10 cell
+        key = (np.floor(thin["x"] / 10).astype(int) * 1000 + np.floor(thin["y"] / 10).astype(int))
+        assert key.is_unique
+        # survivor is the cell minimum z
+        cell_all = (np.floor(cloud["x"] / 10).astype(int) * 1000 + np.floor(cloud["y"] / 10).astype(int))
+        zmin = cloud.groupby(cell_all)["z"].min()
+        for k, z in zip(key, thin["z"]):
+            assert np.isclose(z, zmin[k])
+        dens = api.run("LidarPointDensity", ds, resolution=10.0).to_pandas()
+        assert np.isclose(dens["density"].sum() * 100.0, len(cloud))
+
+    def test_overlap(self, ray_session, cloud):
+        import ray.data as rd
+        from whitebox_tools_ray import api
+
+        ds = rd.from_pandas(cloud)
+        fo = api.run("FlightlineOverlap", ds, resolution=25.0).to_pandas()
+        assert set(fo["n_flightlines"]) <= {1, 2}
+        marked = api.run("ClassifyOverlapPoints", ds, resolution=25.0).to_pandas()
+        assert len(marked) == len(cloud)
+        # in each cell, the earliest-gps flightline is never overlap
+        cell = (np.floor(marked["x"] / 25).astype(int) * 1000 + np.floor(marked["y"] / 25).astype(int))
+        for k, g in marked.groupby(cell):
+            first_fl = g.loc[g["gps_time"].idxmin(), "flightline"]
+            assert not g[g["flightline"] == first_fl]["overlap"].any()

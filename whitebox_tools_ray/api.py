@@ -166,6 +166,26 @@ def _register_all():
              [], "gis_analysis/raster_cell_assignment.rs")
     register("IntegralImage", ro.integral_image_tiled, "Exact tiled summed-area table", "image_analysis",
              [], "image_analysis/integral_image.rs")
+    fo = __import__("whitebox_tools_ray.stages.focal", fromlist=["x"])
+    register("DevFromMeanElev", lambda ds, spec, radius=3: fo.window_stat_op(ds, spec, "dev_from_mean", radius),
+             "Windowed local z-score (integral image)", "terrain_analysis",
+             [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("radius", "Integer")],
+             "terrain_analysis/dev_from_mean_elev.rs")
+    register("DiffFromMeanElev", lambda ds, spec, radius=3: fo.window_stat_op(ds, spec, "diff_from_mean", radius),
+             "z minus windowed mean", "terrain_analysis", [],
+             "terrain_analysis/diff_from_mean_elev.rs")
+    register("PercentElevRange", lambda ds, spec, radius=3: fo.window_stat_op(ds, spec, "percent_elev_range", radius),
+             "z over windowed range x100", "terrain_analysis", [],
+             "terrain_analysis/percent_elev_range.rs:25")
+    register("RelativeTopographicPosition", lambda ds, spec, radius=3: fo.window_stat_op(ds, spec, "relative_topographic_position", radius),
+             "Two-sided (z-mean)/relief position", "terrain_analysis", [],
+             "terrain_analysis/relative_topographic_position.rs:26-34")
+    register("ElevPercentile", lambda ds, spec, radius=3: fo.window_stat_op(ds, spec, "elev_percentile", radius),
+             "Percent of window cells below z", "terrain_analysis", [],
+             "terrain_analysis/elev_percentile.rs")
+    register("MaxDifferenceFromMean", lambda ds, spec, radius=3: fo.window_stat_op(ds, spec, "diff_from_mean", radius),
+             "Diff-from-mean at the given scale (single-scale form)", "terrain_analysis", [],
+             "terrain_analysis/max_diff_from_mean.rs (single-scale slice)")
     register("CreateColourComposite", ro.create_colour_composite, "Pack RGB into composite float",
              "image_analysis", [], "image_analysis/create_colour_composite.rs; raster/mod.rs:604-611")
     register("SplitColourComposite", ro.split_colour_composite, "Unpack composite -> r/g/b",
@@ -294,6 +314,25 @@ def _register_all():
 
     register("LidarTile", lambda ds, tg, **kw: assign.assign_tiles(ds, tg, **kw), "Tile-grid assignment",
              "lidar_analysis", [P("ds", "Dataset"), P("tile_grid", "TileGrid")], "lidar_analysis/lidar_tile.rs:257-281")
+    li = __import__("whitebox_tools_ray.stages.lidar", fromlist=["x"])
+    register("FilterLidarClasses", li.filter_lidar_classes, "Drop excluded point classes",
+             "lidar_analysis", [P("ds", "Dataset"), P("exclude", "StringList")],
+             "lidar_analysis/filter_lidar_classes.rs")
+    register("FilterLidarScanAngles", li.filter_scan_angles, "Drop |scan angle| > threshold",
+             "lidar_analysis", [], "lidar_analysis/filter_lidar_scan_angles.rs")
+    register("LidarElevationSlice", li.elevation_slice, "Keep minz<=z<=maxz, optional reclass",
+             "lidar_analysis", [], "lidar_analysis/lidar_elevation_slice.rs")
+    register("LidarThin", li.lidar_thin, "One survivor per resolution cell (first/lowest/highest)",
+             "lidar_analysis", [], "lidar_analysis/lidar_thin.rs")
+    register("LidarThinHighDensity", li.lidar_thin, "Cell thinning (density cap form)",
+             "lidar_analysis", [], "lidar_analysis/lidar_thin_high_density.rs")
+    register("LidarPointDensity", li.point_density, "Points per unit area on a grid",
+             "lidar_analysis", [], "lidar_analysis/lidar_point_density.rs")
+    register("FlightlineOverlap", li.flightline_overlap, "Distinct flightlines per cell",
+             "lidar_analysis", [], "lidar_analysis/flightline_overlap.rs")
+    register("ClassifyOverlapPoints", li.classify_overlap_points,
+             "Flag points from later flightlines in shared cells", "lidar_analysis",
+             [], "lidar_analysis/classify_overlap_points.rs")
     register("LidarRemoveDuplicates",
              lambda ds, **kw: dedup.coincident_dedup(ds, z_col=kw.pop("z_col", None), **kw),
              "Quantized x,y[,z] dedup keep-first", "lidar_analysis",
@@ -363,8 +402,6 @@ def _register_all():
              "Square mode filter", "image_analysis", [], "image_analysis/majority_filter.rs")
     register("DiversityFilter", lambda ds, spec, radius=2: focal.window_filter(ds, spec, "diversity", radius),
              "Distinct-count filter", "image_analysis", [], "image_analysis/diversity_filter.rs")
-    register("LidarPointDensity", lambda ds, x, y, lvl=12: __import__("whitebox_tools_ray.stages.zonal", fromlist=["x"]).cell_binning(ds, x, y, "quad", lvl),
-             "Per-cell point counts", "lidar_analysis", [], "lidar_analysis/lidar_point_density.rs")
     register("LidarHexBinning", lambda ds, x, y, res=7: __import__("whitebox_tools_ray.stages.zonal", fromlist=["x"]).cell_binning(ds, x, y, "hex", res),
              "Hex-bin point counts", "lidar_analysis", [], "lidar_analysis/lidar_hex_bin.rs")
     register("LidarHistogram", stats.histogram, "Histogram of a point attribute", "lidar_analysis",

@@ -157,7 +157,7 @@ def q_join_bucketed(sf_dir: str):
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = hash_join_bucketed(orders, cust, key="o_custkey", right_key="c_custkey", how="inner", num_buckets=16)
+    joined = hash_join_bucketed(orders, cust, key="o_custkey", right_key="c_custkey", how="inner", num_buckets=None)
     out = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
     )
@@ -1083,7 +1083,7 @@ def q_topk_per_group(sf_dir: str, k: int = 2):
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = hash_join_bucketed(orders, cust, key="o_custkey", right_key="c_custkey", how="inner", num_buckets=16)
+    joined = hash_join_bucketed(orders, cust, key="o_custkey", right_key="c_custkey", how="inner", num_buckets=None)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False]).head(k)

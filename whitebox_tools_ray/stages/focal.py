@@ -53,6 +53,7 @@ def _emit_tile_and_margins(batch: pa.Table, halo: int, tiles_x: int, tiles_y: in
     tgt_key: list[int] = []
     rel: list[int] = []  # (drow+1)*3 + (dcol+1); 4 = self
     payload: list[bytes] = []
+    pay_fmt: list[str] = []
     for i in range(batch.num_rows):
         tr, tc = int(trows[i]), int(tcols[i])
         grid = codecs.decode_tile(blobs[i], fmts[i])
@@ -63,21 +64,29 @@ def _emit_tile_and_margins(batch: pa.Table, halo: int, tiles_x: int, tiles_y: in
                 if not (0 <= ntr < tiles_y and 0 <= ntc < tiles_x):
                     continue
                 if dr == 0 and dc == 0:
-                    strip = grid
-                else:
-                    # send the edge NEAREST the neighbor: the tile below me
-                    # (dr=+1) needs my BOTTOM rows as its top halo, etc.
-                    rs = slice(h - halo, h) if dr == 1 else (slice(0, halo) if dr == -1 else slice(None))
-                    cs = slice(w - halo, w) if dc == 1 else (slice(0, halo) if dc == -1 else slice(None))
-                    strip = grid[rs, cs]
+                    # self record: forward the ORIGINAL encoded payload —
+                    # no re-encode, and the shuffle carries the (usually
+                    # compressed) source bytes instead of raw f32
+                    tgt_key.append(ntr * tiles_x + ntc)
+                    rel.append(4)
+                    payload.append(blobs[i])
+                    pay_fmt.append(fmts[i])
+                    continue
+                # send the edge NEAREST the neighbor: the tile below me
+                # (dr=+1) needs my BOTTOM rows as its top halo, etc.
+                rs = slice(h - halo, h) if dr == 1 else (slice(0, halo) if dr == -1 else slice(None))
+                cs = slice(w - halo, w) if dc == 1 else (slice(0, halo) if dc == -1 else slice(None))
+                strip = grid[rs, cs]
                 tgt_key.append(ntr * tiles_x + ntc)
                 rel.append((1 - dr) * 3 + (1 - dc))  # position of the STRIP in target's frame
                 payload.append(codecs.encode_tile(np.ascontiguousarray(strip), "f32"))
+                pay_fmt.append("f32")
     return pa.table(
         {
             "tkey": pa.array(tgt_key, pa.int64()),
             "rel": pa.array(rel, pa.int64()),
             "data": pa.array(payload, pa.binary()),
+            "pfmt": pa.array(pay_fmt, pa.string()),
         }
     )
 
@@ -86,8 +95,9 @@ def _assemble_padded(g: pd.DataFrame, halo: int, tile_px: int, nodata: float) ->
     """Rebuild the (tile_px + 2*halo)² padded grid from margin records."""
     pad = np.full((tile_px + 2 * halo, tile_px + 2 * halo), nodata, dtype=np.float64)
     tkey = int(g["tkey"].iloc[0])
-    for rel, data in zip(g["rel"], g["data"]):
-        strip = codecs.decode_tile(bytes(data), "f32")
+    fmts = g["pfmt"] if "pfmt" in g.columns else ["f32"] * len(g)
+    for rel, data, pfmt in zip(g["rel"], g["data"], fmts):
+        strip = codecs.decode_tile(bytes(data), pfmt)
         rr = int(rel) // 3 - 1  # -1, 0, 1 = strip sits above/at/below
         cc = int(rel) % 3 - 1
         if rr == 0 and cc == 0:
@@ -409,3 +419,172 @@ def plan_curvature(tiles_ds, spec):
 
 def ruggedness(tiles_ds, spec):
     return focal_op(tiles_ds, spec, ruggedness_kernel, halo=1)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: terrain multiscale / windowed-stat family (SURVEY §2.10).
+# All run through focal_op with halo = filter radius; windowed mean/std
+# use an integral image over the padded tile (the reference's Crow 1984
+# approach, dev_from_mean_elev.rs:27), min/max use the iterated-3×3
+# Chebyshev erosion, percentile counts shifted comparisons.
+# ---------------------------------------------------------------------------
+
+
+def _window_mean_std(pad: np.ndarray, halo: int, tpx: int, radius: int, nodata: float):
+    """Windowed mean/std/count over (2r+1)² neighborhoods of interior
+    cells via summed-area tables (nodata cells excluded)."""
+    valid = pad != nodata
+    v = np.where(valid, pad, 0.0)
+
+    def sat(img):
+        S = np.zeros((img.shape[0] + 1, img.shape[1] + 1))
+        S[1:, 1:] = np.cumsum(np.cumsum(img, 0), 1)
+        return S
+
+    def wsum(S):
+        r = radius
+        i0 = halo - r
+        j0 = halo - r
+        i1 = halo + r + 1
+        j1 = halo + r + 1
+        return (
+            S[i1 : i1 + tpx, j1 : j1 + tpx]
+            - S[i0 : i0 + tpx, j1 : j1 + tpx]
+            - S[i1 : i1 + tpx, j0 : j0 + tpx]
+            + S[i0 : i0 + tpx, j0 : j0 + tpx]
+        )
+
+    n = wsum(sat(valid.astype(np.float64)))
+    s1 = wsum(sat(v))
+    s2 = wsum(sat(v * v))
+    n = np.maximum(n, 1.0)
+    mean = s1 / n
+    var = np.maximum(s2 / n - mean * mean, 0.0)
+    return mean, np.sqrt(var), n
+
+
+def _window_min_max(pad: np.ndarray, halo: int, tpx: int, radius: int, nodata: float):
+    """Windowed min/max via r iterated 3×3 erosions/dilations (a
+    Chebyshev ball of radius r = the (2r+1)² square window)."""
+    lo = np.where(pad != nodata, pad, np.inf)
+    hi = np.where(pad != nodata, pad, -np.inf)
+    for _ in range(radius):
+        lo_n, hi_n = lo.copy(), hi.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                sl = np.full_like(lo, np.inf)
+                sh = np.full_like(hi, -np.inf)
+                ys = slice(max(0, dy), lo.shape[0] + min(0, dy))
+                xs = slice(max(0, dx), lo.shape[1] + min(0, dx))
+                yd = slice(max(0, -dy), lo.shape[0] + min(0, -dy))
+                xd = slice(max(0, -dx), lo.shape[1] + min(0, -dx))
+                sl[yd, xd] = lo[ys, xs]
+                sh[yd, xd] = hi[ys, xs]
+                lo_n = np.minimum(lo_n, sl)
+                hi_n = np.maximum(hi_n, sh)
+        lo, hi = lo_n, hi_n
+    c = slice(halo, halo + tpx)
+    return lo[c, c], hi[c, c]
+
+
+def dev_from_mean_kernel(radius: int):
+    """DevFromMeanElev (dev_from_mean_elev.rs): (z − μ)/σ over the
+    (2r+1)² window — the local z-score of topographic position."""
+
+    def kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+        tpx = spec.tile_px
+        halo = (pad.shape[0] - tpx) // 2
+        z = _shifted(pad, halo, tpx, 0, 0)
+        mean, std, _n = _window_mean_std(pad, halo, tpx, radius, nodata)
+        out = np.where(std > 0, (z - mean) / np.where(std > 0, std, 1.0), 0.0)
+        return np.where(z != nodata, out, nodata)
+
+    return kernel
+
+
+def diff_from_mean_kernel(radius: int):
+    """DiffFromMeanElev (diff_from_mean_elev.rs): z − μ."""
+
+    def kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+        tpx = spec.tile_px
+        halo = (pad.shape[0] - tpx) // 2
+        z = _shifted(pad, halo, tpx, 0, 0)
+        mean, _std, _n = _window_mean_std(pad, halo, tpx, radius, nodata)
+        return np.where(z != nodata, z - mean, nodata)
+
+    return kernel
+
+
+def percent_elev_range_kernel(radius: int):
+    """PercentElevRange (percent_elev_range.rs:25): z0 / (zmax − zmin) ×
+    100 over the neighboring window."""
+
+    def kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+        tpx = spec.tile_px
+        halo = (pad.shape[0] - tpx) // 2
+        z = _shifted(pad, halo, tpx, 0, 0)
+        lo, hi = _window_min_max(pad, halo, tpx, radius, nodata)
+        rng = hi - lo
+        out = np.where(np.isfinite(rng) & (rng > 0), z / np.where(rng > 0, rng, 1.0) * 100.0, 0.0)
+        return np.where(z != nodata, out, nodata)
+
+    return kernel
+
+
+def relative_topographic_position_kernel(radius: int):
+    """RelativeTopographicPosition (relative_topographic_position.rs:
+    26-34): (z−μ)/(μ−zmin) below the mean, (z−μ)/(zmax−μ) at/above —
+    bounded to [−1, 1]."""
+
+    def kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+        tpx = spec.tile_px
+        halo = (pad.shape[0] - tpx) // 2
+        z = _shifted(pad, halo, tpx, 0, 0)
+        mean, _std, _n = _window_mean_std(pad, halo, tpx, radius, nodata)
+        lo, hi = _window_min_max(pad, halo, tpx, radius, nodata)
+        below = np.where(mean - lo > 0, (z - mean) / np.where(mean - lo > 0, mean - lo, 1.0), 0.0)
+        above = np.where(hi - mean > 0, (z - mean) / np.where(hi - mean > 0, hi - mean, 1.0), 0.0)
+        out = np.where(z < mean, below, above)
+        return np.where(z != nodata, np.clip(out, -1.0, 1.0), nodata)
+
+    return kernel
+
+
+def elev_percentile_kernel(radius: int):
+    """ElevPercentile (elev_percentile.rs): percent of window cells with
+    elevation strictly below z0."""
+
+    def kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+        tpx = spec.tile_px
+        halo = (pad.shape[0] - tpx) // 2
+        z = _shifted(pad, halo, tpx, 0, 0)
+        below = np.zeros(z.shape)
+        n = np.zeros(z.shape)
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                zi = _shifted(pad, halo, tpx, dy, dx)
+                ok = zi != nodata
+                below += (ok & (zi < z)).astype(np.float64)
+                n += ok.astype(np.float64)
+        out = below / np.maximum(n, 1.0) * 100.0
+        return np.where(z != nodata, out, nodata)
+
+    return kernel
+
+
+def window_stat_op(tiles_ds, spec, stat: str, radius: int = 3):
+    """Dispatch for the windowed-stat family. halo = radius, so the
+    filter radius is bounded by tile_px (128-512 cells at production tile
+    sizes — covers the reference's documented filter ranges)."""
+    factories = {
+        "dev_from_mean": dev_from_mean_kernel,
+        "diff_from_mean": diff_from_mean_kernel,
+        "percent_elev_range": percent_elev_range_kernel,
+        "relative_topographic_position": relative_topographic_position_kernel,
+        "elev_percentile": elev_percentile_kernel,
+    }
+    if stat not in factories:
+        raise ValueError(f"unknown windowed stat {stat!r}")
+    return focal_op(tiles_ds, spec, factories[stat](radius), halo=radius, out_fmt="f32")

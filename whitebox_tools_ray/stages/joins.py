@@ -102,7 +102,7 @@ def hash_join_bucketed(
     key: str,
     right_key: str | None = None,
     how: str = "inner",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Partitioned hash join of two large Datasets.
 
@@ -111,8 +111,20 @@ def hash_join_bucketed(
     with pandas. Works for inner/left joins on an equality key. Salt hot
     keys by raising num_buckets; at 100 TB pick num_buckets ≈ blocks so a
     bucket fits one task's heap.
+
+    ``num_buckets`` defaults to the larger side's block count (clamped to
+    [4, 512]) — a fixed 64 over-partitions small inputs (measured 6.45 s
+    at sf0.1 in round 1) and under-partitions huge ones.
     """
     rk = right_key or key
+    if num_buckets is None:
+        try:  # block count only known for materialized inputs
+            blocks = max(left_ds.num_blocks() or 1, right_ds.num_blocks() or 1)
+        except Exception:
+            import ray
+
+            blocks = 2 * int(ray.available_resources().get("CPU", 8))
+        num_buckets = int(min(512, max(4, blocks)))
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     lcols = list(lschema.names)
