@@ -227,3 +227,76 @@ class TestRound2Stretches:
         # matched output's distribution ≈ reference's (quartiles close)
         for q in (0.25, 0.5, 0.75):
             assert abs(np.quantile(out, q) - np.quantile(ref, q)) < 25.0
+
+
+class TestCCResampleAndFeathering:
+    def _table(self, spec, full):
+        import pyarrow as pa
+        from whitebox_tools_ray.kernels import codecs
+        t = spec.tile_px
+        cols = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+        for tr in range(spec.tiles_y):
+            for tc in range(spec.tiles_x):
+                cols["tile_row"].append(tr)
+                cols["tile_col"].append(tc)
+                cols["bytes"].append(codecs.encode_tile(full[tr*t:(tr+1)*t, tc*t:(tc+1)*t], "f32"))
+                cols["fmt"].append("f32")
+        return pa.table({"tile_row": pa.array(cols["tile_row"], pa.int32()),
+                         "tile_col": pa.array(cols["tile_col"], pa.int32()),
+                         "bytes": pa.array(cols["bytes"], pa.binary()),
+                         "fmt": pa.array(cols["fmt"], pa.string())})
+
+    def test_cc_reproduces_linear_field(self, ray_session):
+        """Cubic convolution is exact on linear fields (Keys kernel sums
+        to 1 with zero first moment)."""
+        from whitebox_tools_ray.kernels.grid import GridSpec
+        from whitebox_tools_ray.stages.resample import resample
+        from whitebox_tools_ray.kernels import codecs
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=16)
+        gs = spec.grid_spec()
+        rows = np.arange(32); cols = np.arange(32)
+        gx, gy = np.meshgrid(gs.x_from_col(cols), gs.y_from_row(rows))
+        full = 0.001 * gx + 0.002 * gy
+        # dest grid: half resolution over the interior
+        dest = GridSpec(rows=24, columns=24, west=gs.west + 3 * gs.res_x,
+                        north=gs.north - 3 * gs.res_y,
+                        res_x=gs.res_x, res_y=gs.res_y, nodata=gs.nodata)
+        out = resample(self._table(spec, full), spec, dest, dest_tile_px=12, method="cc").to_pandas()
+        for _, row in out.iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            tr, tc = int(row["tile_row"]), int(row["tile_col"])
+            rr = np.arange(tr * 12, (tr + 1) * 12)
+            cc_ = np.arange(tc * 12, (tc + 1) * 12)
+            dgx, dgy = np.meshgrid(dest.x_from_col(cc_), dest.y_from_row(rr))
+            expect = 0.001 * dgx + 0.002 * dgy
+            np.testing.assert_allclose(g, expect, rtol=1e-5)
+
+    def test_feathering_blends_overlap(self, ray_session):
+        from whitebox_tools_ray.kernels.grid import GridSpec
+        from whitebox_tools_ray.stages.resample import mosaic_with_feathering
+        from whitebox_tools_ray.kernels import codecs
+        from dataclasses import replace
+
+        spec_a = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=16)
+        gs = spec_a.grid_spec()
+        # scene B shifted half a scene east
+        spec_b = replace(spec_a, west=spec_a.west + 16 * spec_a.res)
+        full_a = np.full((32, 32), 10.0)
+        full_b = np.full((32, 32), 30.0)
+        dest = GridSpec(rows=32, columns=48, west=gs.west, north=gs.north,
+                        res_x=gs.res_x, res_y=gs.res_y, nodata=gs.nodata)
+        out = mosaic_with_feathering(
+            [(self._table(spec_a, full_a), spec_a), (self._table(spec_b, full_b), spec_b)],
+            dest, dest_tile_px=16, method="nn").to_pandas()
+        scene = np.full((32, 48), np.nan)
+        for _, row in out.iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            scene[int(row["tile_row"])*16:(int(row["tile_row"])+1)*16,
+                  int(row["tile_col"])*16:(int(row["tile_col"])+1)*16] = g
+        mid = scene[16, :]
+        # left of the overlap: pure A; right: pure B; inside: monotone blend
+        assert np.isclose(mid[2], 10.0)
+        assert np.isclose(mid[45], 30.0)
+        ov = mid[17:31]
+        assert (np.diff(ov) >= -1e-9).all() and ov.min() >= 10.0 and ov.max() <= 30.0

@@ -642,3 +642,36 @@ class TestStreamNetworkRemainder:
         recs = raster_streams_to_vector(np.zeros((4, 4)), links, spec)
         assert len(recs) == 1 and recs[0]["record_id"] == 1
         assert len(recs[0]["xs"]) == 2
+
+
+class TestBreachDepressions:
+    def test_breach_properties(self):
+        """breach_depressions.rs semantics: only lowers, removes every
+        depression (fill of the output is a no-op), leaves drained
+        terrain untouched."""
+        from whitebox_tools_ray.stages.fill import breach_depressions, priority_flood
+
+        rng = np.random.RandomState(9)
+        g = rng.uniform(0, 100, (30, 30))
+        g[8:22, 8:22] -= 60
+        out = breach_depressions(g, -32768.0)
+        assert (out <= g + 1e-12).all()
+        filled = priority_flood(out, -32768.0)
+        np.testing.assert_allclose(filled, out, atol=1e-9)
+        # terrain outside the depression is untouched
+        outside = np.ones_like(g, dtype=bool)
+        outside[7:23, 7:23] = False
+        changed_outside = (out[outside] < g[outside]).mean()
+        assert changed_outside < 0.2  # carving stays near the depression
+
+    def test_breach_drains_through_nodata(self):
+        from whitebox_tools_ray.stages.fill import breach_depressions, priority_flood
+
+        g = np.full((9, 9), 50.0)
+        g[4, 4] = 10.0
+        g[4, 5] = -32768.0  # hole next to the pit
+        out = breach_depressions(g, -32768.0)
+        v = g != -32768.0
+        filled = priority_flood(out, -32768.0)
+        np.testing.assert_allclose(filled[v], out[v], atol=1e-9)
+        assert out[4, 4] == 10.0  # pit itself already drains via the hole

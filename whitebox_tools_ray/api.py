@@ -455,6 +455,9 @@ def _register_all():
              [], "image_analysis/resample.rs:68-71")
     register("Mosaic", resample_mod.mosaic, "Multi-source mosaic, later wins", "image_analysis",
              [], "image_analysis/mosaic.rs:339-520")
+    register("MosaicWithFeathering", resample_mod.mosaic_with_feathering,
+             "Edge-distance-weighted overlap blend", "image_analysis",
+             [], "image_analysis/mosaic_with_feathering.rs")
     register("AggregateRaster", resample_mod.aggregate_raster, "n x n block downsample", "gis_analysis",
              [], "gis_analysis/aggregate_raster.rs")
     register("ImageCorrelation", stats2.correlation, "Pearson r of two columns", "math_stat_analysis",
@@ -501,6 +504,10 @@ def _register_all():
     register("Sink", fl.sink_ds, "Labeled depressions (fill > dem, clumped)",
              "hydro_analysis", [P("dem_ds", "Dataset"), P("spec", "SceneSpec")],
              "hydro_analysis/sink.rs")
+    register("BreachDepressions", fl.breach_depressions,
+             "Pit-wise least-cost carve (Lindsay 2016); per-partition kernel",
+             "hydro_analysis", [P("grid", "Raster"), P("nodata", "Float")],
+             "hydro_analysis/breach_depressions.rs")
 
     # terrain_analysis
     register("Slope", focal.slope, "Horn slope degrees", "terrain_analysis", [], "terrain_analysis/slope.rs:256-292")

@@ -422,3 +422,107 @@ def sink_ds(dem_ds, spec, num_workers: int = 4):
 
     mask = depth.map_batches(binarize, batch_format="pandas")
     return clump_ds(mask, spec, diag=True, zero_background=True)
+
+
+def breach_depressions(grid: np.ndarray, nodata: float, epsilon: float = 1e-5,
+                       max_rounds: int = 8) -> np.ndarray:
+    """BreachDepressions (hydro_analysis/breach_depressions.rs, Lindsay
+    2016): for each pit (ascending z), least-cost search (dig cost =
+    positive height above the pit) to the nearest cell lower than the
+    pit (or a scene/nodata edge), then carve the path so it descends by
+    ε per step. Cells are only ever LOWERED; afterwards every cell has a
+    descending path to the edge (no depressions remain).
+
+    Single-grid kernel: runs per partition inside map_batches; the exact
+    cross-tile form is open (fill_depressions_ds is the Dataset-native
+    DEM conditioner)."""
+    rows, cols = grid.shape
+    z = grid.astype(np.float64).copy()
+    nod = z == nodata
+
+    def is_edge(r, c):
+        if r == 0 or r == rows - 1 or c == 0 or c == cols - 1:
+            return True
+        for i in range(8):
+            nr, nc = r + int(DY8[i]), c + int(DX8[i])
+            if nod[nr, nc]:
+                return True
+        return False
+
+    for _round in range(max_rounds):
+        # pits: valid cells with no strictly-lower valid neighbor and no
+        # edge/nodata drain
+        pits = []
+        for r in range(rows):
+            for c in range(cols):
+                if nod[r, c] or is_edge(r, c):
+                    continue
+                lower = False
+                for i in range(8):
+                    nr, nc = r + int(DY8[i]), c + int(DX8[i])
+                    if not nod[nr, nc] and z[nr, nc] < z[r, c]:
+                        lower = True
+                        break
+                if not lower:
+                    pits.append((z[r, c], r, c))
+        if not pits:
+            break
+        pits.sort()
+        carved_any = False
+        for pz, pr, pc in pits:
+            if z[pr, pc] != pz:
+                continue  # already carved by an earlier path
+            # re-check pit-ness (a prior carve may have drained it)
+            still = True
+            for i in range(8):
+                nr, nc = pr + int(DY8[i]), pc + int(DX8[i])
+                if nod[nr, nc] or z[nr, nc] < z[pr, pc]:
+                    still = False
+                    break
+            if not still or is_edge(pr, pc):
+                continue
+            # Dijkstra: cost of entering cell n = max(0, z[n] - pz)
+            import heapq as _hq
+
+            dist = {(pr, pc): 0.0}
+            prev: dict[tuple[int, int], tuple[int, int]] = {}
+            pq = [(0.0, pr, pc)]
+            target = None
+            while pq:
+                d, r, c = _hq.heappop(pq)
+                if d > dist.get((r, c), np.inf):
+                    continue
+                if (r, c) != (pr, pc) and (nod[r, c] or z[r, c] < pz or is_edge(r, c)):
+                    target = (r, c)
+                    break
+                for i in range(8):
+                    nr, nc = r + int(DY8[i]), c + int(DX8[i])
+                    if not (0 <= nr < rows and 0 <= nc < cols):
+                        continue
+                    stepc = 0.0 if nod[nr, nc] else max(0.0, float(z[nr, nc]) - pz) + 1e-9
+                    ndist = d + stepc
+                    if ndist < dist.get((nr, nc), np.inf):
+                        dist[(nr, nc)] = ndist
+                        prev[(nr, nc)] = (r, c)
+                        _hq.heappush(pq, (ndist, nr, nc))
+            if target is None:
+                continue
+            # carve the path pit → target, descending ε per step
+            path = [target]
+            cur = target
+            while cur != (pr, pc):
+                cur = prev[cur]
+                path.append(cur)
+            path.reverse()  # pit first
+            lvl = pz
+            for (r, c) in path[1:]:
+                lvl -= epsilon
+                if not nod[r, c]:
+                    if z[r, c] > lvl:
+                        z[r, c] = lvl
+                        carved_any = True
+                    else:
+                        lvl = z[r, c]  # already lower — follow the terrain
+        if not carved_any:
+            break
+    return z
