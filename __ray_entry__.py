@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlay_union": R.q_overlay_union,
         "dissolve_zones": R.q_dissolve_zones,
         "polygonize_grid": R.q_polygonize_grid,
+        "knn_join": R.q_knn_join,
+        "hypsometric": R.q_hypsometric,
+        "euclidean_distance": R.q_euclidean_distance,
     }
 
 
@@ -128,6 +131,9 @@ def oracle_sql() -> dict[str, str]:
         "overlay_union": R.Q_OVERLAY_UNION_SQL,
         "dissolve_zones": R.Q_DISSOLVE_ZONES_SQL,
         "polygonize_grid": R.Q_POLYGONIZE_GRID_SQL,
+        "knn_join": R.Q_KNN_JOIN_SQL,
+        "hypsometric": R.q_hypsometric_sql(),
+        "euclidean_distance": R.Q_EUCLIDEAN_DISTANCE_SQL,
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

@@ -152,10 +152,14 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling(repeats: int = 3) -> dict:
+def run_scaling(repeats: int | None = None) -> dict:
     """BASELINE.md protocol: fresh processes per config, ≥3 repeats,
-    MEDIAN (this box carries noisy background load — load avg ≈5 idle)."""
+    MEDIAN (this box carries noisy background load — load avg ≈5 idle).
+    BENCH_REPEATS overrides the repeat count (long 4×-input runs)."""
     import statistics
+
+    if repeats is None:
+        repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

@@ -250,3 +250,26 @@ class TestWindowedTerrainStats:
                 np.float32(got[valid]), np.float32(expect[valid]), rtol=1e-4, atol=1e-4,
                 err_msg=stat,
             )
+
+
+class TestVisibility:
+    def test_viewshed_wall(self):
+        from whitebox_tools_ray.stages.visibility import viewshed
+
+        g = np.zeros((21, 21))
+        g[:, 12] = 10.0
+        v = viewshed(g, -32768.0, (10, 5), station_height=2.0)
+        assert v[10, 3] == 1.0 and v[10, 11] == 1.0 and v[10, 12] == 1.0
+        assert v[10, 14] == 0.0 and v[10, 20] == 0.0
+        assert (viewshed(np.zeros((9, 9)), -32768.0, (4, 4)) == 1.0).all()
+
+    def test_horizon_and_fetch(self):
+        from whitebox_tools_ray.stages.visibility import fetch_analysis, horizon_angle
+
+        g = np.zeros((21, 21))
+        g[:, 12] = 10.0
+        h = horizon_angle(g, -32768.0, 90.0, max_dist=20.0)
+        assert h[10, 5] > 0 and h[10, 15] <= 0
+        f = fetch_analysis(g, -32768.0, 90.0, max_dist=20.0)
+        # looking east: cells west of the wall hit it
+        assert f[10, 5] < 20.0 and f.max() <= 20.0

@@ -215,3 +215,62 @@ class TestRasterize:
             full[r["tile_row"] * 8 : r["tile_row"] * 8 + 8, r["tile_col"] * 8 : r["tile_col"] * 8 + 8] = g
         assert (full[3, :] == 5.0).all()
         assert (full[5, :] == np.float32(gs.nodata)).all()
+
+
+class TestRound2SmallTools:
+    def test_knn_join(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from whitebox_tools_ray import api
+
+        rng = np.random.RandomState(4)
+        rx, ry = rng.uniform(0, 100, 200), rng.uniform(0, 100, 200)
+        right = pa.table({"record_id": pa.array(np.arange(200, dtype=np.int64)),
+                          "x": pa.array(rx), "y": pa.array(ry)})
+        lx, ly = rng.uniform(10, 90, 50), rng.uniform(10, 90, 50)
+        left = rd.from_arrow(pa.table({"record_id": pa.array(np.arange(50, dtype=np.int64)),
+                                       "x": pa.array(lx), "y": pa.array(ly)}))
+        out = api.run("KNearestJoin", left, right, k=3).to_pandas()
+        assert len(out) == 150
+        # spot-check: rank-1 neighbor equals the numpy argmin
+        for lid in range(0, 50, 10):
+            d = np.hypot(rx - lx[lid], ry - ly[lid])
+            expect = int(np.argmin(d))
+            got = out[(out["left_id"] == lid) & (out["rank"] == 1)]["right_id"].iloc[0]
+            assert got == expect
+
+    def test_reinitialize_attribute_table(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from whitebox_tools_ray import api
+        from whitebox_tools_ray.sources.vectors import POLY_SCHEMA, make_polygon_record
+
+        recs = [make_polygon_record(1, [[(0, 0), (0, 1), (1, 1), (1, 0)]], "a", 3)]
+        ds = rd.from_arrow(pa.Table.from_pylist(recs, schema=POLY_SCHEMA))
+        out = api.run("ReinitializeAttributeTable", ds).to_pandas()
+        assert "name" not in out.columns and "zone" not in out.columns
+        assert "record_id" in out.columns and "xs" in out.columns
+
+    def test_raster_to_vector_lines_cross_tile(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from whitebox_tools_ray import api
+        from whitebox_tools_ray.kernels import codecs
+        from whitebox_tools_ray.sources.tiles import SceneSpec
+
+        spec = SceneSpec(tiles_x=2, tiles_y=1, tile_px=8)
+        full = np.zeros((8, 16))
+        full[:, 8:] = 1.0  # boundary exactly on the tile border
+        cols = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+        for tc in range(2):
+            cols["tile_row"].append(0)
+            cols["tile_col"].append(tc)
+            cols["bytes"].append(codecs.encode_tile(full[:, tc * 8 : (tc + 1) * 8], "f32"))
+            cols["fmt"].append("f32")
+        ds = rd.from_arrow(pa.table({
+            "tile_row": pa.array(cols["tile_row"], pa.int32()),
+            "tile_col": pa.array(cols["tile_col"], pa.int32()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "fmt": pa.array(cols["fmt"], pa.string())}))
+        out = api.run("RasterToVectorLines", ds, spec).to_pandas()
+        assert len(out) == 1 and out["n_segments"].iloc[0] == 8

@@ -221,6 +221,13 @@ def _register_all():
              "Per-tile polygon erase", "gis_analysis", [], "gis_analysis/erase_polygon_from_raster.rs")
     register("ExtractRasterValuesAtPoints", spatial_join.extract_values_at_points, "Point → cell gather",
              "gis_analysis", [], "gis_analysis/extract_raster_values_at_points.rs:243-258")
+    register("KNearestJoin", spatial_join.knn_join, "k nearest right points per left point (FRS)",
+             "gis_analysis", [P("left_ds", "Dataset"), P("right_table", "Table"), P("k", "Integer")],
+             "structures/fixed_radius_search.rs:134-218 (kNN surface)")
+    register("RasterToVectorLines", __import__("whitebox_tools_ray.stages.raster_vector", fromlist=["x"]).raster_to_vector_lines,
+             "Category-boundary cell edges -> stitched polylines", "data_tools",
+             [P("tiles_ds", "Dataset"), P("scene_spec", "SceneSpec")],
+             "data_tools/raster_to_vector_lines.rs")
     register("TINGridding", gridding.tin_gridding, "Per-tile Delaunay + barycentric interpolation",
              "gis_analysis", [P("points_table", "Table"), P("spec", "SceneSpec")],
              "gis_analysis/tin_gridding.rs; algorithms/delaunay_triangulation.rs:446")
@@ -294,6 +301,10 @@ def _register_all():
              [], "data_tools/remove_polygon_holes.rs")
     register("CleanVector", vo.clean_vector, "Drop degenerate geometries", "data_tools",
              [], "data_tools/clean_vector.rs")
+    register("ReinitializeAttributeTable", vo.reinitialize_attribute_table,
+             "Keep geometry + FID only", "data_tools", [], "data_tools/reinitialize_attribute_table.rs")
+    register("PrintGeoTiffTags", vo.print_tile_tags, "Dump tile-table header metadata",
+             "data_tools", [], "data_tools/print_geotiff_tags.rs (tile-table analog)")
     register("SmoothVectors", vo.smooth_vectors, "Moving-average vertices", "gis_analysis",
              [], "gis_analysis/smooth_vectors.rs")
     register("PolygonsToLines", vo.polygons_to_lines, "Poly -> polyline retype", "data_tools",
@@ -504,6 +515,14 @@ def _register_all():
     register("Sink", fl.sink_ds, "Labeled depressions (fill > dem, clumped)",
              "hydro_analysis", [P("dem_ds", "Dataset"), P("spec", "SceneSpec")],
              "hydro_analysis/sink.rs")
+    vis = __import__("whitebox_tools_ray.stages.visibility", fromlist=["x"])
+    register("Viewshed", vis.viewshed, "Station line-of-sight visibility (per-partition kernel)",
+             "terrain_analysis", [P("grid", "Raster"), P("nodata", "Float"), P("station_rc", "List")],
+             "terrain_analysis/viewshed.rs")
+    register("HorizonAngle", vis.horizon_angle, "Max elevation angle along an azimuth ray",
+             "terrain_analysis", [], "terrain_analysis/horizon_angle.rs")
+    register("FetchAnalysis", vis.fetch_analysis, "Distance to first obstruction along azimuth",
+             "terrain_analysis", [], "terrain_analysis/fetch_analysis.rs")
     register("BreachDepressions", fl.breach_depressions,
              "Pit-wise least-cost carve (Lindsay 2016); per-partition kernel",
              "hydro_analysis", [P("grid", "Raster"), P("nodata", "Float")],

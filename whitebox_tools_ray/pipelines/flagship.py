@@ -127,13 +127,19 @@ def run_tiling_pipeline(
     import ray.data as rd
 
     gs = spec.grid_spec()
+    # honor the reference's 32767-output-tile cap (lidar_tile.rs:265-270)
+    # by coarsening the assignment grid for large scenes: group k×k scene
+    # tiles per output tile so the tile count stays under the cap
+    group = 1
+    while (spec.tiles_x // group + 1) * (spec.tiles_y // group + 1) > 32767:
+        group *= 2
     tg = TileGrid.from_extent(
         gs.west,
         gs.east,
         gs.south,
         gs.north,
-        spec.tile_px * spec.res,
-        spec.tile_px * spec.res,
+        spec.tile_px * spec.res * group,
+        spec.tile_px * spec.res * group,
         origin_x=gs.west,
         origin_y=gs.south,
     )

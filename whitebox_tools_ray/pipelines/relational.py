@@ -1339,3 +1339,167 @@ Q_POLYGONIZE_GRID_SQL = """
            CAST(c * c * 100 AS DOUBLE) AS total_area
     FROM (SELECT COUNT(*) AS c FROM region)
 """
+
+
+# ---------------------------------------------------------------------------
+# round-2 gate queries: kNN join, hypsometric curve, distributed EDT
+# ---------------------------------------------------------------------------
+
+
+def q_knn_join(sf_dir: str, k: int = 1):
+    """KNearestJoin: nearest part-derived point for each supplier-derived
+    point (FRS index, broadcast right side)."""
+    import ray.data as rd
+
+    from ..stages.spatial_join import knn_join
+
+    part = read(sf_dir, "part", columns=["p_partkey"]).to_pandas()
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    right = pa.table(
+        {
+            "record_id": pa.array(pk, pa.int64()),
+            "x": pa.array(((pk * 7919) % 100000) / 100.0),
+            "y": pa.array(((pk * 6271) % 100000) / 100.0),
+        }
+    )
+    sup = read(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "record_id": pa.array(sk, pa.int64()),
+                "x": pa.array(((sk * 104729) % 100000) / 100.0),
+                "y": pa.array(((sk * 3571) % 100000) / 100.0),
+            }
+        )
+
+    left = sup.map_batches(derive, batch_format="pyarrow")
+    out = knn_join(left, right, k=k)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "left_id": t["left_id"].cast(pa.int64()),
+                "right_id": t["right_id"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+Q_KNN_JOIN_SQL = """
+    WITH l AS (SELECT s_suppkey AS left_id,
+                      ((s_suppkey * 104729) % 100000) / 100.0 AS x,
+                      ((s_suppkey * 3571) % 100000) / 100.0 AS y
+               FROM supplier),
+         r AS (SELECT p_partkey AS right_id,
+                      ((p_partkey * 7919) % 100000) / 100.0 AS x,
+                      ((p_partkey * 6271) % 100000) / 100.0 AS y
+               FROM part)
+    SELECT left_id,
+           (SELECT r.right_id FROM r
+            ORDER BY (r.x - l.x) * (r.x - l.x) + (r.y - l.y) * (r.y - l.y), r.right_id
+            LIMIT 1) AS right_id
+    FROM l
+"""
+
+
+def q_hypsometric(sf_dir: str, bins: int = 100):
+    """HypsometricAnalysis gate: cumulative area-above-elevation over the
+    events.value column, reported per histogram-bin index (integer bin
+    keys dodge the rational-rounding trap)."""
+    from ..stages.stats import histogram
+
+    ds = read(sf_dir, "events", columns=["value"])
+    edges, counts = histogram(ds, "value", bins=bins)
+    n = counts.sum()
+    above = np.cumsum(counts[::-1])[::-1]
+    return pd.DataFrame(
+        {"bin": np.arange(bins, dtype=np.int64), "rel_area": above / max(n, 1)}
+    )
+
+
+def q_hypsometric_sql(bins: int = 100) -> str:
+    return f"""
+    WITH p AS (SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n FROM events),
+         b AS (SELECT unnest(generate_series(0, {bins - 1})) AS bin)
+    SELECT CAST(b.bin AS BIGINT) AS bin,
+           CAST((SELECT COUNT(*) FROM events e, p
+                 WHERE e.value >= p.lo + b.bin * ((p.hi - p.lo) / {bins}.0)) AS DOUBLE)
+             / (SELECT n FROM p) AS rel_area
+    FROM b
+    """
+
+
+def q_euclidean_distance(sf_dir: str):
+    """EuclideanDistance gate: exact EDT on a 64×64 grid whose target
+    cells derive from nation keys; Dataset-native two-pass strips, f64
+    payloads → per-cell distances bit-equal to the SQL min-over-targets."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+    from ..stages.distance import euclidean_distance_ds
+
+    nat = read(sf_dir, "nation", columns=["n_nationkey"]).to_pandas()
+    keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    tr_ = (keys * 13) % 64
+    tc_ = (keys * 29) % 64
+    full = np.zeros((64, 64))
+    full[tr_, tc_] = 1.0
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16, res=1.0)
+    cols = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+    for tr in range(4):
+        for tc in range(4):
+            cols["tile_row"].append(tr)
+            cols["tile_col"].append(tc)
+            cols["bytes"].append(
+                codecs.encode_tile(full[tr * 16 : (tr + 1) * 16, tc * 16 : (tc + 1) * 16], "f32")
+            )
+            cols["fmt"].append("f32")
+    tiles = rd.from_arrow(
+        pa.table(
+            {
+                "tile_row": pa.array(cols["tile_row"], pa.int32()),
+                "tile_col": pa.array(cols["tile_col"], pa.int32()),
+                "bytes": pa.array(cols["bytes"], pa.binary()),
+                "fmt": pa.array(cols["fmt"], pa.string()),
+            }
+        )
+    )
+    out = euclidean_distance_ds(tiles, spec, out_fmt="f64")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rows = {"row": [], "col": [], "dist": []}
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            for r in range(16):
+                for c in range(16):
+                    rows["row"].append(tr * 16 + r)
+                    rows["col"].append(tc * 16 + c)
+                    rows["dist"].append(float(g[r, c]))
+        return pa.table(
+            {
+                "row": pa.array(rows["row"], pa.int64()),
+                "col": pa.array(rows["col"], pa.int64()),
+                "dist": pa.array(rows["dist"], pa.float64()),
+            }
+        )
+
+    return out.map_batches(cells, batch_format="pyarrow")
+
+
+Q_EUCLIDEAN_DISTANCE_SQL = """
+    WITH t AS (SELECT DISTINCT (n_nationkey * 13) % 64 AS tr, (n_nationkey * 29) % 64 AS tc
+               FROM nation),
+         g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT row, col,
+           SQRT(CAST((SELECT MIN((row - t.tr) * (row - t.tr) + (col - t.tc) * (col - t.tc))
+                      FROM t) AS DOUBLE)) AS dist
+    FROM g
+"""

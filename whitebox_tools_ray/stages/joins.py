@@ -118,13 +118,14 @@ def hash_join_bucketed(
     """
     rk = right_key or key
     if num_buckets is None:
-        try:  # block count only known for materialized inputs
-            blocks = max(left_ds.num_blocks() or 1, right_ds.num_blocks() or 1)
+        # size the bucket count by DATA volume (~64 MB per bucket), not by
+        # CPU count — a CPU-proportional default re-creates the round-1
+        # over-partitioning on small inputs (measured 12 s vs 2.5 s)
+        try:
+            nbytes = (left_ds.size_bytes() or 0) + (right_ds.size_bytes() or 0)
         except Exception:
-            import ray
-
-            blocks = 2 * int(ray.available_resources().get("CPU", 8))
-        num_buckets = int(min(512, max(4, blocks)))
+            nbytes = 0
+        num_buckets = int(min(512, max(4, nbytes // (64 << 20) + 1)))
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     lcols = list(lschema.names)

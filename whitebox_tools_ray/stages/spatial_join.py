@@ -471,3 +471,68 @@ def extract_values_at_points_shuffle(
         return pd.DataFrame({"record_id": pts["record_id"].astype("int32"), "VALUE1": vals})
 
     return u.groupby("tkey").map_groups(gather, batch_format="pandas")
+
+
+def knn_join(
+    left_ds,
+    right_table: pa.Table,
+    k: int = 1,
+    x_col: str = "x",
+    y_col: str = "y",
+    right_x: str = "x",
+    right_y: str = "y",
+    right_id: str = "record_id",
+    max_radius: float | None = None,
+):
+    """Standalone kNN join (the FixedRadiusSearch/KdTree accelerator
+    surface, structures/fixed_radius_search.rs:134-218): for each left
+    point, its k nearest right points (id + distance).
+
+    The right side broadcasts ONCE with a per-worker FRS index built in
+    the actor constructor; left streams. For right sides too large to
+    broadcast, co-partition both sides by quad cell with neighbor-cell
+    duplication (the SJ pattern of clip_points_shuffle)."""
+    import ray
+
+    from ..kernels.frs import FixedRadiusSearch2D
+
+    rx = right_table.column(right_x).to_numpy().astype(np.float64)
+    ry = right_table.column(right_y).to_numpy().astype(np.float64)
+    rid = right_table.column(right_id).to_numpy()
+    if max_radius is None:
+        # a radius that statistically covers ≥k neighbors: points-per-area
+        span_x = max(float(rx.max() - rx.min()), 1e-9)
+        span_y = max(float(ry.max() - ry.min()), 1e-9)
+        density = max(len(rx) / (span_x * span_y), 1e-12)
+        max_radius = float(np.sqrt((k + 4) / (np.pi * density))) * 4.0
+    ref = ray.put((rx, ry, rid, float(max_radius)))
+
+    class KnnActor:
+        def __init__(self):
+            self.rx, self.ry, self.rid, self.radius = ray.get(ref)
+            self.frs = FixedRadiusSearch2D(self.rx, self.ry, self.radius)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lx = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ly = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            lids = batch["record_id"].to_numpy(zero_copy_only=False)
+            out_l, out_r, out_d, out_rank = [], [], [], []
+            for i in range(len(lx)):
+                idx, d = self.frs.knn(lx[i], ly[i], k)
+                # deterministic tie-break: (distance, right id)
+                order = np.lexsort((self.rid[idx], d))[:k]
+                for rank, j in enumerate(order):
+                    out_l.append(lids[i])
+                    out_r.append(self.rid[idx[j]])
+                    out_d.append(float(d[j]))
+                    out_rank.append(rank + 1)
+            return pa.table(
+                {
+                    "left_id": pa.array(out_l),
+                    "right_id": pa.array(out_r),
+                    "distance": pa.array(out_d, pa.float64()),
+                    "rank": pa.array(out_rank, pa.int32()),
+                }
+            )
+
+    return left_ds.map_batches(KnnActor, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))

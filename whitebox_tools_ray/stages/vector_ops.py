@@ -362,3 +362,30 @@ def select_tiles_by_polygon(tiles_ds, poly_table: pa.Table):
             return batch.filter(pa.array(keep))
 
     return tiles_ds.map_batches(Select, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+
+def reinitialize_attribute_table(ds):
+    """ReinitializeAttributeTable (data_tools/reinitialize_attribute_table.rs):
+    drop every attribute except the geometry + a fresh FID."""
+    import pyarrow as pa
+
+    geom_cols = [c for c in ["record_id", "parts", "xs", "ys", "x_min", "x_max", "y_min", "y_max"]
+                 if c in ds.schema().names]
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(geom_cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def print_tile_tags(tiles_ds, limit: int = 5) -> list[dict]:
+    """PrintGeoTiffTags analog (data_tools/print_geotiff_tags.rs): dump
+    the tile table's schema + per-tile georef header fields for the
+    first ``limit`` rows — the engine's debug metadata surface."""
+    rows = tiles_ds.take(limit)
+    out = []
+    for r in rows:
+        out.append(
+            {k: r[k] for k in r if k not in ("bytes",)} | {"bytes_len": len(r.get("bytes", b""))}
+        )
+    return out
