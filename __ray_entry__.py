@@ -86,6 +86,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": R.q_knn_join,
         "hypsometric": R.q_hypsometric,
         "euclidean_distance": R.q_euclidean_distance,
+        "anova_status": R.q_anova_status,
+        "paired_ttest": R.q_paired_ttest,
+        "ks_orders": R.q_ks_orders,
+        "wilcoxon": R.q_wilcoxon,
+        "cume_dist": R.q_cume_dist,
+        "crispness": R.q_crispness,
     }
 
 
@@ -134,6 +140,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": R.Q_KNN_JOIN_SQL,
         "hypsometric": R.q_hypsometric_sql(),
         "euclidean_distance": R.Q_EUCLIDEAN_DISTANCE_SQL,
+        "anova_status": R.Q_ANOVA_STATUS_SQL,
+        "paired_ttest": R.Q_PAIRED_TTEST_SQL,
+        "ks_orders": R.Q_KS_ORDERS_SQL,
+        "wilcoxon": R.Q_WILCOXON_SQL,
+        "cume_dist": R.Q_CUME_DIST_SQL,
+        "crispness": R.Q_CRISPNESS_SQL,
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

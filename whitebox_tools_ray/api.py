@@ -379,6 +379,11 @@ def _register_all():
         "Round": "round", "Sin": "sin", "Sinh": "sinh", "Square": "square", "SquareRoot": "sqrt",
         "Subtract": "subtract", "Tan": "tan", "Tanh": "tanh", "ToDegrees": "to_degrees",
         "ToRadians": "to_radians", "Truncate": "truncate", "Xor": "xor",
+        # the InPlace* variants are the same per-cell kernels — "in place"
+        # is a memory detail of the reference's mutable rasters
+        # (in_place_add.rs etc.); a Dataset column rewrite is the analog
+        "InPlaceAdd": "add", "InPlaceSubtract": "subtract",
+        "InPlaceMultiply": "multiply", "InPlaceDivide": "divide",
     }
     for tname, op in _SCALAR_TOOLS.items():
         register(
@@ -441,7 +446,19 @@ def _register_all():
              [], "image_analysis/balance_contrast_enhancement.rs")
     register("GaussianContrastStretch", stretch.gaussian_stretch, "Histogram-to-normal remap",
              "image_analysis", [], "image_analysis/gaussian_contrast_stretch.rs")
+    register("RescaleValueRange", stretch.rescale_value_range, "Linear remap onto [new_min, new_max]",
+             "math_stat_analysis", [], "math_stat_analysis/rescale_value_range.rs")
+    register("GammaCorrection", stretch.gamma_correction, "Normalized power-law remap",
+             "image_analysis", [], "image_analysis/gamma_correction.rs")
+    register("StandardDeviationContrastStretch", stretch.stdev_contrast_stretch,
+             "Linear stretch of [mean-k*sd, mean+k*sd]", "image_analysis",
+             [], "image_analysis/stdev_contrast_stretch.rs")
     col = __import__("whitebox_tools_ray.stages.color", fromlist=["x"])
+    register("DirectDecorrelationStretch", col.direct_decorrelation_stretch,
+             "Achromatic-component subtraction c' = c - k*min(r,g,b)", "image_analysis",
+             [], "image_analysis/direct_decorrelation_stretch.rs:27-33")
+    register("CrispnessIndex", stats2.crispness_index, "Lindsay (2006) membership crispness C",
+             "math_stat_analysis", [], "math_stat_analysis/crispness_index.rs:40")
     register("RgbToIhs", col.rgb_to_ihs, "RGB -> hue/saturation/intensity", "image_analysis",
              [], "image_analysis/rgb_to_ihs.rs:798-818")
     register("IhsToRgb", col.ihs_to_rgb, "IHS -> RGB (3-sector inverse)", "image_analysis",
@@ -485,6 +502,32 @@ def _register_all():
              [], "math_stat_analysis/principal_component_analysis.rs")
     register("RandomSample", stats2.random_sample, "Seeded deterministic Bernoulli sample", "math_stat_analysis",
              [], "math_stat_analysis/random_sample.rs")
+
+    st3 = __import__("whitebox_tools_ray.stages.stats3", fromlist=["x"])
+    register("Anova", st3.anova, "One-way ANOVA from per-group partials", "math_stat_analysis",
+             [P("ds", "Dataset"), P("value_col", "String"), P("group_col", "String")],
+             "math_stat_analysis/anova.rs:414-434")
+    register("PairedSampleTTest", st3.paired_t_test, "Paired t-test on row differences", "math_stat_analysis",
+             [], "math_stat_analysis/paired_sample_t_test.rs")
+    register("TwoSampleKsTest", st3.two_sample_ks, "Two-sample K-S via distinct-value prefix scan",
+             "math_stat_analysis", [], "math_stat_analysis/two_sample_ks_test.rs")
+    register("KsTestForNormality", st3.ks_normality, "ECDF-vs-normal K-S test", "math_stat_analysis",
+             [], "math_stat_analysis/ks_test_for_normality.rs")
+    register("WilcoxonSignedRankTest", st3.wilcoxon_signed_rank,
+             "Signed-rank test, average ranks + tie correction", "math_stat_analysis",
+             [], "math_stat_analysis/wilcoxon_signed_rank_test.rs:360-430")
+    register("CumulativeDistribution", st3.cumulative_distribution,
+             "Per-row P(X<=x) (SQL cume_dist)", "math_stat_analysis",
+             [], "math_stat_analysis/cumulative_dist.rs")
+    register("ImageAutocorrelation", st3.image_autocorrelation, "Moran's I, rook contiguity",
+             "math_stat_analysis", [], "math_stat_analysis/image_autocorrelation.rs")
+    register("AttributeScattergram", st3.attribute_scattergram, "Paired-sample extraction",
+             "math_stat_analysis", [], "math_stat_analysis/attribute_scattergram.rs")
+    register("ImageRegression", stats2.regression, "OLS of one image/column on another",
+             "math_stat_analysis", [], "math_stat_analysis/image_regression.rs")
+    register("TrendSurfaceVectorPoints", stats2.trend_surface,
+             "Least-squares polynomial surface of point z", "math_stat_analysis",
+             [], "math_stat_analysis/trend_surface_vector_points.rs")
 
     bm = __import__("whitebox_tools_ray.stages.band_math", fromlist=["x"])
     register("MaxOverlay", lambda ls, sp: bm.overlay(ls, sp, "max"), "Per-cell max across stack",

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SYNTH_POINTS_SQL = """
     SELECT l_orderkey * 10 + l_linenumber AS record_id,
@@ -1502,4 +1503,225 @@ Q_EUCLIDEAN_DISTANCE_SQL = """
            SQRT(CAST((SELECT MIN((row - t.tr) * (row - t.tr) + (col - t.tc) * (col - t.tc))
                       FROM t) AS DOUBLE)) AS dist
     FROM g
+"""
+
+
+# ---------------------------------------------------------------- stats3
+
+
+def q_anova_status(sf_dir: str):
+    """Anova (anova.rs:414-434): one-way F of o_totalprice by
+    o_orderstatus — integer dfs + F rounded (aggregate, re-association
+    noise absorbed)."""
+    from ..stages.stats3 import anova
+
+    ds = read(sf_dir, "orders", columns=["o_totalprice", "o_orderstatus"])
+    res = anova(ds, "o_totalprice", "o_orderstatus")
+    return pd.DataFrame(
+        {
+            "n": [int(res["n"])],
+            "df_between": [int(res["df_between"])],
+            "df_within": [int(res["df_within"])],
+            "f": [round(res["f"], 6)],
+        }
+    )
+
+
+Q_ANOVA_STATUS_SQL = """
+    WITH g AS (
+        SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS s,
+               SUM(o_totalprice * o_totalprice) AS ss
+        FROM orders GROUP BY o_orderstatus
+    ), tot AS (
+        SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss, COUNT(*) AS k FROM g
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST(tot.k - 1 AS BIGINT) AS df_between,
+           CAST(tot.n - tot.k AS BIGINT) AS df_within,
+           ROUND(((SELECT SUM(s * s / n) FROM g) - tot.s * tot.s / tot.n) / (tot.k - 1)
+                 / ((tot.ss - (SELECT SUM(s * s / n) FROM g)) / (tot.n - tot.k)), 6) AS f
+    FROM tot
+"""
+
+
+def q_paired_ttest(sf_dir: str):
+    """PairedSampleTTest: t of l_quantity vs 100·l_discount per row."""
+    from ..stages.stats3 import paired_t_test
+
+    ds = read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64),
+                "b": batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0,
+            }
+        )
+
+    res = paired_t_test(ds.map_batches(widen, batch_format="pyarrow"), "a", "b")
+    return pd.DataFrame(
+        {"n": [int(res["n"])], "df": [int(res["df"])], "t": [round(res["t"], 6)]}
+    )
+
+
+Q_PAIRED_TTEST_SQL = """
+    WITH d AS (SELECT l_quantity - 100.0 * l_discount AS diff FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - 1 AS BIGINT) AS df,
+           ROUND(AVG(diff) / (STDDEV_SAMP(diff) / SQRT(COUNT(*))), 6) AS t
+    FROM d
+"""
+
+
+def q_ks_orders(sf_dir: str):
+    """TwoSampleKsTest: K-S D between o_totalprice of status-'F' orders
+    and the rest. Output the INTEGER numerator max|c1·n2 − c2·n1| so the
+    compare is bit-exact (no rational rounding)."""
+    from ..stages.stats3 import distinct_value_scan
+
+    ds = read(sf_dir, "orders", columns=["o_totalprice", "o_orderstatus"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        lab = pc.equal(batch["o_orderstatus"], "F").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "v": batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64),
+                "c1": lab.astype(np.float64),
+                "c2": (~lab).astype(np.float64),
+            }
+        )
+
+    wide = ds.map_batches(widen, batch_format="pyarrow")
+    scanned, totals = distinct_value_scan(wide, "v", ["c1", "c2"])
+    n1, n2 = int(totals["c1"]), int(totals["c2"])
+
+    def block_num(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"num": pa.array([], pa.int64())})
+        cum1 = (batch["off_c1"].to_numpy() + batch["c1"].to_numpy()).astype(np.int64)
+        cum2 = (batch["off_c2"].to_numpy() + batch["c2"].to_numpy()).astype(np.int64)
+        return pa.table({"num": [int(np.abs(cum1 * n2 - cum2 * n1).max())]})
+
+    nm = scanned.map_batches(block_num, batch_size=None, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"n1": [n1], "n2": [n2], "d_numerator": [int(nm["num"].max())]}
+    )
+
+
+Q_KS_ORDERS_SQL = """
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is1
+        FROM orders
+    ), t AS (
+        SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+               CAST(SUM(1 - is1) AS BIGINT) AS c2
+        FROM s GROUP BY v
+    ), n AS (
+        SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM t
+    ), c AS (
+        SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+               SUM(c2) OVER (ORDER BY v) AS cum2
+        FROM t
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(c.cum1 * n.n2 - c.cum2 * n.n1)) AS BIGINT) AS d_numerator
+    FROM c, n
+    GROUP BY n.n1, n.n2
+"""
+
+
+def q_wilcoxon(sf_dir: str):
+    """WilcoxonSignedRankTest (wilcoxon_signed_rank_test.rs:360-430):
+    2·W⁺ (always integer — ranks are half-integers) of l_quantity vs
+    100·l_discount."""
+    from ..stages.stats3 import wilcoxon_signed_rank
+
+    ds = read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64),
+                "b": batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0,
+            }
+        )
+
+    res = wilcoxon_signed_rank(ds.map_batches(widen, batch_format="pyarrow"), "a", "b")
+    return pd.DataFrame(
+        {"n": [int(res["n"])], "w_plus_x2": [int(round(2.0 * res["w_plus"]))]}
+    )
+
+
+Q_WILCOXON_SQL = """
+    WITH d AS (
+        SELECT l_quantity - 100.0 * l_discount AS diff FROM lineitem
+        WHERE l_quantity - 100.0 * l_discount <> 0
+    ), r AS (
+        SELECT diff,
+               RANK() OVER (ORDER BY ABS(diff)) AS r_min,
+               COUNT(*) OVER (PARTITION BY ABS(diff)) AS c_eq
+        FROM d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN diff > 0 THEN 2 * r_min + c_eq - 1 ELSE 0 END) AS BIGINT)
+               AS w_plus_x2
+    FROM r
+"""
+
+
+def q_cume_dist(sf_dir: str):
+    """CumulativeDistribution (cumulative_dist.rs): per-customer
+    cume count of c_acctbal (integer rank-max — SQL COUNT(*) OVER
+    (ORDER BY ...) with the default peers-inclusive RANGE frame)."""
+    from ..stages.stats3 import cumulative_distribution
+
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    n = ds.count()
+    out = cumulative_distribution(ds, "c_acctbal")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cnt = np.rint(batch["cume"].to_numpy() * n).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "cume_cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("c_custkey")
+
+
+Q_CUME_DIST_SQL = """
+    SELECT c_custkey,
+           CAST(COUNT(*) OVER (ORDER BY c_acctbal) AS BIGINT) AS cume_cnt
+    FROM customer
+    ORDER BY c_custkey
+"""
+
+
+def q_crispness(sf_dir: str):
+    """CrispnessIndex (crispness_index.rs:40) of the 10·l_discount
+    pseudo-membership column."""
+    from ..stages.stats2 import crispness_index
+
+    ds = read(sf_dir, "lineitem", columns=["l_discount"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p": batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64) * 10.0}
+        )
+
+    c = crispness_index(ds.map_batches(widen, batch_format="pyarrow"), "p")
+    return pd.DataFrame({"crispness": [round(c, 6)]})
+
+
+Q_CRISPNESS_SQL = """
+    WITH s AS (SELECT 10.0 * l_discount AS p FROM lineitem),
+         a AS (SELECT COUNT(*) AS n, SUM(p) AS s, SUM(p * p) AS ss,
+                      AVG(p) AS pbar FROM s)
+    SELECT ROUND((ss - n * pbar * pbar)
+                 / (s * (1 - pbar) * (1 - pbar) + pbar * pbar * (n - s)), 6)
+           AS crispness
+    FROM a
 """

@@ -90,3 +90,20 @@ def ihs_to_rgb(ds, h_col="hue", s_col="saturation", i_col="intensity", round_to:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def direct_decorrelation_stretch(ds, k: float = 0.5, r_col="r", g_col="g", b_col="b",
+                                 round_to: int = 6):
+    """DirectDecorrelationStretch (direct_decorrelation_stretch.rs:27-33):
+    subtract the achromatic component — c' = c − k·min(r, g, b) per band."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = batch[r_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = batch[g_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = k * np.minimum(np.minimum(r, g), b)
+        for name, v in (("dds_r", r - m), ("dds_g", g - m), ("dds_b", b - m)):
+            batch = batch.append_column(name, pa.array(np.round(v, round_to), pa.float64()))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")

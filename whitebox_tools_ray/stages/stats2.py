@@ -65,6 +65,32 @@ def rmse(ds, a: str, b: str) -> float:
     return float(np.sqrt(p["sdd"] / p["n"]))
 
 
+def regression(ds, x: str, y: str) -> dict:
+    """ImageRegression (image_regression.rs): OLS y = b0 + b1·x with
+    slope/intercept standard errors and R², all from one partials pass."""
+    p = _pair_partials(ds, x, y)
+    n = p["n"]
+    mx, my = p["sx"] / n, p["sy"] / n
+    cov = p["sxy"] / n - mx * my
+    vx = p["sxx"] / n - mx * mx
+    vy = p["syy"] / n - my * my
+    slope = cov / vx
+    intercept = my - slope * mx
+    r2 = (cov * cov) / (vx * vy) if vx > 0 and vy > 0 else float("nan")
+    # residual variance from the same partials: SSE = Syy - b1*Sxy (centered)
+    sse = n * (vy - slope * cov)
+    mse = sse / (n - 2) if n > 2 else float("nan")
+    se_slope = float(np.sqrt(mse / (n * vx))) if n > 2 and vx > 0 else float("nan")
+    return {
+        "n": int(n),
+        "slope": slope,
+        "intercept": intercept,
+        "r2": r2,
+        "se_slope": se_slope,
+        "mse": mse,
+    }
+
+
 def cross_tabulation(ds, a: str, b: str):
     """Contingency table Dataset[a, b, n] via the partial-combine pattern."""
     from ray.data.aggregate import Sum
@@ -207,3 +233,24 @@ def random_sample(ds, fraction: float, seed: int = 42, id_col: str | None = None
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def crispness_index(ds, col: str) -> float:
+    """CrispnessIndex (crispness_index.rs:40): for a membership-probability
+    column, C = Σ(p−p̄)² / [Σp·(1−p̄)² + p̄²(n−Σp)]."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = p[~np.isnan(p)]
+        return pa.table({"n": [len(p)], "s": [float(p.sum())], "ss": [float((p * p).sum())]})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("ss", alias_name="ss")
+    )
+    n, s, ss = float(agg["n"]), float(agg["s"]), float(agg["ss"])
+    pbar = s / n
+    num = ss - n * pbar * pbar
+    den = s * (1.0 - pbar) ** 2 + pbar * pbar * (n - s)
+    return num / den if den else float("nan")

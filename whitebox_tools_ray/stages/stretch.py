@@ -288,3 +288,66 @@ def balance_contrast_enhancement(tiles_ds, e_mean: float = 100.0,
         return a * (g - b) ** 2 + c
 
     return _remap_tiles(tiles_ds, fn, out_fmt)
+
+
+def rescale_value_range(tiles_ds, new_min: float, new_max: float,
+                        clip_min: float | None = None, clip_max: float | None = None,
+                        out_fmt: str = "f32"):
+    """RescaleValueRange (rescale_value_range.rs): linear remap of the
+    pixel range [min, max] (or user clip bounds) onto [new_min, new_max]."""
+    lo, hi = _pixel_minmax(tiles_ds)
+    if clip_min is not None:
+        lo = clip_min
+    if clip_max is not None:
+        hi = clip_max
+    span = (hi - lo) or 1.0
+
+    def fn(g: np.ndarray) -> np.ndarray:
+        return np.clip((g - lo) / span, 0.0, 1.0) * (new_max - new_min) + new_min
+
+    return _remap_tiles(tiles_ds, fn, out_fmt)
+
+
+def gamma_correction(tiles_ds, gamma: float = 0.5, out_fmt: str = "f32"):
+    """GammaCorrection (gamma_correction.rs): v' = range·(v_norm)^gamma
+    with v_norm the min/max-normalized pixel value."""
+    lo, hi = _pixel_minmax(tiles_ds)
+    span = (hi - lo) or 1.0
+
+    def fn(g: np.ndarray) -> np.ndarray:
+        return np.power(np.clip((g - lo) / span, 0.0, 1.0), gamma) * span + lo
+
+    return _remap_tiles(tiles_ds, fn, out_fmt)
+
+
+def stdev_contrast_stretch(tiles_ds, num_sd: float = 2.0,
+                           out_min: float = 0.0, out_max: float = 255.0,
+                           out_fmt: str = "f32"):
+    """StandardDeviationContrastStretch
+    (stdev_contrast_stretch.rs): linear stretch of [μ−kσ, μ+kσ]."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n, tot, tot2 = 0, 0.0, 0.0
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            nod = batch["nodata"][i].as_py() if "nodata" in batch.schema.names else None
+            v = g[g != nod].ravel() if nod is not None else g.ravel()
+            n += v.size
+            tot += float(v.sum())
+            tot2 += float((v * v).sum())
+        return pa.table({"n": [n], "tot": [tot], "tot2": [tot2]})
+
+    agg = tiles_ds.map_batches(partial, batch_format="pyarrow", batch_size=16).aggregate(
+        Sum("n", alias_name="n"), Sum("tot", alias_name="tot"), Sum("tot2", alias_name="tot2")
+    )
+    n = max(int(agg["n"]), 1)
+    mu = float(agg["tot"]) / n
+    sd = float(np.sqrt(max(float(agg["tot2"]) / n - mu * mu, 0.0)))
+    lo, hi = mu - num_sd * sd, mu + num_sd * sd
+    span = (hi - lo) or 1.0
+
+    def fn(g: np.ndarray) -> np.ndarray:
+        return np.clip((g - lo) / span, 0.0, 1.0) * (out_max - out_min) + out_min
+
+    return _remap_tiles(tiles_ds, fn, out_fmt)
