@@ -428,6 +428,60 @@ def _register_all():
              "Sobel magnitude", "image_analysis", [], "image_analysis/sobel_filter.rs")
     register("PrewittFilter", lambda ds, spec: focal.focal_op(ds, spec, focal.prewitt_kernel, 1),
              "Prewitt magnitude", "image_analysis", [], "image_analysis/prewitt_filter.rs")
+    f2 = __import__("whitebox_tools_ray.stages.filters2", fromlist=["x"])
+    register("GaussianFilter", f2.gaussian_filter, "Truncated 2-D Gaussian smoothing", "image_analysis",
+             [], "image_analysis/gaussian_filter.rs")
+    register("DiffOfGaussianFilter", f2.diff_of_gaussian_filter, "Difference of Gaussians band-pass",
+             "image_analysis", [], "image_analysis/diff_of_gaussians_filter.rs")
+    register("LaplacianOfGaussianFilter", f2.laplacian_of_gaussian_filter, "LoG edge operator",
+             "image_analysis", [], "image_analysis/laplacian_of_gaussian_filter.rs")
+    register("FastAlmostGaussianFilter", f2.fast_almost_gaussian_filter,
+             "5 iterated box means (Kovesi widths)", "image_analysis",
+             [], "image_analysis/fast_almost_gaussian_filter.rs:196-209")
+    register("HighPassFilter", f2.high_pass_filter, "z - window mean", "image_analysis",
+             [], "image_analysis/high_pass_filter.rs")
+    register("HighPassMedianFilter", f2.high_pass_median_filter, "z - window median", "image_analysis",
+             [], "image_analysis/high_pass_median_filter.rs")
+    register("AdaptiveFilter", f2.adaptive_filter, "Mean replaces z when (z-mean)/s > t", "image_analysis",
+             [], "image_analysis/adaptive_filter.rs:415-426")
+    register("BilateralFilter", f2.bilateral_filter, "Spatial x intensity Gaussian smoothing",
+             "image_analysis", [], "image_analysis/bilateral_filter.rs")
+    register("ConservativeSmoothingFilter", f2.conservative_smoothing_filter,
+             "Clamp z to neighbour min/max", "image_analysis",
+             [], "image_analysis/conservative_smoothing_filter.rs")
+    register("EdgePreservingMeanFilter", f2.edge_preserving_mean_filter,
+             "Mean of window values within value threshold", "image_analysis",
+             [], "image_analysis/edge_preserving_mean_filter.rs")
+    register("KNearestMeanFilter", f2.k_nearest_mean_filter, "Mean of k nearest-valued neighbours",
+             "image_analysis", [], "image_analysis/k_nearest_mean_filter.rs")
+    register("LeeSigmaFilter", f2.lee_sigma_filter, "Sigma-range mean with 8-neighbour fallback",
+             "image_analysis", [], "image_analysis/lee_filter.rs:340-375")
+    register("EmbossFilter", f2.emboss_filter, "Directional 3x3 emboss", "image_analysis",
+             [], "image_analysis/emboss_filter.rs")
+    register("RobertsCrossFilter", f2.roberts_cross_filter, "Roberts cross gradient magnitude",
+             "image_analysis", [], "image_analysis/roberts_cross_filter.rs")
+    register("ScharrFilter", f2.scharr_filter, "Scharr gradient magnitude", "image_analysis",
+             [], "image_analysis/scharr_filter.rs")
+    register("LineDetectionFilter", f2.line_detection_filter, "Max response of 4 line stencils",
+             "image_analysis", [], "image_analysis/line_detection_filter.rs")
+    register("UnsharpMasking", f2.unsharp_masking, "z + amount*(z - gaussian)", "image_analysis",
+             [], "image_analysis/unsharp_masking.rs")
+    register("UserDefinedWeightsFilter", f2.user_defined_weights_filter, "Arbitrary odd kernel",
+             "image_analysis", [], "image_analysis/user_defined_weights_filter.rs")
+    register("Opening", f2.opening, "Erosion then dilation", "image_analysis",
+             [], "image_analysis/opening.rs")
+    register("Closing", f2.closing, "Dilation then erosion", "image_analysis",
+             [], "image_analysis/closing.rs")
+    register("TophatTransform", f2.tophat_transform, "White/black tophat", "image_analysis",
+             [], "image_analysis/tophat.rs")
+    register("LineThinning", f2.line_thinning, "Iterated directional hit-and-miss thinning",
+             "image_analysis", [], "image_analysis/line_thin.rs:226-275")
+    register("RemoveSpurs", f2.remove_spurs, "Iterated spur-tip removal", "image_analysis",
+             [], "image_analysis/remove_spurs.rs")
+    register("ThickenRasterLine", f2.thicken_raster_line, "Bridge diagonal-only connections",
+             "image_analysis", [], "image_analysis/thicken_line.rs")
+    register("CornerDetection", f2.corner_detection, "Hit-and-miss corner patterns", "image_analysis",
+             [], "image_analysis/corner_detection.rs")
     register("MinMaxContrastStretch", stats.minmax_stretch, "Global linear stretch", "image_analysis",
              [], "image_analysis/min_max_contrast_stretch.rs")
     register("HistogramEqualization", stretch.histogram_equalization, "Global histogram CDF remap",

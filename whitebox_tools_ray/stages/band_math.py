@@ -155,3 +155,39 @@ def count_if(layer_dss: list, spec, value: float):
         )
 
     return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
+
+
+def overlay_fn(ds_a, ds_b, spec, fn, out_fmt: str = "f32"):
+    """Binary per-cell combine ``fn(a, b) -> out`` of two aligned tile
+    Datasets via the keyed tile zip (one groupby shuffle, both layers
+    stream). Nodata in either input propagates."""
+    nodata = spec.nodata
+
+    def tag(i):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
+            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
+
+        return f
+
+    tagged = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__layer")
+        a = codecs.decode_tile(bytes(g["bytes"].iloc[0]), g["fmt"].iloc[0])
+        b = codecs.decode_tile(bytes(g["bytes"].iloc[1]), g["fmt"].iloc[1])
+        bad = (a == nodata) | (b == nodata)
+        out = fn(a, b)
+        out = np.where(bad, nodata, out)
+        return pd.DataFrame(
+            {
+                "tile_row": [int(g["tile_row"].iloc[0])],
+                "tile_col": [int(g["tile_col"].iloc[0])],
+                "bytes": [codecs.encode_tile(out, out_fmt)],
+                "fmt": [out_fmt],
+            }
+        )
+
+    return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
