@@ -633,6 +633,45 @@ def _register_all():
              [], "terrain_analysis/plan_curvature.rs:276-297")
     register("RuggednessIndex", focal.ruggedness, "Riley TRI", "terrain_analysis",
              [], "terrain_analysis/ruggedness_index.rs")
+    t2 = __import__("whitebox_tools_ray.stages.terrain2", fromlist=["x"])
+    register("ProfileCurvature", t2.prof_curvature, "Profile curvature deg*100", "terrain_analysis",
+             [], "terrain_analysis/prof_curvature.rs:285-300")
+    register("TangentialCurvature", t2.tan_curvature, "Tangential curvature deg*100", "terrain_analysis",
+             [], "terrain_analysis/tan_curvature.rs:277-290")
+    register("TotalCurvature", t2.total_curvature, "Total curvature deg*100", "terrain_analysis",
+             [], "terrain_analysis/total_curvature.rs:267-271")
+    register("RelativeAspect", t2.relative_aspect, "Aspect distance from azimuth", "terrain_analysis",
+             [], "terrain_analysis/relative_aspect.rs")
+    register("NumDownslopeNeighbours", t2.num_downslope_neighbours, "Count of lower 8-neighbours",
+             "terrain_analysis", [], "terrain_analysis/num_downslope_neighbours.rs")
+    register("NumUpslopeNeighbours", t2.num_upslope_neighbours, "Count of higher 8-neighbours",
+             "terrain_analysis", [], "terrain_analysis/num_upslope_neighbours.rs")
+    register("MaxDownslopeElevChange", t2.max_downslope_elev_change, "Max drop to lower neighbour",
+             "terrain_analysis", [], "terrain_analysis/max_downslope_elev_change.rs:228-234")
+    register("MinDownslopeElevChange", t2.min_downslope_elev_change, "Min drop to lower neighbour",
+             "terrain_analysis", [], "terrain_analysis/min_downslope_elev_change.rs")
+    register("FindRidges", t2.find_ridges, "Lower N+S or E+W neighbours", "terrain_analysis",
+             [], "terrain_analysis/find_ridges.rs")
+    register("SurfaceAreaRatio", t2.surface_area_ratio, "Jenness 8-triangle surface/planar area",
+             "terrain_analysis", [], "terrain_analysis/surface_area_ratio.rs")
+    register("CircularVarianceOfAspect", t2.circular_variance_of_aspect,
+             "1 - mean resultant length of windowed aspect", "terrain_analysis",
+             [], "terrain_analysis/circular_variance_of_aspect.rs")
+    register("StandardDeviationOfSlope", t2.stdev_of_slope, "Window sigma of Horn slope",
+             "terrain_analysis", [], "terrain_analysis/standard_deviation_of_slope.rs")
+    register("EdgeDensity", t2.edge_density, "Window proportion of slope-break cells",
+             "terrain_analysis", [], "terrain_analysis/edge_density.rs")
+    register("PennockLandformClass", t2.pennock_landform_class, "7-class slope/curvature landform",
+             "terrain_analysis", [], "terrain_analysis/pennock_landform_class.rs:43-54")
+    register("StreamPowerIndex", t2.stream_power_index, "ln(SCA^p * tan slope)", "terrain_analysis",
+             [], "terrain_analysis/relative_stream_power_index.rs")
+    register("WetnessIndex", t2.wetness_index, "ln(SCA / tan slope)", "terrain_analysis",
+             [], "terrain_analysis/wetness_index.rs")
+    register("SedimentTransportIndex", t2.sediment_transport_index,
+             "(n+1)(SCA/22.13)^n (sin b/0.0896)^m", "terrain_analysis",
+             [], "terrain_analysis/sediment_transport_index.rs")
+    register("ElevAbovePit", t2.elev_above_pit, "z - z(flowpath terminal pit)", "terrain_analysis",
+             [], "terrain_analysis/elev_above_pit.rs")
 
     # hydro_analysis
     register("EuclideanDistance", __import__("whitebox_tools_ray.stages.distance", fromlist=["x"]).euclidean_distance_ds,
