@@ -780,6 +780,49 @@ def _register_all():
     register("D8FlowAccumulation", flow.flow_accumulation_ds, "Dataset-native BSP topological accumulation",
              "hydro_analysis", [P("pointer_ds", "Dataset"), P("spec", "SceneSpec")],
              "hydro_analysis/d8_flow_accum.rs:399-431")
+    fl2 = __import__("whitebox_tools_ray.stages.flow2", fromlist=["x"])
+    register("FD8FlowAccumulation", fl2.fd8_flow_accumulation,
+             "Freeman multi-direction accumulation (fractions ~ slope^p)", "hydro_analysis",
+             [P("dem_ds", "Dataset"), P("spec", "SceneSpec")], "hydro_analysis/fd8_flow_accum.rs")
+    register("DInfFlowAccumulation", fl2.dinf_flow_accumulation,
+             "Tarboton D-infinity facet-split accumulation", "hydro_analysis",
+             [P("dem_ds", "Dataset"), P("spec", "SceneSpec")], "hydro_analysis/dinf_flow_accum.rs")
+    register("DInfPointer", fl2.dinf_pointer, "D-infinity flow angle (degrees)", "hydro_analysis",
+             [], "hydro_analysis/dinf_pointer.rs")
+    register("FD8Pointer", fl2.fd8_pointer, "Bitfield of receiving neighbours", "hydro_analysis",
+             [], "hydro_analysis/fd8_pointer.rs:227")
+    register("Rho8Pointer", fl2.rho8_pointer, "D8 with randomized diagonal distance (seeded)",
+             "hydro_analysis", [], "hydro_analysis/rho8_pointer.rs:253-263")
+    register("D8MassFlux", fl2.d8_mass_flux, "(acc - absorption)*efficiency routed by D8",
+             "hydro_analysis", [], "hydro_analysis/d8_mass_flux.rs:463-465")
+    register("DInfMassFlux", fl2.dinf_mass_flux, "(acc - absorption)*efficiency routed by D-inf",
+             "hydro_analysis", [], "hydro_analysis/dinf_mass_flux.rs")
+    register("MaxUpslopeFlowpathLength", fl2.max_upslope_flowpath_length,
+             "Longest upstream flowpath per cell", "hydro_analysis",
+             [], "hydro_analysis/max_upslope_flowpath.rs")
+    register("AverageUpslopeFlowpathLength", fl2.average_upslope_flowpath_length,
+             "Path-count-weighted mean upstream flowpath", "hydro_analysis",
+             [], "hydro_analysis/average_upslope_flowpath_length.rs")
+    register("TraceDownslopeFlowpaths", fl2.trace_downslope_flowpaths,
+             "Mark D8 paths downstream of seed cells", "hydro_analysis",
+             [], "hydro_analysis/trace_downslope_flowpaths.rs")
+    register("FillSingleCellPits", fl2.fill_single_cell_pits, "Raise 1-cell pits to lowest neighbour",
+             "hydro_analysis", [], "hydro_analysis/fill_single_cell_pits.rs")
+    register("BreachSingleCellPits", fl2.breach_single_cell_pits, "Lower walls next to 1-cell pits",
+             "hydro_analysis", [], "hydro_analysis/breach_single_cell_pits.rs")
+    register("FindParallelFlow", fl2.find_parallel_flow, "Cells sharing a neighbour's D8 direction",
+             "hydro_analysis", [], "hydro_analysis/find_parallel_flow.rs")
+    register("FlowAccumulationFullWorkflow", fl2.flow_accumulation_full_workflow,
+             "fill -> pointer -> accumulation composition", "hydro_analysis",
+             [], "hydro_analysis/flow_accum_full_workflow.rs")
+    register("JensonSnapPourPoints", fl2.jenson_snap_pour_points,
+             "Snap outlets to nearest stream cell in radius", "hydro_analysis",
+             [], "hydro_analysis/jenson_snap_pour_points.rs")
+    register("Subbasins", fl2.subbasins, "Watershed against the stream-link target grid",
+             "hydro_analysis", [], "hydro_analysis/subbasins.rs")
+    register("StrahlerOrderBasins", fl2.strahler_order_basins,
+             "Subbasins relabeled link -> Strahler order", "hydro_analysis",
+             [], "hydro_analysis/strahler_order_basins.rs")
 
     # training-data pipeline value-add (no reference analog)
     register("ExactDedup", dedup.exact_dedup, "Content-hash dedup", "training_data", [], "")
