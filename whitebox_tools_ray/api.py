@@ -286,9 +286,26 @@ def _register_all():
         ("CentroidVector", "Vertex-average centroid"),
         ("HoleProportion", "Hole/shell area ratio"),
         ("LinearityIndex", "Vertex regression r^2"),
+        ("RelatedCircumscribingCircle", "1 - A/Ac (Welzl circle area)"),
+        ("ShapeComplexityIndex", "1 - A/Ah (convex hull area)"),
+        ("PatchOrientation", "RMA slope on hull nodes, deg from north"),
+        ("BoundaryShapeComplexity", "Vertex-set shape complexity metrics"),
     ]:
         register(m, vector_metrics.polygon_metrics, desc, "gis_analysis",
                  [P("poly_ds", "Dataset"), P("metrics", "StringList")], "gis_analysis (metric family, SURVEY §2.4)")
+    register("PolygonLongAxis", lambda ds: vector_metrics.polygon_axes(ds, "long"),
+             "Line through MBB centre along the long side", "gis_analysis",
+             [], "gis_analysis/polygon_long_axis.rs")
+    register("PolygonShortAxis", lambda ds: vector_metrics.polygon_axes(ds, "short"),
+             "Line through MBB centre along the short side", "gis_analysis",
+             [], "gis_analysis/polygon_short_axis.rs")
+    register("MinimumBoundingEnvelope", vector_metrics.minimum_bounding_envelope,
+             "Per-feature axis-aligned box", "gis_analysis",
+             [], "gis_analysis/minimum_bounding_envelope.rs")
+    register("Medoid", vector_metrics.medoid, "Node nearest the axis-median", "gis_analysis",
+             [], "gis_analysis/medoid.rs:17-24")
+    register("LayerFootprint", vector_metrics.layer_footprint, "Layer bounding box",
+             "gis_analysis", [], "gis_analysis/layer_footprint.rs")
 
     vo = __import__("whitebox_tools_ray.stages.vector_ops", fromlist=["x"])
     register("ExtractNodes", vo.extract_nodes, "Vertices -> points", "gis_analysis",
@@ -600,6 +617,59 @@ def _register_all():
              "1-based argmin across stack", "gis_analysis", [], "gis_analysis/lowest_pos.rs")
     register("CountIf", bm.count_if, "Per-cell equality count across stack",
              "gis_analysis", [], "gis_analysis/count_if.rs")
+    register("MaxAbsoluteOverlay", lambda ls, sp: bm.overlay(ls, sp, "max_absolute"),
+             "Signed value of max |v| across stack", "gis_analysis",
+             [], "gis_analysis/max_absolute_overlay.rs")
+    register("MinAbsoluteOverlay", lambda ls, sp: bm.overlay(ls, sp, "min_absolute"),
+             "Signed value of min |v| across stack", "gis_analysis",
+             [], "gis_analysis/min_absolute_overlay.rs")
+    register("PercentEqualTo", lambda ls, cmp, sp: bm.compare_overlay(ls, cmp, sp, "eq"),
+             "% of layers equal to comparison", "gis_analysis",
+             [], "gis_analysis/percent_equal_to.rs")
+    register("PercentGreaterThan", lambda ls, cmp, sp: bm.compare_overlay(ls, cmp, sp, "gt"),
+             "% of layers greater than comparison", "gis_analysis",
+             [], "gis_analysis/percent_greater_than.rs")
+    register("PercentLessThan", lambda ls, cmp, sp: bm.compare_overlay(ls, cmp, sp, "lt"),
+             "% of layers less than comparison", "gis_analysis",
+             [], "gis_analysis/percent_less_than.rs")
+    register("PickFromList", bm.pick_from_list, "Position raster selects stack layer",
+             "gis_analysis", [], "gis_analysis/pick_from_list.rs")
+    register("WeightedOverlay", bm.weighted_overlay,
+             "Normalized weighted factor combine (cost inversion)", "gis_analysis",
+             [], "gis_analysis/weighted_overlay.rs")
+    pt = __import__("whitebox_tools_ray.stages.patch", fromlist=["x"])
+    register("RasterArea", pt.raster_area, "Per-class cell area", "gis_analysis",
+             [], "gis_analysis/raster_area.rs")
+    register("Centroid", pt.centroid_raster, "Per-class centroid points", "gis_analysis",
+             [], "gis_analysis/centroid.rs")
+    register("RadiusOfGyration", pt.radius_of_gyration, "McGarigal GYRATE per class",
+             "gis_analysis", [], "gis_analysis/radius_of_gyration.rs")
+    register("FindPatchOrClassEdgeCells", pt.edge_cells, "Cells with a different 4-neighbour",
+             "gis_analysis", [], "gis_analysis/find_patch_or_class_edge_cells.rs")
+    register("EdgeProportion", pt.edge_proportion, "Per-class edge-cell share", "gis_analysis",
+             [], "gis_analysis/edge_proportion.rs")
+    register("NarrownessIndex", pt.narrowness_index, "A/(pi*MD^2) per class via EDT",
+             "gis_analysis", [], "gis_analysis/narrowness_index.rs:17-25")
+    register("ShapeComplexityIndexRaster", pt.shape_complexity_index_raster,
+             "1 - A/Ah per class (hull of partial hulls)", "gis_analysis",
+             [], "gis_analysis/shape_complexity_index_raster.rs")
+    register("FindLowestOrHighestPoints", pt.find_lowest_or_highest_points,
+             "Global argmin/argmax as points", "gis_analysis",
+             [], "gis_analysis/find_lowest_or_highest_points.rs")
+    gen = __import__("whitebox_tools_ray.stages.generate", fromlist=["x"])
+    register("CreatePlane", gen.create_plane, "Tilted-plane raster generator", "gis_analysis",
+             [], "gis_analysis/create_plane.rs")
+    register("RandomField", gen.random_field, "Seeded i.i.d. normal field", "math_stat_analysis",
+             [], "math_stat_analysis/random_field.rs")
+    register("TurningBandsSimulation", gen.turning_bands,
+             "Autocorrelated field via seeded cosine bands", "math_stat_analysis",
+             [], "math_stat_analysis/turning_bands.rs")
+    register("CreateRectangularVectorGrid", gen.create_rectangular_vector_grid,
+             "Distributed fishnet polygons", "gis_analysis",
+             [], "gis_analysis/create_rectangular_vector_grid.rs")
+    register("CreateHexagonalVectorGrid", gen.create_hexagonal_vector_grid,
+             "Distributed hex fishnet", "gis_analysis",
+             [], "gis_analysis/create_hexagonal_vector_grid.rs")
     register("NormalizedDifferenceIndex", bm.normalized_difference, "(A-B)/(A+B) with 0/0 guard",
              "image_analysis", [], "image_analysis/normalized_difference_index.rs")
     fl = __import__("whitebox_tools_ray.stages.fill", fromlist=["x"])
@@ -674,7 +744,20 @@ def _register_all():
              [], "terrain_analysis/elev_above_pit.rs")
 
     # hydro_analysis
-    register("EuclideanDistance", __import__("whitebox_tools_ray.stages.distance", fromlist=["x"]).euclidean_distance_ds,
+    dmod = __import__("whitebox_tools_ray.stages.distance", fromlist=["x"])
+    register("EuclideanAllocation", dmod.euclidean_allocation_ds,
+             "Nearest-target value via the exact separable feature transform", "gis_analysis",
+             [P("tiles_ds", "Dataset"), P("spec", "SceneSpec")],
+             "gis_analysis/euclidean_allocation.rs")
+    register("BufferRaster", dmod.buffer_raster, "Cells within distance of nonzero targets",
+             "gis_analysis", [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("size", "Float")],
+             "gis_analysis/buffer_raster.rs")
+    register("ReclassEqualInterval", stats.reclass_equal_interval,
+             "Floor-to-interval-bin reclass", "math_stat_analysis",
+             [], "math_stat_analysis/reclass_equal_interval.rs")
+    register("ReclassFromFile", stats.reclass_from_file, "Range LUT parsed from text",
+             "math_stat_analysis", [], "math_stat_analysis/reclass_from_file.rs")
+    register("EuclideanDistance", dmod.euclidean_distance_ds,
              "Exact EDT, Dataset-native two-pass strips", "gis_analysis",
              [P("tiles_ds", "Dataset"), P("spec", "SceneSpec")],
              "gis_analysis/euclidean_distance.rs:23-33 (exact-EDT substitute)")

@@ -28,6 +28,10 @@ _STACK_OPS = {
     "average": lambda s: s.mean(axis=0),
     "highest_position": lambda s: s.argmax(axis=0).astype(np.float64) + 1.0,  # 1-based like the reference
     "lowest_position": lambda s: s.argmin(axis=0).astype(np.float64) + 1.0,
+    # MaxAbsoluteOverlay / MinAbsoluteOverlay (max_absolute_overlay.rs):
+    # the SIGNED value whose magnitude is extreme
+    "max_absolute": lambda s: np.take_along_axis(s, np.abs(s).argmax(axis=0)[None], 0)[0],
+    "min_absolute": lambda s: np.take_along_axis(s, np.abs(s).argmin(axis=0)[None], 0)[0],
 }
 
 
@@ -181,6 +185,139 @@ def overlay_fn(ds_a, ds_b, spec, fn, out_fmt: str = "f32"):
         bad = (a == nodata) | (b == nodata)
         out = fn(a, b)
         out = np.where(bad, nodata, out)
+        return pd.DataFrame(
+            {
+                "tile_row": [int(g["tile_row"].iloc[0])],
+                "tile_col": [int(g["tile_col"].iloc[0])],
+                "bytes": [codecs.encode_tile(out, out_fmt)],
+                "fmt": [out_fmt],
+            }
+        )
+
+    return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
+
+
+def compare_overlay(layer_dss: list, cmp_ds, spec, op: str = "eq", out_fmt: str = "f32"):
+    """PercentEqualTo / PercentGreaterThan / PercentLessThan
+    (percent_equal_to.rs family): per cell, the percentage of stack
+    layers whose value compares true against the comparison layer."""
+    fns = {
+        "eq": lambda s, c: s == c,
+        "gt": lambda s, c: s > c,
+        "lt": lambda s, c: s < c,
+    }
+    cmp_fn = fns[op]
+    nodata = spec.nodata
+    n_layers = len(layer_dss)
+
+    def tag(i):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
+            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
+
+        return fn
+
+    tagged = cmp_ds.map_batches(tag(-1), batch_format="pyarrow")
+    for i, ds in enumerate(layer_dss):
+        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__layer")
+        grids = [codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])]
+        cmp_g = grids[0]  # __layer == -1 sorts first
+        stack = np.stack(grids[1:])
+        bad = (stack == nodata).any(axis=0) | (cmp_g == nodata)
+        out = cmp_fn(stack, cmp_g[None]).sum(axis=0) / float(n_layers) * 100.0
+        out[bad] = nodata
+        return pd.DataFrame(
+            {
+                "tile_row": [int(g["tile_row"].iloc[0])],
+                "tile_col": [int(g["tile_col"].iloc[0])],
+                "bytes": [codecs.encode_tile(out, out_fmt)],
+                "fmt": [out_fmt],
+            }
+        )
+
+    return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
+
+
+def pick_from_list(layer_dss: list, pos_ds, spec, out_fmt: str = "f32"):
+    """PickFromList (pick_from_list.rs): the position raster selects,
+    per cell, which stack layer's value to output (1-based)."""
+    nodata = spec.nodata
+
+    def tag(i):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
+            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
+
+        return fn
+
+    tagged = pos_ds.map_batches(tag(-1), batch_format="pyarrow")
+    for i, ds in enumerate(layer_dss):
+        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__layer")
+        grids = [codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])]
+        pos = grids[0]
+        stack = np.stack(grids[1:])
+        idx = np.clip(pos.astype(np.int64) - 1, 0, stack.shape[0] - 1)
+        out = np.take_along_axis(stack, idx[None], 0)[0]
+        bad = (pos == nodata) | (pos.astype(np.int64) - 1 < 0) | (pos.astype(np.int64) > stack.shape[0])
+        out = np.where(bad, nodata, out)
+        return pd.DataFrame(
+            {
+                "tile_row": [int(g["tile_row"].iloc[0])],
+                "tile_col": [int(g["tile_col"].iloc[0])],
+                "bytes": [codecs.encode_tile(out, out_fmt)],
+                "fmt": [out_fmt],
+            }
+        )
+
+    return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
+
+
+def weighted_overlay(layer_dss: list, spec, weights: list[float],
+                     cost: list[bool] | None = None, scale_max: float = 1.0,
+                     out_fmt: str = "f32"):
+    """WeightedOverlay (weighted_overlay.rs): each factor min/max
+    normalized onto [0, scale_max] (cost layers inverted), then the
+    weighted sum with weights normalized to Σ=1."""
+    from .stretch import _pixel_minmax
+
+    w = np.asarray(weights, dtype=np.float64)
+    w = w / w.sum()
+    costs = cost or [False] * len(layer_dss)
+    ranges = [_pixel_minmax(ds) for ds in layer_dss]
+    nodata = spec.nodata
+
+    def tag(i):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
+            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
+
+        return fn
+
+    tagged = layer_dss[0].map_batches(tag(0), batch_format="pyarrow")
+    for i, ds in enumerate(layer_dss[1:], 1):
+        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__layer")
+        out = None
+        bad = None
+        for (_, row), wi, ci, (lo, hi) in zip(g.iterrows(), w, costs, ranges):
+            grid = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            span = (hi - lo) or 1.0
+            norm = (grid - lo) / span
+            if ci:
+                norm = 1.0 - norm
+            term = wi * norm * scale_max
+            b = grid == nodata
+            out = term if out is None else out + term
+            bad = b if bad is None else (bad | b)
+        out[bad] = nodata
         return pd.DataFrame(
             {
                 "tile_row": [int(g["tile_row"].iloc[0])],

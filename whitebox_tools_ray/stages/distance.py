@@ -20,6 +20,10 @@ dict-of-tiles scene.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels import codecs
 
 _INF = 1e18
 
@@ -161,3 +165,121 @@ def euclidean_distance_ds(tiles_ds, spec, target_nonzero: bool = True,
         return pd.DataFrame(rows_out)
 
     return mid.groupby("tile_row").map_groups(row_pass, batch_format="pandas")
+
+
+def _edt_1d_arg(f: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Felzenszwalb envelope returning (squared distance, source index)
+    per cell — the 1-D feature transform."""
+    n, m = f.shape
+    d = np.full((n, m), _INF)
+    src = np.zeros((n, m), dtype=np.int64)
+    v = np.zeros((n, m), dtype=np.int64)
+    z = np.full((n + 1, m), 0.0)
+    k = np.zeros(m, dtype=np.int64)
+    z[0] = -_INF
+    z[1] = _INF
+    cols = np.arange(m)
+    for q in range(1, n):
+        fq = f[q]
+        while True:
+            vk = v[k, cols]
+            s = (fq + q * q - (f[vk, cols] + vk * vk)) / (2.0 * q - 2.0 * vk)
+            mask = (s <= z[k, cols]) & (k > 0)
+            if not mask.any():
+                break
+            k[mask] -= 1
+        k += 1
+        v[k, cols] = q
+        z[k, cols] = s
+        z[k + 1, cols] = _INF
+    k = np.zeros(m, dtype=np.int64)
+    for q in range(n):
+        while True:
+            adv = z[k + 1, cols] < q
+            if not adv.any():
+                break
+            k[adv] += 1
+        vk = v[k, cols]
+        d[q] = (q - vk) ** 2 + f[vk, cols]
+        src[q] = vk
+    return d, src
+
+
+def euclidean_allocation_ds(tiles_ds, spec, out_fmt: str = "f32"):
+    """EuclideanAllocation (gis_analysis/euclidean_allocation.rs): every
+    cell takes the VALUE of its nearest nonzero target cell — the exact
+    separable feature transform (same two keyed strip shuffles as
+    ``euclidean_distance_ds``, with source indices carried through both
+    passes)."""
+    tpx = spec.tile_px
+    nodata = spec.nodata
+
+    def col_pass(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("tile_row")
+        grids = [codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])]
+        stack = np.vstack(grids)
+        tgt = (stack != 0.0) & (stack != nodata)
+        f = np.where(tgt, 0.0, 1e12)
+        d, src = _edt_1d_arg(f)
+        cols = np.arange(stack.shape[1])
+        # value of the column-nearest target (valid only where d finite)
+        av = stack[src, cols[None, :]]
+        rows_out = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": [], "av": [], "orig": []}
+        for i, tr in enumerate(g["tile_row"]):
+            rows_out["tile_row"].append(int(tr))
+            rows_out["tile_col"].append(int(g["tile_col"].iloc[0]))
+            rows_out["bytes"].append(codecs.encode_tile(d[i * tpx : (i + 1) * tpx], "f64"))
+            rows_out["fmt"].append("f64")
+            rows_out["av"].append(codecs.encode_tile(av[i * tpx : (i + 1) * tpx], "f64"))
+            rows_out["orig"].append(codecs.encode_tile(grids[i], "f32"))
+        return pd.DataFrame(rows_out)
+
+    mid = tiles_ds.groupby("tile_col").map_groups(col_pass, batch_format="pandas")
+
+    def row_pass(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("tile_col")
+        dcol = np.hstack([codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])])
+        avcol = np.hstack([codecs.decode_tile(bytes(b), "f64") for b in g["av"]])
+        origs = [codecs.decode_tile(bytes(b), "f32") for b in g["orig"]]
+        d, src = _edt_1d_arg(np.ascontiguousarray(dcol.T))
+        d = d.T
+        src = src.T  # src[r, x] = column j* of the nearest site
+        rows_idx = np.arange(dcol.shape[0])
+        alloc = avcol[rows_idx[:, None], src]
+        alloc = np.where(d < 1e11, alloc, nodata)
+        rows_out = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+        for i, tc in enumerate(g["tile_col"]):
+            o = alloc[:, i * tpx : (i + 1) * tpx].copy()
+            o[origs[i] == nodata] = nodata
+            rows_out["tile_row"].append(int(g["tile_row"].iloc[0]))
+            rows_out["tile_col"].append(int(tc))
+            rows_out["bytes"].append(codecs.encode_tile(o, out_fmt))
+            rows_out["fmt"].append(out_fmt)
+        return pd.DataFrame(rows_out)
+
+    return mid.groupby("tile_row").map_groups(row_pass, batch_format="pandas")
+
+
+def buffer_raster(tiles_ds, spec, size: float, gridcells: bool = False, out_fmt: str = "f32"):
+    """BufferRaster (gis_analysis/buffer_raster.rs): 1 within ``size`` of
+    a nonzero target (distance in map units, or cells when gridcells)."""
+    dist = euclidean_distance_ds(tiles_ds, spec, target_nonzero=True, out_fmt="f64")
+    thresh = size * (spec.res if gridcells else 1.0)
+    nodata_val = spec.nodata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bb, ff in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            d = codecs.decode_tile(bb, ff)
+            o = np.where(d == nodata_val, nodata_val, (d <= thresh).astype(np.float64))
+            outs.append(codecs.encode_tile(o, out_fmt))
+        return pa.table(
+            {
+                "tile_row": batch["tile_row"],
+                "tile_col": batch["tile_col"],
+                "bytes": pa.array(outs, pa.binary()),
+                "fmt": pa.array([out_fmt] * batch.num_rows, pa.string()),
+            }
+        )
+
+    return dist.map_batches(fn, batch_format="pyarrow")

@@ -160,3 +160,45 @@ def hypsometric_curve(ds, col: str, bins: int = 100):
     rel_elev = (edges[:-1] - lo) / span
     rel_area = above / n
     return pd.DataFrame({"rel_elev": rel_elev, "rel_area": rel_area})
+
+
+def reclass_equal_interval(ds, col: str, interval: float, start: float | None = None,
+                           out_col: str = "reclass"):
+    """ReclassEqualInterval (reclass_equal_interval.rs): class value =
+    lower edge of the interval bin containing the value."""
+    lo, hi = None, None
+    if start is None:
+        from ray.data.aggregate import Max, Min
+
+        def partial(batch):
+            import pyarrow as _pa
+
+            v = batch[col].to_numpy(zero_copy_only=False)
+            return _pa.table({"lo": [float(np.nanmin(v))], "hi": [float(np.nanmax(v))]})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+            Min("lo", alias_name="lo"), Max("hi", alias_name="hi")
+        )
+        lo, hi = float(agg["lo"]), float(agg["hi"])
+        start = lo
+    _ = hi
+
+    def remap(batch):
+        import pyarrow as _pa
+
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.floor((v - start) / interval) * interval + start
+        return batch.append_column(out_col, _pa.array(out, _pa.float64()))
+
+    return ds.map_batches(remap, batch_format="pyarrow")
+
+
+def reclass_from_file(ds, col: str, text: str, out_col: str = "reclass"):
+    """ReclassFromFile (reclass_from_file.rs): parse 'new;from;to' lines
+    (comma/semicolon/tab/space separated) into the range LUT."""
+    ranges = []
+    for line in text.strip().splitlines():
+        parts = [p for p in line.replace(",", " ").replace(";", " ").replace("\t", " ").split() if p]
+        if len(parts) >= 3:
+            ranges.append((float(parts[0]), float(parts[1]), float(parts[2])))
+    return reclass(ds, col, ranges, out_col=out_col)

@@ -47,6 +47,10 @@ ALL_METRICS = (
     "CENTROID_Y",
     "HOLE_PROP",
     "LINEARITY",
+    "RC_CIRCLE",
+    "COMPLEXITY",
+    "ORIENT",
+    "GY_RADIUS",
 )
 
 
@@ -119,6 +123,36 @@ def record_metrics(parts: np.ndarray, xs: np.ndarray, ys: np.ndarray, metrics) -
         sxx, syy, sxy = float(vx @ vx), float(vy @ vy), float(vx @ vy)
         denom = sxx * syy
         out["LINEARITY"] = (sxy * sxy) / denom if denom else 1.0
+    if "RC_CIRCLE" in need:
+        # RelatedCircumscribingCircle (related_circumscribing_circle.rs:23-27):
+        # 1 − A/Ac, Ac = smallest enclosing circle area
+        rad = geometry.smallest_enclosing_circle(xs, ys)[2]
+        ac = math.pi * rad * rad
+        out["RC_CIRCLE"] = 1.0 - area / ac if ac > 0 else float("nan")
+    if "COMPLEXITY" in need:
+        # ShapeComplexityIndex (shape_complexity_index.rs:25-33): 1 − A/Ah
+        hull = geometry.convex_hull(xs, ys)
+        ah = geometry.polygon_area(hull[:, 0], hull[:, 1])
+        out["COMPLEXITY"] = 1.0 - area / ah if ah > 0 else 0.0
+    if "ORIENT" in need:
+        # PatchOrientation (patch_orientation.rs:16-21): RMA regression on
+        # the exterior hull nodes; slope sign from covariance; degrees
+        # from north.
+        hull = geometry.convex_hull(xs, ys)
+        hx = hull[:, 0] - hull[:, 0].mean()
+        hy = hull[:, 1] - hull[:, 1].mean()
+        sxx_h = float(hx @ hx)
+        syy_h = float(hy @ hy)
+        sxy_h = float(hx @ hy)
+        if sxx_h == 0.0:
+            out["ORIENT"] = 0.0  # vertical line → due north
+        else:
+            slope = math.copysign(math.sqrt(syy_h / sxx_h), sxy_h) if syy_h > 0 else 0.0
+            out["ORIENT"] = (90.0 - math.degrees(math.atan(slope))) % 180.0
+    if "GY_RADIUS" in need:
+        # radius of gyration of the vertex set: mean distance to centroid
+        cx, cy = xs.mean(), ys.mean()
+        out["GY_RADIUS"] = float(np.hypot(xs - cx, ys - cy).mean())
     return out
 
 
@@ -146,3 +180,114 @@ def polygon_metrics(poly_ds, metrics=ALL_METRICS, round_to: int = 6):
         return pa.table(out)
 
     return poly_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def polygon_axes(poly_ds, which: str = "long", round_to: int = 6):
+    """PolygonLongAxis / PolygonShortAxis (polygon_long_axis.rs): the line
+    through the MBB centre parallel to its long (short) side, with the
+    side's length. Returns record_id, x1, y1, x2, y2."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        rid = batch["record_id"].to_pylist()
+        out = {"record_id": [], "x1": [], "y1": [], "x2": [], "y2": []}
+        for r, xs, ys in zip(rid, batch["xs"].to_pylist(), batch["ys"].to_pylist()):
+            xs = np.asarray(xs, dtype=np.float64)
+            ys = np.asarray(ys, dtype=np.float64)
+            corners, _a = geometry.minimum_bounding_box(xs, ys)
+            e1 = corners[1] - corners[0]
+            e2 = corners[2] - corners[1]
+            l1, l2 = math.hypot(*e1), math.hypot(*e2)
+            if (l1 >= l2) == (which == "long"):
+                axis, length = e1, l1
+            else:
+                axis, length = e2, l2
+            cx, cy = corners.mean(axis=0)
+            ux, uy = (axis / (math.hypot(*axis) or 1.0)) * (length / 2.0)
+            out["record_id"].append(r)
+            out["x1"].append(round(cx - ux, round_to))
+            out["y1"].append(round(cy - uy, round_to))
+            out["x2"].append(round(cx + ux, round_to))
+            out["y2"].append(round(cy + uy, round_to))
+        return pa.table(
+            {
+                "record_id": pa.array(out["record_id"], pa.int32()),
+                **{k: pa.array(out[k], pa.float64()) for k in ("x1", "y1", "x2", "y2")},
+            }
+        )
+
+    return poly_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def minimum_bounding_envelope(poly_ds, round_to: int = 6):
+    """MinimumBoundingEnvelope (minimum_bounding_envelope.rs): per-feature
+    axis-aligned box."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        rid = batch["record_id"].to_pylist()
+        cols = {"record_id": [], "xmin": [], "xmax": [], "ymin": [], "ymax": []}
+        for r, xs, ys in zip(rid, batch["xs"].to_pylist(), batch["ys"].to_pylist()):
+            xs = np.asarray(xs)
+            ys = np.asarray(ys)
+            cols["record_id"].append(r)
+            cols["xmin"].append(round(float(xs.min()), round_to))
+            cols["xmax"].append(round(float(xs.max()), round_to))
+            cols["ymin"].append(round(float(ys.min()), round_to))
+            cols["ymax"].append(round(float(ys.max()), round_to))
+        return pa.table(
+            {
+                "record_id": pa.array(cols["record_id"], pa.int32()),
+                **{k: pa.array(cols[k], pa.float64()) for k in ("xmin", "xmax", "ymin", "ymax")},
+            }
+        )
+
+    return poly_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def medoid(poly_ds, round_to: int = 6):
+    """Medoid (medoid.rs:17-24): per feature, the NODE nearest the
+    axis-wise median of the feature's nodes."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        rid = batch["record_id"].to_pylist()
+        cols = {"record_id": [], "x": [], "y": []}
+        for r, xs, ys in zip(rid, batch["xs"].to_pylist(), batch["ys"].to_pylist()):
+            xs = np.asarray(xs, dtype=np.float64)
+            ys = np.asarray(ys, dtype=np.float64)
+            mx, my = np.median(xs), np.median(ys)
+            j = int(np.argmin((xs - mx) ** 2 + (ys - my) ** 2))
+            cols["record_id"].append(r)
+            cols["x"].append(round(float(xs[j]), round_to))
+            cols["y"].append(round(float(ys[j]), round_to))
+        return pa.table(
+            {
+                "record_id": pa.array(cols["record_id"], pa.int32()),
+                "x": pa.array(cols["x"], pa.float64()),
+                "y": pa.array(cols["y"], pa.float64()),
+            }
+        )
+
+    return poly_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def layer_footprint(poly_ds):
+    """LayerFootprint (layer_footprint.rs): bounding box of the whole
+    layer — a tiny min/max aggregate."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xs = [np.asarray(v) for v in batch["xs"].to_pylist()]
+        ys = [np.asarray(v) for v in batch["ys"].to_pylist()]
+        return pa.table(
+            {
+                "xmin": [float(min(v.min() for v in xs))] if xs else [np.inf],
+                "xmax": [float(max(v.max() for v in xs))] if xs else [-np.inf],
+                "ymin": [float(min(v.min() for v in ys))] if ys else [np.inf],
+                "ymax": [float(max(v.max() for v in ys))] if ys else [-np.inf],
+            }
+        )
+
+    agg = poly_ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Min("xmin", alias_name="xmin"), Max("xmax", alias_name="xmax"),
+        Min("ymin", alias_name="ymin"), Max("ymax", alias_name="ymax"),
+    )
+    return {k: float(v) for k, v in agg.items()}
