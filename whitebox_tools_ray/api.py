@@ -366,6 +366,59 @@ def _register_all():
              "Quantized x,y[,z] dedup keep-first", "lidar_analysis",
              [P("ds", "Dataset"), P("x_col", "String"), P("y_col", "String"), P("tolerance", "Float")],
              "lidar_analysis/remove_duplicates.rs")
+    li2 = __import__("whitebox_tools_ray.stages.lidar2", fromlist=["x"])
+    register("LidarRemoveOutliers", li2.lidar_remove_outliers,
+             "Drop |z - neighbour mean| > elev_diff", "lidar_analysis",
+             [], "lidar_analysis/lidar_outliers.rs:22-24")
+    register("LidarGroundPointFilter", li2.lidar_ground_point_filter,
+             "Slope-based off-ground classification", "lidar_analysis",
+             [], "lidar_analysis/lidar_ground_point_filter.rs:21-29")
+    register("NormalVectors", li2.normal_vectors, "Local PCA plane normals", "lidar_analysis",
+             [], "lidar_analysis/normal_vectors.rs")
+    register("LidarHillshade", li2.lidar_hillshade, "Per-point hillshade from local normal",
+             "lidar_analysis", [], "lidar_analysis/lidar_hillshade.rs")
+    register("LidarTophatTransform", li2.lidar_tophat, "z - opening(z) over neighbourhood",
+             "lidar_analysis", [], "lidar_analysis/lidar_tophat.rs")
+    register("LidarSegmentation", li2.lidar_segmentation,
+             "Region growing by normal similarity (cross-cell merge)", "lidar_analysis",
+             [], "lidar_analysis/lidar_segmentation.rs")
+    register("LidarSegmentationBasedFilter", li2.lidar_segmentation_based_filter,
+             "Ground = near-vertical-normal segments", "lidar_analysis",
+             [], "lidar_analysis/lidar_segmentation_based_filter.rs")
+    register("LidarRansacPlanes", li2.lidar_ransac_planes,
+             "Seeded per-neighbourhood RANSAC plane ids", "lidar_analysis",
+             [], "lidar_analysis/lidar_ransac_planes.rs")
+    register("FindFlightlineEdgePoints", li2.find_flightline_edge_points,
+             "Max |scan angle| points per flightline", "lidar_analysis",
+             [], "lidar_analysis/find_flightline_edge_points.rs")
+    register("LidarInfo", li2.lidar_info, "Count/extent/z-range/class histogram",
+             "lidar_analysis", [], "lidar_analysis/lidar_info.rs")
+    register("LidarPointStats", li2.lidar_point_stats, "Per-cell n/zmin/zmax",
+             "lidar_analysis", [], "lidar_analysis/lidar_point_stats.rs")
+    register("LidarJoin", li2.lidar_join, "Union of point datasets", "lidar_analysis",
+             [], "lidar_analysis/lidar_join.rs")
+    register("LidarClassifySubset", li2.lidar_classify_subset,
+             "Classify points inside a polygon", "lidar_analysis",
+             [], "lidar_analysis/lidar_classify_subset.rs")
+    register("LidarKappaIndex", li2.lidar_kappa, "Kappa of class columns joined on pid",
+             "lidar_analysis", [], "lidar_analysis/lidar_kappa.rs")
+    register("LasToAscii", li2.las_to_ascii, "Points as whitespace-joined text lines",
+             "lidar_analysis", [], "lidar_analysis/las_to_ascii.rs")
+    register("LasToShapefile", li2.las_to_shapefile, "One POINT record per point",
+             "lidar_analysis", [], "lidar_analysis/las_to_shapefile.rs")
+    register("LasToMultipointShapefile", li2.las_to_multipoint_shapefile,
+             "One MULTIPOINT record per flightline", "lidar_analysis",
+             [], "lidar_analysis/las_to_multipoint_shapefile.rs")
+    register("LidarColourize", li2.lidar_colourize, "Sample tile value at each point",
+             "lidar_analysis", [], "lidar_analysis/lidar_colourize.rs")
+    register("ClipLidarToPolygon",
+             lambda pts, poly, **kw: __import__("whitebox_tools_ray.stages.spatial_join", fromlist=["x"]).clip_points(pts, poly, mode="clip", renumber_fid=False, **kw),
+             "Points inside polygon (clip kernel)", "lidar_analysis",
+             [], "lidar_analysis/clip_lidar_to_polygon.rs")
+    register("ErasePolygonFromLidar",
+             lambda pts, poly, **kw: __import__("whitebox_tools_ray.stages.spatial_join", fromlist=["x"]).clip_points(pts, poly, mode="erase", renumber_fid=False, **kw),
+             "Points outside polygon (erase kernel)", "lidar_analysis",
+             [], "lidar_analysis/erase_polygon_from_lidar.rs")
 
     # math_stat_analysis
     register("ZonalStatistics", zonal.zonal_statistics, "Per-zone n/total/min/max/mean/std", "math_stat_analysis",
@@ -545,6 +598,16 @@ def _register_all():
              "gis_analysis", [], "gis_analysis/idw_interpolation.rs")
     register("NearestNeighbourGridding", lambda p, s2, radius, **kw: gridding.idw_gridding(p, s2, radius, method="nearest", **kw),
              "Nearest-point gridding", "gis_analysis", [], "gis_analysis/nearest_neighbour_gridding.rs")
+    register("LidarIdwInterpolation", gridding.idw_gridding, "IDW gridding of the point cloud",
+             "lidar_analysis", [], "lidar_analysis/lidar_idw_interpolation.rs")
+    register("LidarNearestNeighbourGridding",
+             lambda p, s2, radius, **kw: gridding.idw_gridding(p, s2, radius, method="nearest", **kw),
+             "NN gridding of the point cloud", "lidar_analysis",
+             [], "lidar_analysis/lidar_nn_gridding.rs")
+    register("LidarBlockMaximum", lambda ds, gs, **kw: gridding.block_gridding(ds, gs, "max", **kw),
+             "Per-cell max z", "lidar_analysis", [], "lidar_analysis/block_maximum.rs")
+    register("LidarBlockMinimum", lambda ds, gs, **kw: gridding.block_gridding(ds, gs, "min", **kw),
+             "Per-cell min z", "lidar_analysis", [], "lidar_analysis/block_minimum.rs")
     register("BlockMaximumGridding", lambda ds, gs, **kw: gridding.block_gridding(ds, gs, "max", **kw),
              "Per-cell max of points", "gis_analysis", [], "gis_analysis/block_maximum.rs")
     register("BlockMinimumGridding", lambda ds, gs, **kw: gridding.block_gridding(ds, gs, "min", **kw),
