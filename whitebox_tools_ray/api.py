@@ -805,6 +805,42 @@ def _register_all():
              [], "terrain_analysis/sediment_transport_index.rs")
     register("ElevAbovePit", t2.elev_above_pit, "z - z(flowpath terminal pit)", "terrain_analysis",
              [], "terrain_analysis/elev_above_pit.rs")
+    t3 = __import__("whitebox_tools_ray.stages.terrain3", fromlist=["x"])
+    register("MaxElevationDeviation", t3.max_elevation_deviation,
+             "Scale-maximal |DEV| + scale layer", "terrain_analysis",
+             [], "terrain_analysis/max_elevation_deviation.rs")
+    register("MaxElevDevSignature", t3.max_elev_dev_signature,
+             "DEV(scale) curve at probe points", "terrain_analysis",
+             [], "terrain_analysis/max_elev_dev_signature.rs")
+    register("MultiscaleRoughness", t3.multiscale_roughness,
+             "Scale-maximal normal dispersion", "terrain_analysis",
+             [], "terrain_analysis/multiscale_roughness.rs")
+    register("MultiscaleRoughnessSignature", t3.multiscale_roughness_signature,
+             "Roughness(scale) curve at probe points", "terrain_analysis",
+             [], "terrain_analysis/multiscale_roughness_signature.rs")
+    register("MultiscaleStdDevNormals", t3.multiscale_std_dev_normals,
+             "Spherical sigma of normals over scales", "terrain_analysis",
+             [], "terrain_analysis/multiscale_std_dev_normals.rs")
+    register("MultiscaleStdDevNormalsSignature", t3.multiscale_std_dev_normals_signature,
+             "Normal-sigma(scale) curve at points", "terrain_analysis",
+             [], "terrain_analysis/multiscale_std_dev_normals_signature.rs")
+    register("MaxAnisotropyDev", t3.max_anisotropy_dev,
+             "Directional DEV dispersion over scales", "terrain_analysis",
+             [], "terrain_analysis/max_anisotropy_dev.rs")
+    register("MaxAnisotropyDevSignature", t3.max_anisotropy_dev_signature,
+             "Anisotropy(scale) curve at points", "terrain_analysis",
+             [], "terrain_analysis/max_anisotropy_dev_signature.rs")
+    register("SphericalStdDevOfNormals", t3.spherical_std_dev_of_normals,
+             "sqrt(-2 ln Rbar) of windowed normals (deg)", "terrain_analysis",
+             [], "terrain_analysis/spherical_std_dev_of_normals.rs")
+    register("AverageNormalVectorAngularDeviation",
+             t3.average_normal_vector_angular_deviation,
+             "Mean angle to the window-mean normal", "terrain_analysis",
+             [], "terrain_analysis/average_normal_vector_angular_deviation.rs")
+    register("MultiscaleTopographicPositionImage",
+             t3.multiscale_topographic_position_image,
+             "RGB composite of broad/meso/local DEV", "terrain_analysis",
+             [], "terrain_analysis/multiscale_topographic_position_image.rs")
 
     # hydro_analysis
     dmod = __import__("whitebox_tools_ray.stages.distance", fromlist=["x"])
