@@ -1005,6 +1005,67 @@ def _register_all():
     register("StrahlerOrderBasins", fl2.strahler_order_basins,
              "Subbasins relabeled link -> Strahler order", "hydro_analysis",
              [], "hydro_analysis/strahler_order_basins.rs")
+    h2 = __import__("whitebox_tools_ray.stages.hydro2", fromlist=["x"])
+    register("DownslopeFlowpathLength", h2.downslope_flowpath_length,
+             "Accumulated step length to the flowpath terminal", "hydro_analysis",
+             [], "hydro_analysis/downslope_flowpath_length.rs")
+    register("AverageFlowpathSlope", h2.average_flowpath_slope,
+             "(z - z_terminal)/L per cell", "hydro_analysis",
+             [], "hydro_analysis/average_flowpath_slope.rs")
+    register("FlowLengthDiff", h2.flow_length_diff,
+             "Abrupt neighbour changes in flowpath length", "hydro_analysis",
+             [], "hydro_analysis/flow_length_diff.rs")
+    register("LongestFlowpath", h2.longest_flowpath,
+             "Per-basin max head-cell flowpath length", "hydro_analysis",
+             [], "hydro_analysis/longest_flowpath.rs")
+    register("ElevationAboveStreamEuclidean", h2.elevation_above_stream_euclidean,
+             "z - z of the euclidean-nearest stream cell", "hydro_analysis",
+             [], "hydro_analysis/elevation_above_stream_euclidean.rs")
+    register("FillBurn", h2.fill_burn, "Burn streams then priority-flood fill",
+             "hydro_analysis", [], "hydro_analysis/fill_burn.rs")
+    register("RaiseWalls", h2.raise_walls, "Add wall height where wall raster > 0",
+             "hydro_analysis", [], "hydro_analysis/raise_walls.rs")
+    register("BurnStreamsAtRoads", h2.burn_streams_at_roads,
+             "Lower the DEM at stream-road crossings", "hydro_analysis",
+             [], "hydro_analysis/burn_streams_at_roads.rs")
+    register("FlattenLakes", h2.flatten_lakes, "Lake cells take the per-lake min z",
+             "hydro_analysis", [], "hydro_analysis/flatten_lakes.rs")
+    register("FloodOrder", h2.flood_order, "Rank of the filled surface (pop order)",
+             "hydro_analysis", [], "hydro_analysis/flood_order.rs")
+    register("UnnestBasins", h2.unnest_basins, "One watershed layer per nesting level",
+             "hydro_analysis", [], "hydro_analysis/unnest_basins.rs")
+    register("Hillslopes", h2.hillslopes, "Subbasin x3 + left/right/stream side",
+             "hydro_analysis", [], "hydro_analysis/hillslopes.rs")
+    register("ExtractValleys", h2.extract_valleys, "Higher N+S or E+W neighbours",
+             "stream_network_analysis", [], "stream_network_analysis/extract_valleys.rs")
+    register("StreamSlopeContinuous", h2.stream_slope_continuous,
+             "Per-stream-cell slope along the D8 direction", "stream_network_analysis",
+             [], "stream_network_analysis/stream_slope_continuous.rs")
+    register("LongProfile", h2.long_profile, "Per-link (distance, z) rows",
+             "stream_network_analysis", [], "stream_network_analysis/long_profile.rs")
+    register("LongProfileFromPoints", lambda dem, spec, line, **kw: h2.profile(dem, spec, line, **kw),
+             "Profile traced from points", "stream_network_analysis",
+             [], "stream_network_analysis/long_profile_from_points.rs")
+    register("Profile", h2.profile, "z sampled along a polyline", "terrain_analysis",
+             [], "terrain_analysis/profile.rs")
+    register("SlopeVsElevationPlot", h2.slope_vs_elevation_plot,
+             "2-D slope/elevation histogram table", "terrain_analysis",
+             [], "terrain_analysis/slope_vs_elev_plot.rs")
+    register("ElevRelativeToWatershedMinMax", h2.elev_relative_to_watershed_min_max,
+             "(z - basin min)/(basin range)", "terrain_analysis",
+             [], "terrain_analysis/elev_relative_to_watershed_min_max.rs")
+    register("StochasticDepressionAnalysis", h2.stochastic_depression_analysis,
+             "pdep over K seeded error realizations", "hydro_analysis",
+             [], "hydro_analysis/stochastic_depression_analysis.rs")
+    register("RemoveOffTerrainObjects", h2.remove_off_terrain_objects,
+             "Opening-based off-terrain removal", "terrain_analysis",
+             [], "terrain_analysis/remove_off_terrain_objects.rs")
+    register("FeaturePreservingSmoothing", h2.feature_preserving_smoothing,
+             "Edge-preserving z smoothing (bilateral form)", "terrain_analysis",
+             [], "terrain_analysis/feature_preserving_smoothing.rs")
+    register("FillMissingData", h2.fill_missing_data,
+             "Nearest-valid allocation + masked smoothing", "terrain_analysis",
+             [], "terrain_analysis/fill_missing_data.rs")
 
     # training-data pipeline value-add (no reference analog)
     register("ExactDedup", dedup.exact_dedup, "Content-hash dedup", "training_data", [], "")

@@ -423,6 +423,11 @@ class TermShardDS:
                 if tgt is not None:
                     g = np.where(tgt > 0, 0.0, g)
                 g[~valid] = self.nodata
+            elif mode == "acc":
+                # total accumulated step to the flowpath terminal for EVERY
+                # cell, regardless of kind (DownslopeFlowpathLength)
+                g = self.acc_out[tid].copy()
+                g[~valid] = self.nodata
             else:  # raw terminal gid
                 g = term.astype(np.float64)
                 g[~valid] = self.nodata
