@@ -1066,6 +1066,40 @@ def _register_all():
     register("FillMissingData", h2.fill_missing_data,
              "Nearest-valid allocation + masked smoothing", "terrain_analysis",
              [], "terrain_analysis/fill_missing_data.rs")
+    register("DownslopeIndex", h2.downslope_index,
+             "atan(drop/L) via BSP cursor walks", "terrain_analysis",
+             [], "terrain_analysis/downslope_index.rs")
+    register("Isobasins", h2.isobasins,
+             "Watershed against accumulation volume classes", "hydro_analysis",
+             [], "hydro_analysis/isobasins.rs")
+    register("ImpoundmentSizeIndex", h2.impoundment_size_index,
+             "n(z+h) - sum(z upstream), clipped (documented approximation)",
+             "hydro_analysis", [], "hydro_analysis/impoundment_size_index.rs")
+    register("DirectionalRelief", vis.directional_relief,
+             "Mean along-azimuth elevation minus z (per-partition kernel)",
+             "terrain_analysis", [], "terrain_analysis/directional_relief.rs:20-27")
+    register("VisibilityIndex", vis.visibility_index,
+             "Share of sampled stations seeing each cell", "terrain_analysis",
+             [], "terrain_analysis/visibility_index.rs")
+    im2 = __import__("whitebox_tools_ray.stages.image2", fromlist=["x"])
+    register("ChangeVectorAnalysis", im2.change_vector_analysis,
+             "Change magnitude + sector code", "image_analysis",
+             [], "image_analysis/change_vector_analysis.rs")
+    register("CorrectVignetting", im2.correct_vignetting,
+             "v / cos^n(atan(d/f)) radial correction", "image_analysis",
+             [], "image_analysis/correct_vignetting.rs")
+    register("PanchromaticSharpening", im2.panchromatic_sharpening,
+             "Brovey / IHS pan-sharpening", "image_analysis",
+             [], "image_analysis/panchromatic_sharpening.rs")
+    register("ImageStackProfile", im2.image_stack_profile,
+             "Per-point values across a layer stack", "image_analysis",
+             [], "image_analysis/image_stack_profile.rs")
+    register("WriteFunctionMemoryInsertion", im2.write_function_memory_insertion,
+             "2-3 date RGB composite", "image_analysis",
+             [], "image_analysis/write_function_memory_insertion.rs")
+    register("ModifiedKMeansClustering", im2.modified_k_means,
+             "k-means with small-cluster merging", "image_analysis",
+             [], "image_analysis/modified_k_means_clustering.rs")
 
     # training-data pipeline value-add (no reference analog)
     register("ExactDedup", dedup.exact_dedup, "Content-hash dedup", "training_data", [], "")

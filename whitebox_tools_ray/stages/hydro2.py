@@ -752,3 +752,232 @@ def _shift_valid(batch: pa.Table, spec) -> pa.Table:
             "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
         }
     )
+
+
+class _WalkShard:
+    """BSP cursor walk: per-cell downstream walks that stop at a
+    cell-specific condition (z ≤ z0 − drop). Cursors crossing shard
+    boundaries travel as messages; finished walks route a result message
+    back to the origin's owner. Used by DownslopeIndex."""
+
+    def __init__(self, tile_px: int, tiles_x: int, tiles_y: int, nodata: float,
+                 res: float, drop: float):
+        from .bsp import ShardBase
+
+        self._base = ShardBase(tile_px, tiles_x, tiles_y)
+        self.tpx = tile_px
+        self.tiles_x = tiles_x
+        self.tiles_y = tiles_y
+        self.nodata = nodata
+        self.res = res
+        self.drop = drop
+        self.ptr: dict[int, np.ndarray] = {}
+        self.z: dict[int, np.ndarray] = {}
+        self.result: dict[int, np.ndarray] = {}
+
+    def ingest(self, split_ds) -> list[int]:
+        t = self.tpx
+        owned = []
+        for batch in split_ds.iter_batches(batch_format="pyarrow", batch_size=64):
+            for i in range(batch.num_rows):
+                tid = (int(batch["tile_row"][i].as_py()) * self.tiles_x
+                       + int(batch["tile_col"][i].as_py()))
+                self.ptr[tid] = codecs.decode_tile(batch["ptr"][i].as_py(),
+                                                   batch["ptr_fmt"][i].as_py() or "i8").astype(np.int8)
+                self.z[tid] = codecs.decode_tile(batch["dem"][i].as_py(),
+                                                 batch["dem_fmt"][i].as_py())
+                self.result[tid] = np.full((t, t), self.nodata)
+                owned.append(tid)
+        return owned
+
+    def _walk(self, cursors):
+        """cursors: [(otid, orow, ocol, z0, tid, r, c, dist)] — returns
+        (out_msgs, results) where out_msgs continue elsewhere and results
+        are (otid, orow, ocol, angle)."""
+        t = self.tpx
+        out, results = [], []
+        for otid, orow, ocol, z0, tid, r, c, dist in cursors:
+            while True:
+                p = self.ptr.get(tid)
+                if p is None:
+                    out.append((otid, orow, ocol, z0, tid, r, c, dist))
+                    break
+                d = int(p[r, c])
+                if d < 0:  # pit / edge terminal: use slope so far
+                    zt = self.z[tid][r, c]
+                    ang = np.degrees(np.arctan2(max(z0 - zt, 0.0), max(dist, self.res)))
+                    results.append((otid, orow, ocol, ang))
+                    break
+                step = self.res * (np.sqrt(2.0) if DY8[d] and DX8[d] else 1.0)
+                nr, nc = r + int(DY8[d]), c + int(DX8[d])
+                dist += step
+                if not (0 <= nr < t and 0 <= nc < t):
+                    tr, tc = tid // self.tiles_x, tid % self.tiles_x
+                    gr, gc = tr * t + nr, tc * t + nc
+                    if 0 <= gr < self.tiles_y * t and 0 <= gc < self.tiles_x * t:
+                        ntid = (gr // t) * self.tiles_x + (gc // t)
+                        tid, r, c = ntid, gr % t, gc % t
+                        if tid not in self.ptr:
+                            out.append((otid, orow, ocol, z0, tid, r, c, dist))
+                            break
+                        # fall through: continue walking in our own tile
+                    else:
+                        ang = np.degrees(np.arctan2(self.drop, max(dist, self.res)))
+                        results.append((otid, orow, ocol, ang))
+                        break
+                else:
+                    r, c = nr, nc
+                zt = self.z[tid][r, c]
+                if zt != self.nodata and zt <= z0 - self.drop:
+                    results.append((otid, orow, ocol,
+                                    np.degrees(np.arctan2(self.drop, dist))))
+                    break
+        return out, results
+
+    def start(self):
+        cursors = []
+        for tid, zg in self.z.items():
+            rr, cc = np.nonzero((zg != self.nodata) & (self.ptr[tid] >= -1))
+            for r, c in zip(rr, cc):
+                cursors.append((tid, int(r), int(c), float(zg[r, c]), tid, int(r), int(c), 0.0))
+        return self._walk(cursors)
+
+    def push(self, cursors):
+        return self._walk(list(cursors))
+
+    def store(self, results):
+        for otid, r, c, ang in results:
+            if otid in self.result:
+                self.result[otid][r, c] = ang
+
+    def dump(self, path: str):
+        from .bsp import ShardBase
+
+        ShardBase._dump_tiles(self._base, path, self.result, "f32")
+
+
+def downslope_index(dem_ds, spec, drop: float = 2.0, num_workers: int = 4,
+                    out_dir: str | None = None):
+    """DownslopeIndex (downslope_index.rs): angle = atan(drop / L) where
+    L is the flowpath distance to the first cell ≥ ``drop`` below —
+    BSP cursor walks with cross-shard continuation."""
+    import ray
+    import ray.data as rd
+
+    from .bsp import combine_tile_layers
+    from .flow import d8_pointer_masked
+
+    ptr = d8_pointer_masked(dem_ds, spec)
+    combined = combine_tile_layers(spec, ptr=ptr, dem=dem_ds)
+    Worker = ray.remote(_WalkShard)
+    workers = [
+        Worker.remote(spec.tile_px, spec.tiles_x, spec.tiles_y, spec.nodata, spec.res, drop)
+        for _ in range(num_workers)
+    ]
+    splits = combined.split(num_workers, locality_hints=workers)
+    owned_lists = ray.get([w.ingest.remote(s) for w, s in zip(workers, splits)])
+    owner = {}
+    for wi, tids in enumerate(owned_lists):
+        for tid in tids:
+            owner[tid] = wi
+    pending = ray.get([w.start.remote() for w in workers])
+    cursors = []
+    for out, results in pending:
+        cursors.extend(out)
+        by_owner: dict[int, list] = {}
+        for res in results:
+            by_owner.setdefault(owner[res[0]], []).append(res)
+        ray.get([workers[wi].store.remote(rs) for wi, rs in by_owner.items()])
+    while cursors:
+        by_worker: dict[int, list] = {}
+        for cur in cursors:
+            by_worker.setdefault(owner[cur[4]], []).append(cur)
+        parts = ray.get([workers[wi].push.remote(cs) for wi, cs in by_worker.items()])
+        cursors = []
+        for out, results in parts:
+            cursors.extend(out)
+            by_owner = {}
+            for res in results:
+                by_owner.setdefault(owner[res[0]], []).append(res)
+            ray.get([workers[wi].store.remote(rs) for wi, rs in by_owner.items()])
+    import tempfile as _tf
+
+    out_dir = out_dir or _tf.mkdtemp(prefix="dsi_", dir="/tmp")
+    os.makedirs(out_dir, exist_ok=True)
+    ray.get([w.dump.remote(os.path.join(out_dir, f"shard_{i}.parquet"))
+             for i, w in enumerate(workers)])
+    return rd.read_parquet(out_dir)
+
+
+def isobasins(dem_ds, spec, target_cells: int = 64, num_workers: int = 4):
+    """Isobasins (isobasins.rs semantics, documented variant): watershed
+    against stream cells labeled by their accumulation VOLUME CLASS
+    (floor(acc/target)+1) — label boundaries fall where the channel has
+    gathered another ``target_cells`` of area, so inter-boundary bands
+    drain roughly equal increments."""
+    from .flow import d8_pointer_masked, flow_accumulation_ds
+    from .flow2 import subbasins
+
+    ptr = d8_pointer_masked(dem_ds, spec)
+    acc = flow_accumulation_ds(ptr, spec, num_workers=num_workers)
+
+    def to_targets(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bb, ff in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            a = codecs.decode_tile(bb, ff)
+            t = np.where(
+                (a != spec.nodata) & (a >= target_cells),
+                np.floor(a / target_cells) + 1.0,
+                0.0,
+            )
+            outs.append(codecs.encode_tile(t, "f32"))
+        return pa.table(
+            {
+                "tile_row": batch["tile_row"],
+                "tile_col": batch["tile_col"],
+                "bytes": pa.array(outs, pa.binary()),
+                "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    targets = acc.map_batches(to_targets, batch_format="pyarrow")
+    return subbasins(ptr, targets, spec, num_workers)
+
+
+def impoundment_size_index(dem_ds, spec, dam_height: float = 5.0, num_workers: int = 4):
+    """ImpoundmentSizeIndex (impoundment_size_index.rs) — documented
+    approximation: V̂(cell) = max(0, n·(z + h) − Σz_upstream) where n and
+    Σz come from two D8 accumulations (exact when every upslope cell
+    lies below the dam crest; the reference scans perpendicular dam
+    profiles instead)."""
+    from .flow2 import d8_mass_flux, fractions_and_indeg_rows, run_multiflow
+
+    rows = fractions_and_indeg_rows(dem_ds, spec, "d8")
+    n_acc = run_multiflow(rows, spec, "sum", num_workers)
+    zeros_ds = dem_ds.map_batches(
+        lambda b: _const_tiles(b, 0.0), batch_format="pyarrow"
+    )
+    eff_ds = dem_ds.map_batches(
+        lambda b: _const_tiles(b, 1.0), batch_format="pyarrow"
+    )
+    z_acc = d8_mass_flux(dem_ds, dem_ds, eff_ds, zeros_ds, spec, num_workers)
+
+    nh = band_math.overlay_fn(n_acc, dem_ds, spec,
+                              lambda n, z: n * (z + dam_height))
+    return band_math.overlay_fn(nh, z_acc, spec,
+                                lambda a, sz: np.maximum(a - sz, 0.0))
+
+
+def _const_tiles(batch: pa.Table, value: float) -> pa.Table:
+    outs = []
+    for bb, ff in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+        g = codecs.decode_tile(bb, ff)
+        outs.append(codecs.encode_tile(np.full_like(g, value), "f32"))
+    return pa.table(
+        {
+            "tile_row": batch["tile_row"],
+            "tile_col": batch["tile_col"],
+            "bytes": pa.array(outs, pa.binary()),
+            "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
+        }
+    )

@@ -138,3 +138,50 @@ def fetch_analysis(grid: np.ndarray, nodata: float, azimuth_deg: float,
         found |= block
     fetch[nod] = nodata
     return fetch
+
+
+def directional_relief(grid: np.ndarray, nodata: float, azimuth_deg: float,
+                       max_dist: float, res: float = 1.0) -> np.ndarray:
+    """DirectionalRelief (directional_relief.rs:20-27): average elevation
+    of the cells along the azimuth ray (to max_dist or the grid edge)
+    minus the cell's own elevation — positive = sheltered."""
+    rows, cols = grid.shape
+    az = np.deg2rad(azimuth_deg)
+    dc = np.sin(az)
+    dr = -np.cos(az)
+    nsteps = max(int(max_dist / res), 1)
+    rr0, cc0 = np.meshgrid(np.arange(rows, dtype=np.float64),
+                           np.arange(cols, dtype=np.float64), indexing="ij")
+    tot = np.zeros((rows, cols))
+    n = np.zeros((rows, cols))
+    for s in range(1, nsteps + 1):
+        ri = np.round(rr0 + dr * s).astype(np.int64)
+        ci = np.round(cc0 + dc * s).astype(np.int64)
+        ok = (ri >= 0) & (ri < rows) & (ci >= 0) & (ci < cols)
+        zi = np.where(ok, grid[np.clip(ri, 0, rows - 1), np.clip(ci, 0, cols - 1)], nodata)
+        valid = ok & (zi != nodata)
+        tot += np.where(valid, zi, 0.0)
+        n += valid
+    out = np.where(n > 0, tot / np.maximum(n, 1.0) - grid, 0.0)
+    out[grid == nodata] = nodata
+    return out
+
+
+def visibility_index(grid: np.ndarray, nodata: float, station_step: int = 8,
+                     height: float = 2.0, res: float = 1.0) -> np.ndarray:
+    """VisibilityIndex (visibility_index.rs): the proportion of sampled
+    stations (one per ``station_step``² cells) that can see each cell —
+    one viewshed pass per station, averaged."""
+    rows, cols = grid.shape
+    count = np.zeros((rows, cols))
+    n_st = 0
+    for r in range(station_step // 2, rows, station_step):
+        for c in range(station_step // 2, cols, station_step):
+            if grid[r, c] == nodata:
+                continue
+            vs = viewshed(grid, nodata, (r, c), station_height=height, res=res)
+            count += (vs == 1.0)
+            n_st += 1
+    out = count / max(n_st, 1)
+    out[grid == nodata] = nodata
+    return out
