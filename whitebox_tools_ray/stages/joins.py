@@ -112,20 +112,16 @@ def hash_join_bucketed(
     keys by raising num_buckets; at 100 TB pick num_buckets ≈ blocks so a
     bucket fits one task's heap.
 
-    ``num_buckets`` defaults to the larger side's block count (clamped to
-    [4, 512]) — a fixed 64 over-partitions small inputs (measured 6.45 s
-    at sf0.1 in round 1) and under-partitions huge ones.
+    ``num_buckets`` defaults to 32. Sizing by ``size_bytes()`` was tried
+    and reverted: on LAZY inputs it triggers a full extra execution of
+    both sides (measured 6.5 s → 21 s on the sf0.1 gate query). Callers
+    that know their volume pass an explicit count (~64 MB per bucket at
+    scale); 32 keeps small joins from over-partitioning without any
+    pre-execution.
     """
     rk = right_key or key
     if num_buckets is None:
-        # size the bucket count by DATA volume (~64 MB per bucket), not by
-        # CPU count — a CPU-proportional default re-creates the round-1
-        # over-partitioning on small inputs (measured 12 s vs 2.5 s)
-        try:
-            nbytes = (left_ds.size_bytes() or 0) + (right_ds.size_bytes() or 0)
-        except Exception:
-            nbytes = 0
-        num_buckets = int(min(512, max(4, nbytes // (64 << 20) + 1)))
+        num_buckets = 32
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     lcols = list(lschema.names)

@@ -210,7 +210,7 @@ def clip_points(
         batch_size=batch_size,
     )
     if renumber_fid:
-        out = zip_with_order_index(out, order_col, index_col="FID", start=1)
+        out = zip_with_order_index(out, order_col, index_col="FID", start=1, strategy="sort")
     return out
 
 

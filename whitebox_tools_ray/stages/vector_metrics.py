@@ -131,16 +131,16 @@ def record_metrics(parts: np.ndarray, xs: np.ndarray, ys: np.ndarray, metrics) -
         out["RC_CIRCLE"] = 1.0 - area / ac if ac > 0 else float("nan")
     if "COMPLEXITY" in need:
         # ShapeComplexityIndex (shape_complexity_index.rs:25-33): 1 − A/Ah
-        hull = geometry.convex_hull(xs, ys)
-        ah = geometry.polygon_area(hull[:, 0], hull[:, 1])
+        hidx = geometry.convex_hull(xs, ys)  # vertex INDICES
+        ah = geometry.polygon_area(xs[hidx], ys[hidx])
         out["COMPLEXITY"] = 1.0 - area / ah if ah > 0 else 0.0
     if "ORIENT" in need:
         # PatchOrientation (patch_orientation.rs:16-21): RMA regression on
         # the exterior hull nodes; slope sign from covariance; degrees
         # from north.
-        hull = geometry.convex_hull(xs, ys)
-        hx = hull[:, 0] - hull[:, 0].mean()
-        hy = hull[:, 1] - hull[:, 1].mean()
+        hidx = geometry.convex_hull(xs, ys)
+        hx = xs[hidx] - xs[hidx].mean()
+        hy = ys[hidx] - ys[hidx].mean()
         sxx_h = float(hx @ hx)
         syy_h = float(hy @ hy)
         sxy_h = float(hx @ hy)
