@@ -92,6 +92,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wilcoxon": R.q_wilcoxon,
         "cume_dist": R.q_cume_dist,
         "crispness": R.q_crispness,
+        "cva": R.q_cva,
+        "pan_sharpen": R.q_pan_sharpen,
+        "lidar_thin": R.q_lidar_thin,
+        "flightline_edges": R.q_flightline_edges,
+        "reclass_interval": R.q_reclass_interval,
+        "allocation": R.q_allocation,
     }
 
 
@@ -146,6 +152,12 @@ def oracle_sql() -> dict[str, str]:
         "wilcoxon": R.Q_WILCOXON_SQL,
         "cume_dist": R.Q_CUME_DIST_SQL,
         "crispness": R.Q_CRISPNESS_SQL,
+        "cva": R.Q_CVA_SQL,
+        "pan_sharpen": R.Q_PAN_SHARPEN_SQL,
+        "lidar_thin": R.q_lidar_thin_sql(),
+        "flightline_edges": R.Q_FLIGHTLINE_EDGES_SQL,
+        "reclass_interval": R.Q_RECLASS_INTERVAL_SQL,
+        "allocation": R.Q_ALLOCATION_SQL,
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

@@ -1725,3 +1725,277 @@ Q_CRISPNESS_SQL = """
            AS crispness
     FROM a
 """
+
+
+# ------------------------------------------------- round-2 family gates
+
+
+def q_cva(sf_dir: str):
+    """ChangeVectorAnalysis (change_vector_analysis.rs): magnitude +
+    sector code over two derived 2-band dates on lineitem."""
+    from ..stages.image2 import change_vector_analysis
+
+    ds = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch["l_tax"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "record_id": pa.array(ok * 10 + ln, pa.int64()),
+                "b1_t1": q, "b2_t1": d * 100.0,
+                "b1_t2": q + t * 10.0, "b2_t2": d * 100.0 - 1.0,
+            }
+        )
+
+    out = change_vector_analysis(ds.map_batches(widen, batch_format="pyarrow"),
+                                 ["b1_t1", "b2_t1"], ["b1_t2", "b2_t2"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "record_id": batch["record_id"],
+                "magnitude": batch["cva_magnitude"],
+                "sector": batch["cva_sector"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_CVA_SQL = """
+    WITH s AS (
+        SELECT l_orderkey * 10 + l_linenumber AS record_id,
+               l_tax * 10.0 AS d1, -1.0 AS d2
+        FROM lineitem
+    )
+    SELECT record_id,
+           ROUND(SQRT(d1 * d1 + d2 * d2), 6) AS magnitude,
+           CAST(CASE WHEN d1 < 0 THEN 1 ELSE 0 END
+                + CASE WHEN d2 < 0 THEN 2 ELSE 0 END AS BIGINT) AS sector
+    FROM s
+"""
+
+
+def q_pan_sharpen(sf_dir: str):
+    """PanchromaticSharpening Brovey ratio over derived r/g/b/pan."""
+    from ..stages.image2 import panchromatic_sharpening
+
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "c_custkey": k,
+                "r": np.abs(b) + 1.0,
+                "g": (k % 97).astype(np.float64) + 1.0,
+                "b": (k % 31).astype(np.float64) + 1.0,
+                "pan": (k % 13).astype(np.float64) + 1.0,
+            }
+        )
+
+    out = panchromatic_sharpening(ds.map_batches(widen, batch_format="pyarrow"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "sharp_r": batch["sharp_r"],
+                "sharp_g": batch["sharp_g"],
+                "sharp_b": batch["sharp_b"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_PAN_SHARPEN_SQL = """
+    WITH s AS (
+        SELECT c_custkey,
+               ABS(c_acctbal) + 1.0 AS r,
+               CAST(c_custkey % 97 AS DOUBLE) + 1.0 AS g,
+               CAST(c_custkey % 31 AS DOUBLE) + 1.0 AS b,
+               CAST(c_custkey % 13 AS DOUBLE) + 1.0 AS pan
+        FROM customer
+    )
+    SELECT c_custkey,
+           ROUND(r * 3.0 * pan / (r + g + b), 6) AS sharp_r,
+           ROUND(g * 3.0 * pan / (r + g + b), 6) AS sharp_g,
+           ROUND(b * 3.0 * pan / (r + g + b), 6) AS sharp_b
+    FROM s
+"""
+
+
+def q_lidar_thin(sf_dir: str):
+    """LidarThin (lidar_thin.rs): one survivor per resolution cell,
+    LOWEST z — over the deterministic synthetic point cloud."""
+    from ..stages.lidar import lidar_thin
+
+    pts = synth_points(sf_dir)
+
+    def as_cloud(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "record_id": batch["record_id"],
+                "x": batch["x"],
+                "y": batch["y"],
+                # z = record_id: unique, so the per-cell 'lowest' pick is
+                # tie-free on both sides of the compare
+                "z": batch["record_id"].cast(pa.float64()),
+            }
+        )
+
+    cloud = pts.map_batches(as_cloud, batch_format="pyarrow")
+    out = lidar_thin(cloud, resolution=50.0, method="lowest")
+    return out.select_columns(["record_id"])
+
+
+def q_lidar_thin_sql() -> str:
+    return """
+    WITH pts AS (
+        SELECT l_orderkey * 10 + l_linenumber AS record_id,
+               ((l_orderkey * 7919 + l_linenumber * 104729) % 1000000) / 1000.0 AS x,
+               ((l_partkey * 6271 + l_suppkey * 3571) % 1000000) / 1000.0 AS y,
+               CAST(l_orderkey * 10 + l_linenumber AS DOUBLE) AS z
+        FROM lineitem
+    ), keyed AS (
+        SELECT record_id, z,
+               CAST(FLOOR(x / 50.0) AS BIGINT) AS cx,
+               CAST(FLOOR(y / 50.0) AS BIGINT) AS cy
+        FROM pts
+    ), ranked AS (
+        SELECT record_id,
+               ROW_NUMBER() OVER (PARTITION BY cy, cx ORDER BY z, record_id) AS rn
+        FROM keyed
+    )
+    SELECT record_id FROM ranked WHERE rn = 1
+    """
+
+
+def q_flightline_edges(sf_dir: str):
+    """FindFlightlineEdgePoints: rows at the max |scan angle| of their
+    flightline (synthetic flightline/scan-angle columns)."""
+    from ..stages.lidar2 import find_flightline_edge_points
+
+    pts = synth_points(sf_dir)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        rid = batch["record_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "record_id": rid,
+                "flightline": pa.array(rid % 7, pa.int64()),
+                "scan_angle": pa.array((rid % 41) - 20, pa.int64()),
+            }
+        )
+
+    out = find_flightline_edge_points(pts.map_batches(widen, batch_format="pyarrow"))
+    return out.select_columns(["record_id"]).sort("record_id")
+
+
+Q_FLIGHTLINE_EDGES_SQL = """
+    WITH pts AS (
+        SELECT l_orderkey * 10 + l_linenumber AS record_id,
+               (l_orderkey * 10 + l_linenumber) % 7 AS fl,
+               ABS(((l_orderkey * 10 + l_linenumber) % 41) - 20) AS a
+        FROM lineitem
+    ), mx AS (
+        SELECT fl, MAX(a) AS ma FROM pts GROUP BY fl
+    )
+    SELECT pts.record_id
+    FROM pts JOIN mx ON pts.fl = mx.fl AND pts.a = mx.ma
+    ORDER BY record_id
+"""
+
+
+def q_reclass_interval(sf_dir: str):
+    """ReclassEqualInterval: floor-to-interval classes of o_totalprice."""
+    from ..stages.stats import reclass_equal_interval
+
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = reclass_equal_interval(ds, "o_totalprice", interval=25000.0, start=0.0)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": batch["o_orderkey"], "cls": batch["reclass"]}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_RECLASS_INTERVAL_SQL = """
+    SELECT o_orderkey,
+           FLOOR(o_totalprice / 25000.0) * 25000.0 AS cls
+    FROM orders
+"""
+
+
+def q_allocation(sf_dir: str):
+    """EuclideanAllocation (euclidean_allocation.rs): nearest-target
+    value over a 64×64 grid with three tie-free targets, via the exact
+    separable feature transform."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+    from ..stages.distance import euclidean_allocation_ds
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    targets = [(36, 49, 3.0), (44, 2, 8.0), (59, 45, 5.0)]  # tie-free (verified)
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            g = np.zeros((16, 16))
+            for r, c, v in targets:
+                if tr * 16 <= r < tr * 16 + 16 and tc * 16 <= c < tc * 16 + 16:
+                    g[r - tr * 16, c - tc * 16] = v
+            rows.append(
+                {
+                    "tile_row": tr,
+                    "tile_col": tc,
+                    "bytes": codecs.encode_tile(g, "f32"),
+                    "fmt": "f32",
+                }
+            )
+    ds = rd.from_items(rows)
+    out = euclidean_allocation_ds(ds, spec)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rr, cc, vv = [], [], []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            for r in range(16):
+                for c in range(16):
+                    rr.append(tr * 16 + r)
+                    cc.append(tc * 16 + c)
+                    vv.append(float(g[r, c]))
+        return pa.table(
+            {
+                "row": pa.array(rr, pa.int64()),
+                "col": pa.array(cc, pa.int64()),
+                "alloc": pa.array(vv, pa.float64()),
+            }
+        )
+
+    return out.map_batches(cells, batch_format="pyarrow")
+
+
+Q_ALLOCATION_SQL = """
+    WITH t(tr, tc, v) AS (VALUES (36, 49, 3.0), (44, 2, 8.0), (59, 45, 5.0)),
+         g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT g.row, g.col,
+           (SELECT v FROM t
+            ORDER BY (g.row - t.tr) * (g.row - t.tr) + (g.col - t.tc) * (g.col - t.tc)
+            LIMIT 1) AS alloc
+    FROM g
+"""
