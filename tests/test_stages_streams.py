@@ -675,3 +675,67 @@ class TestBreachDepressions:
         filled = priority_flood(out, -32768.0)
         np.testing.assert_allclose(filled[v], out[v], atol=1e-9)
         assert out[4, 4] == 10.0  # pit itself already drains via the hole
+
+
+class TestStreamLinksDS:
+    def test_ds_matches_dict_form(self, ray_session):
+        """Dataset-native link extraction == the whole-grid kernel."""
+        import pandas as pd
+        import ray.data as rd
+
+        from whitebox_tools_ray.kernels import codecs
+        from whitebox_tools_ray.sources import tiles as tsrc
+        from whitebox_tools_ray.stages.focal import d8_pointer_kernel
+        from whitebox_tools_ray.stages import streams as S
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8, seed=2)
+        yy, xx = np.meshgrid(np.arange(16.0), np.arange(16.0), indexing="ij")
+        # a Y-shaped drainage: two headwater channels meeting mid-grid
+        dem = 100.0 - xx - 0.01 * np.abs(yy - 8.0)
+        pad = np.full((18, 18), spec.nodata)
+        pad[1:-1, 1:-1] = dem
+
+        class _S:
+            tile_px = 16
+            res = spec.res
+
+        ptr_full = d8_pointer_kernel(pad, spec.nodata, _S()).astype(np.int8)
+        stream_full = np.zeros((16, 16))
+        stream_full[5, 2:] = 1.0
+        stream_full[11, 2:] = 1.0
+        stream_full[8, 8:] = 1.0
+        # dict form
+        st_tiles = {}
+        ptr_tiles = {}
+        for tr in range(2):
+            for tc in range(2):
+                tid = tr * 2 + tc
+                st_tiles[tid] = stream_full[tr * 8 : tr * 8 + 8, tc * 8 : tc * 8 + 8]
+                ptr_tiles[tid] = codecs.encode_tile(
+                    ptr_full[tr * 8 : tr * 8 + 8, tc * 8 : tc * 8 + 8].astype(np.float64), "i8"
+                )
+        lid_grid, links_ref = S.stream_links(st_tiles, ptr_tiles, spec)
+        # ds form
+        rows_s, rows_p = [], []
+        for tr in range(2):
+            for tc in range(2):
+                tid = tr * 2 + tc
+                rows_s.append({"tile_row": tr, "tile_col": tc,
+                               "bytes": codecs.encode_tile(st_tiles[tid], "f32"), "fmt": "f32"})
+                rows_p.append({"tile_row": tr, "tile_col": tc,
+                               "bytes": ptr_tiles[tid], "fmt": "i8"})
+        lid_ds, links_ds = S.stream_links_ds(
+            rd.from_pandas(pd.DataFrame(rows_s)), rd.from_pandas(pd.DataFrame(rows_p)), spec
+        )
+        # same number of links, same total stream cells, same length multiset
+        assert len(links_ds) == len(links_ref)
+        assert sorted(round(l["length"], 6) for l in links_ds) == sorted(
+            round(l["length"], 6) for l in links_ref
+        )
+        # painted raster labels the same CELL SET
+        full = np.zeros((16, 16))
+        for _, row in lid_ds.to_pandas().iterrows():
+            g = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            full[int(row["tile_row"]) * 8 : int(row["tile_row"]) * 8 + 8,
+                 int(row["tile_col"]) * 8 : int(row["tile_col"]) * 8 + 8] = g
+        assert ((full > 0) == (lid_grid > 0)).all()

@@ -860,10 +860,12 @@ def _register_all():
              "Exact EDT, Dataset-native two-pass strips", "gis_analysis",
              [P("tiles_ds", "Dataset"), P("spec", "SceneSpec")],
              "gis_analysis/euclidean_distance.rs:23-33 (exact-EDT substitute)")
-    register("ExtractStreams", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).extract_streams,
-             "Accumulation threshold -> stream mask", "stream_network_analysis", [], "stream_network_analysis/extract_streams.rs")
-    register("StreamLinkIdentifier", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).stream_links,
-             "Junction-to-junction link ids", "stream_network_analysis", [], "stream_network_analysis/stream_link_id.rs")
+    register("ExtractStreams", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).extract_streams_ds,
+             "Accumulation threshold -> stream mask (Dataset-native)", "stream_network_analysis",
+             [], "stream_network_analysis/extract_streams.rs")
+    register("StreamLinkIdentifier", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).stream_links_ds,
+             "Junction-to-junction link ids (stream-cell table only to the driver)",
+             "stream_network_analysis", [], "stream_network_analysis/stream_link_id.rs")
     register("StrahlerStreamOrder", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).strahler_order,
              "Strahler order on the link DAG", "stream_network_analysis", [], "stream_network_analysis/strahler_order.rs")
     register("ShreveStreamMagnitude", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).shreve_magnitude,

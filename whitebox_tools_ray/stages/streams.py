@@ -467,3 +467,203 @@ def raster_streams_to_vector(link_grid: np.ndarray, links: list[dict], spec):
             }
         )
     return recs
+
+
+# ---------------------------------------------------------------------------
+# Dataset-native stream network (round 2): the raster-sized inputs stay
+# Datasets end to end; only the STREAM-CELL table (O(channel cells) —
+# 1-5% of the raster) reaches the driver, where the link walk is pure
+# graph work. At basin-spanning scale the same walk runs on the
+# terminal-resolution shards; the driver form is the documented
+# small-graph path.
+# ---------------------------------------------------------------------------
+
+
+def stream_cell_rows(stream_ds, pointer_ds, spec):
+    """One keyed zip + halo pass → stream-cell rows
+    (gid, ptr_dir, inflow, down_gid, down_is_stream).
+
+    inflow counts INFLOWING STREAM neighbours (needs each neighbour's
+    pointer + stream flag — recovered from a 1-cell halo on both
+    layers)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .bsp import combine_tile_layers
+    from .focal import _assemble_padded, _emit_tile_and_margins
+
+    tpx = spec.tile_px
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+    W = tiles_x * tpx
+    H = tiles_y * tpx
+    INFLOW_OF = np.array([4, 5, 6, 7, 0, 1, 2, 3], dtype=np.int8)
+
+    combined = combine_tile_layers(spec, st=stream_ds, pt=pointer_ds)
+
+    # re-encode the pair as a single complex payload for the halo pass:
+    # value = stream_flag * 16 + (ptr + 2)  (ptr in [-2, 7] → [0, 9])
+    def pack(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(batch.num_rows):
+            st = codecs.decode_tile(batch["st"][i].as_py(), batch["st_fmt"][i].as_py())
+            pt = codecs.decode_tile(batch["pt"][i].as_py(), batch["pt_fmt"][i].as_py() or "i8")
+            packed = (st == 1.0).astype(np.float64) * 16.0 + (pt.astype(np.float64) + 2.0)
+            outs.append(codecs.encode_tile(packed, "f32"))
+        return pa.table(
+            {
+                "tile_row": batch["tile_row"],
+                "tile_col": batch["tile_col"],
+                "bytes": pa.array(outs, pa.binary()),
+                "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    packed_ds = combined.map_batches(pack, batch_format="pyarrow")
+    margins = packed_ds.map_batches(
+        lambda b: _emit_tile_and_margins(b, 1, tiles_x, tiles_y), batch_format="pyarrow"
+    )
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        tkey, pad = _assemble_padded(g, 1, tpx, 0.0)
+        trow, tcol = tkey // tiles_x, tkey % tiles_x
+        stream = pad >= 16.0
+        ptr = np.round(pad % 16.0).astype(np.int8) - 2
+        core_s = stream[1:-1, 1:-1]
+        if not core_s.any():
+            return pd.DataFrame(
+                {"gid": [], "ptr": [], "inflow": [], "down_gid": [], "down_is_stream": []}
+            )
+        inflow = np.zeros((tpx, tpx), dtype=np.int8)
+        for i in range(8):
+            np_n = ptr[1 + DY8[i] : 1 + DY8[i] + tpx, 1 + DX8[i] : 1 + DX8[i] + tpx]
+            ns_n = stream[1 + DY8[i] : 1 + DY8[i] + tpx, 1 + DX8[i] : 1 + DX8[i] + tpx]
+            inflow += ((np_n == INFLOW_OF[i]) & ns_n).astype(np.int8)
+        rr, cc = np.nonzero(core_s)
+        gr = rr + trow * tpx
+        gc = cc + tcol * tpx
+        d = ptr[1:-1, 1:-1][rr, cc].astype(np.int64)
+        nr = gr + np.where(d >= 0, DY8[np.clip(d, 0, 7)], 0)
+        nc = gc + np.where(d >= 0, DX8[np.clip(d, 0, 7)], 0)
+        inb = (d >= 0) & (nr >= 0) & (nr < H) & (nc >= 0) & (nc < W)
+        down_gid = np.where(inb, nr * W + nc, -1)
+        # downstream stream-ness readable from the padded halo
+        dis = np.zeros(len(rr), dtype=bool)
+        ok = d >= 0
+        dis[ok] = stream[1 + rr[ok] + DY8[d[ok]], 1 + cc[ok] + DX8[d[ok]]]
+        return pd.DataFrame(
+            {
+                "gid": gr.astype(np.int64) * W + gc,
+                "ptr": d,
+                "inflow": inflow[rr, cc].astype(np.int64),
+                "down_gid": down_gid.astype(np.int64),
+                "down_is_stream": dis & inb,
+            }
+        )
+
+    return margins.groupby("tkey").map_groups(per_tile, batch_format="pandas")
+
+
+def stream_links_ds(stream_ds, pointer_ds, spec):
+    """Dataset-native link identification: the link walk runs on the
+    collected stream-cell TABLE (not the raster). Returns
+    (link_id_ds — painted raster Dataset, links list) with the same link
+    semantics as ``stream_links``."""
+    import pyarrow as pa
+    import ray
+
+    rows = stream_cell_rows(stream_ds, pointer_ds, spec).to_pandas()
+    W = spec.tiles_x * spec.tile_px
+    gid = rows["gid"].to_numpy()
+    info = {
+        int(g): (int(p), int(i), int(dg), bool(ds_))
+        for g, p, i, dg, ds_ in zip(
+            gid, rows["ptr"], rows["inflow"], rows["down_gid"], rows["down_is_stream"]
+        )
+    }
+    diag = float(np.sqrt(2.0) * spec.res)
+    lengths = [diag, spec.res, diag, spec.res, diag, spec.res, diag, spec.res]
+    link_of: dict[int, int] = {}
+    links: list[dict] = []
+    next_id = 1
+    starts = sorted(g for g, (p, i, dg, ds_) in info.items() if i == 0 or i >= 2)
+    for s in starts:
+        lid = next_id
+        next_id += 1
+        cells = []
+        length = 0.0
+        g = s
+        while True:
+            if g in link_of:
+                break
+            link_of[g] = lid
+            cells.append((g // W, g % W))
+            p, i, dg, ds_ = info[g]
+            if p < 0 or not ds_ or dg not in info:
+                break
+            length += lengths[p]
+            if info[dg][1] >= 2:
+                break
+            g = dg
+        if cells:
+            links.append({"link_id": lid, "cells": cells, "length": length})
+    for lk in links:
+        r, c = lk["cells"][-1]
+        g = r * W + c
+        p, i, dg, ds_ = info[g]
+        lk["ds_link"] = -1
+        if p >= 0 and ds_ and dg in link_of and link_of[dg] != lk["link_id"]:
+            lk["ds_link"] = link_of[dg]
+    # paint the link-id raster back (per-tile buckets, broadcast once)
+    tpx = spec.tile_px
+    by_tile: dict[int, list] = {}
+    for gg, lid in link_of.items():
+        tid = (gg // W // tpx) * spec.tiles_x + (gg % W) // tpx
+        by_tile.setdefault(tid, []).append((gg, lid))
+    ref = ray.put(by_tile)
+    nodata = spec.nodata
+    _ = nodata
+
+    def paint(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        outs = []
+        for i in range(batch.num_rows):
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            g = np.zeros((tpx, tpx))
+            for gg, lid in lut.get(tr * spec.tiles_x + tc, ()):
+                g[gg // W - tr * tpx, gg % W - tc * tpx] = lid
+            outs.append(codecs.encode_tile(g, "f32"))
+        return pa.table(
+            {
+                "tile_row": batch["tile_row"],
+                "tile_col": batch["tile_col"],
+                "bytes": pa.array(outs, pa.binary()),
+                "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    return stream_ds.map_batches(paint, batch_format="pyarrow"), links
+
+
+def extract_streams_ds(accum_ds, spec, threshold: float):
+    """ExtractStreams, Dataset-native: accumulation ≥ threshold → 1."""
+    import pyarrow as pa
+
+    nodata = spec.nodata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(batch.num_rows):
+            a = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            o = np.where(a == nodata, nodata, (a >= threshold).astype(np.float64))
+            outs.append(codecs.encode_tile(o, "f32"))
+        return pa.table(
+            {
+                "tile_row": batch["tile_row"],
+                "tile_col": batch["tile_col"],
+                "bytes": pa.array(outs, pa.binary()),
+                "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    return accum_ds.map_batches(fn, batch_format="pyarrow")
