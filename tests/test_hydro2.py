@@ -162,3 +162,33 @@ class TestSurfaces:
         spec, full, ds = east_plane
         out = hydro2.slope_vs_elevation_plot(ds, spec, 8, 8)
         assert out["n"].sum() == full.size
+
+
+class TestElevAboveStreamDS:
+    def test_east_plane_with_stream(self, east_plane):
+        spec, full, ds = east_plane
+        streams = np.zeros_like(full)
+        streams[:, 12] = 1.0
+        out = assemble(
+            hydro2.elevation_above_stream_ds(ds, tiles_from_grid(streams, spec), spec, 2).to_pandas(),
+            spec,
+        )
+        # cell (r, c<12) flows east to the stream at col 12 on its own row:
+        # z diff = (100-c) - (100-12) = 12 - c
+        for c in (3, 8, 11):
+            assert out[5, c] == pytest.approx(12.0 - c, abs=1e-6)
+        assert out[5, 12] == pytest.approx(0.0, abs=1e-6)
+
+    def test_snap_pour_points_ds(self, east_plane):
+        spec, full, ds = east_plane
+        gs = spec.grid_spec()
+        # accumulation proxy: higher to the east
+        acc = np.tile(np.arange(16.0), (16, 1))
+        acc_ds = tiles_from_grid(acc, spec)
+        x = gs.west + 5.5 * spec.res
+        y = gs.north - 7.5 * spec.res
+        snapped = hydro2.snap_pour_points_ds([(x, y, 1)], acc_ds, spec, 2.0 * spec.res)
+        sx, sy, pid = snapped[0]
+        # max accumulation within radius 2 is at col 7, same row
+        assert sx == pytest.approx(gs.west + 7.5 * spec.res)
+        assert pid == 1

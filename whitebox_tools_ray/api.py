@@ -900,6 +900,7 @@ def _register_all():
              "terrain_analysis", [], "terrain_analysis/max_branch_length.rs (link form)")
     register("RasterStreamsToVector", st.raster_streams_to_vector, "Link runs -> polylines (FID = link id)",
              "stream_network_analysis", [], "stream_network_analysis/raster_streams_to_vector.rs")
+    h2 = __import__("whitebox_tools_ray.stages.hydro2", fromlist=["x"])
     register("Basins", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).basins_ds,
              "Terminal labeling, Dataset-native border condensation", "hydro_analysis",
              [P("pointer_ds", "Dataset"), P("spec", "SceneSpec")], "hydro_analysis/basins.rs")
@@ -919,10 +920,10 @@ def _register_all():
     register("DownslopeDistanceToStream", ba.downslope_distance_to_stream_ds,
              "Flow-path length to nearest stream (additive pointer doubling)", "hydro_analysis",
              [], "hydro_analysis/downslope_distance_to_stream.rs")
-    register("ElevationAboveStream", ba.elevation_above_stream,
+    register("ElevationAboveStream", h2.elevation_above_stream_ds,
              "z minus z of first downstream stream cell", "hydro_analysis",
              [], "hydro_analysis/elevation_above_stream.rs")
-    register("SnapPourPoints", ba.snap_pour_points, "Snap points to max accumulation in radius",
+    register("SnapPourPoints", h2.snap_pour_points_ds, "Snap points to max accumulation in radius (broadcast probe)",
              "hydro_analysis", [], "hydro_analysis/snap_pour_points.rs")
     register("NumInflowingNeighbours", lambda tiles_ds, spec: focal.focal_op(tiles_ds, spec, __import__("whitebox_tools_ray.stages.flow", fromlist=["x"])._num_inflowing_kernel, 1, out_fmt="i8"),
              "Count of D8 neighbors flowing in", "hydro_analysis", [], "hydro_analysis/num_inflowing_neighbours.rs; d8_flow_accum.rs:343-397")
@@ -1007,7 +1008,6 @@ def _register_all():
     register("StrahlerOrderBasins", fl2.strahler_order_basins,
              "Subbasins relabeled link -> Strahler order", "hydro_analysis",
              [], "hydro_analysis/strahler_order_basins.rs")
-    h2 = __import__("whitebox_tools_ray.stages.hydro2", fromlist=["x"])
     register("DownslopeFlowpathLength", h2.downslope_flowpath_length,
              "Accumulated step length to the flowpath terminal", "hydro_analysis",
              [], "hydro_analysis/downslope_flowpath_length.rs")

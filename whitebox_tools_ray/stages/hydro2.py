@@ -981,3 +981,133 @@ def _const_tiles(batch: pa.Table, value: float) -> pa.Table:
             "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
         }
     )
+
+
+def elevation_above_stream_ds(dem_ds, streams_ds, spec, num_workers: int = 4):
+    """ElevationAboveStream (elevation_above_stream.rs), Dataset-native:
+    z − z(first stream cell downstream) — terminal resolution against
+    the stream target grid, one broadcast z-probe at the (few) target
+    gids, subtraction via the keyed tile zip."""
+    import ray
+    import ray.data as rd
+
+    from .flow import d8_pointer_masked
+
+    ptr = d8_pointer_masked(dem_ds, spec)
+    gid_ds, _w = _term_acc_ds(ptr, spec, num_workers, mode="term_gid", tgt_ds=streams_ds)
+    W = spec.tiles_x * spec.tile_px
+
+    def gids(batch: pa.Table) -> pa.Table:
+        out = set()
+        for bb, ff in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            g = codecs.decode_tile(bb, ff)
+            v = g[(g != spec.nodata) & (g >= 0)]
+            out.update(np.unique(v).astype(np.int64).tolist())
+        return pa.table({"gid": pa.array(sorted(out), pa.int64())})
+
+    distinct = sorted(set(gid_ds.map_batches(gids, batch_format="pyarrow").to_pandas()["gid"]))
+    want_ref = ray.put(np.asarray(distinct, dtype=np.int64))
+    tpx = spec.tile_px
+
+    def probe(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(want_ref)
+        hits_g, hits_z = [], []
+        for i in range(batch.num_rows):
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            r0, c0 = tr * tpx, tc * tpx
+            lo = (r0 * W + c0)
+            sel = wanted[(wanted // W >= r0) & (wanted // W < r0 + tpx)
+                         & (wanted % W >= c0) & (wanted % W < c0 + tpx)]
+            if not len(sel):
+                continue
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            for gg in sel:
+                hits_g.append(int(gg))
+                hits_z.append(float(g[gg // W - r0, gg % W - c0]))
+            _ = lo
+        return pa.table({"gid": pa.array(hits_g, pa.int64()), "z": pa.array(hits_z, pa.float64())})
+
+    pz = dem_ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    lut_g = pz["gid"].to_numpy()
+    order = np.argsort(lut_g)
+    lut_g = lut_g[order]
+    lut_z = pz["z"].to_numpy()[order]
+
+    def fn(z, gid):
+        if len(lut_g) == 0:
+            return np.zeros_like(z)
+        g = gid.astype(np.int64)
+        idx = np.clip(np.searchsorted(lut_g, g), 0, len(lut_g) - 1)
+        tgt = np.where((g >= 0) & (lut_g[idx] == g), lut_z[idx], z)
+        return z - tgt
+
+    return band_math.overlay_fn(dem_ds, gid_ds, spec, fn)
+
+
+def snap_pour_points_ds(points, accum_ds, spec, snap_dist: float):
+    """SnapPourPoints (snap_pour_points.rs), Dataset-native: each outlet
+    moves to the max-accumulation cell within ``snap_dist`` — one
+    broadcast-probe pass over the accumulation tiles, candidates only."""
+    import ray
+
+    gs = spec.grid_spec()
+    tpx = spec.tile_px
+    rad = int(np.ceil(snap_dist / spec.res))
+    pts = []
+    for x, y, pid in points:
+        r = int(gs.row_from_y(np.float64(y)))
+        c = int(gs.col_from_x(np.float64(x)))
+        pts.append((pid, r, c))
+    ref = ray.put(pts)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ps = ray.get(ref)
+        out = {"pid": [], "r": [], "c": [], "acc": []}
+        for i in range(batch.num_rows):
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            r0, c0 = tr * tpx, tc * tpx
+            g = None
+            for pid, r, c in ps:
+                if r + rad < r0 or r - rad >= r0 + tpx or c + rad < c0 or c - rad >= c0 + tpx:
+                    continue
+                if g is None:
+                    g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+                rr0 = max(r - rad, r0) - r0
+                rr1 = min(r + rad, r0 + tpx - 1) - r0
+                cc0 = max(c - rad, c0) - c0
+                cc1 = min(c + rad, c0 + tpx - 1) - c0
+                sub = g[rr0 : rr1 + 1, cc0 : cc1 + 1]
+                j = int(np.argmax(sub))
+                sr, sc = np.unravel_index(j, sub.shape)
+                out["pid"].append(pid)
+                out["r"].append(int(rr0 + sr + r0))
+                out["c"].append(int(cc0 + sc + c0))
+                out["acc"].append(float(sub[sr, sc]))
+        return pa.table(
+            {
+                "pid": pa.array(out["pid"], pa.int64()),
+                "r": pa.array(out["r"], pa.int64()),
+                "c": pa.array(out["c"], pa.int64()),
+                "acc": pa.array(out["acc"], pa.float64()),
+            }
+        )
+
+    cand = accum_ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    gs = spec.grid_spec()
+    out = []
+    for x, y, pid in points:
+        mine = cand[cand["pid"] == pid]
+        if len(mine):
+            best = mine.sort_values(["acc", "r", "c"], ascending=[False, True, True]).iloc[0]
+            out.append(
+                (
+                    float(gs.west + (best["c"] + 0.5) * spec.res),
+                    float(gs.north - (best["r"] + 0.5) * spec.res),
+                    int(pid),
+                )
+            )
+        else:
+            out.append((float(x), float(y), int(pid)))
+    return out
