@@ -192,3 +192,27 @@ class TestElevAboveStreamDS:
         # max accumulation within radius 2 is at col 7, same row
         assert sx == pytest.approx(gs.west + 7.5 * spec.res)
         assert pid == 1
+
+
+class TestCostAllocationDS:
+    def test_two_sources_split(self, ray_session):
+        """Uniform cost, two sources → allocation is the euclidean-ish
+        split; tiled BSP matches the whole-grid kernel."""
+        from whitebox_tools_ray.stages import cost as C
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8, seed=1)
+        costg = np.ones((16, 16))
+        src = np.zeros((16, 16))
+        src[3, 3] = 1.0
+        src[12, 12] = 2.0
+        cds = tiles_from_grid(costg, spec)
+        sds = tiles_from_grid(src, spec)
+        got = assemble(C.cost_allocation_ds(cds, sds, spec, 2).to_pandas(), spec)
+        _a, _b, want = C.cost_distance(costg, src.astype(np.int64), spec.nodata, spec.res)
+        # compare only where the whole-grid Dijkstra's choice is strict
+        # (equidistant frontier cells may legally differ)
+        acc1, _, _ = C.cost_distance(costg, np.where(src == 1.0, 1, 0).astype(np.int64), spec.nodata, spec.res)
+        acc2, _, _ = C.cost_distance(costg, np.where(src == 2.0, 2, 0).astype(np.int64), spec.nodata, spec.res)
+        strict = np.abs(acc1 - acc2) > 1e-9
+        assert (got[strict] == want[strict]).all()
+        assert got[3, 3] == 1.0 and got[12, 12] == 2.0

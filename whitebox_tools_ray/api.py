@@ -912,8 +912,9 @@ def _register_all():
     register("CostDistance", co.cost_distance_ds, "Weighted Dijkstra accumulated cost, Dataset-native BSP",
              "gis_analysis", [P("cost_ds", "Dataset"), P("source_ds", "Dataset"), P("spec", "SceneSpec")],
              "gis_analysis/cost_distance.rs")
-    register("CostAllocation", lambda c, s, n, r: co.cost_distance(c, s, n, r)[2],
-             "Nearest-source id by accumulated cost", "gis_analysis", [], "gis_analysis/cost_allocation.rs")
+    register("CostAllocation", co.cost_allocation_ds,
+             "Nearest-source id by accumulated cost (Dataset-native BSP, ids ride border frames)",
+             "gis_analysis", [], "gis_analysis/cost_allocation.rs")
     register("CostPathway", co.cost_pathway, "Least-cost path trace", "gis_analysis",
              [], "gis_analysis/cost_pathway.rs")
     ba = __import__("whitebox_tools_ray.stages.basins", fromlist=["x"])

@@ -33,6 +33,7 @@ def cost_distance(
     res: float,
     seed_costs: np.ndarray | None = None,
     mark_unreached_inf: bool = False,
+    seed_alloc: np.ndarray | None = None,
 ):
     """Single-grid accumulated cost + backlink + allocation.
 
@@ -54,7 +55,8 @@ def cost_distance(
     if seed_costs is not None:
         sr, sc = np.nonzero(np.isfinite(seed_costs))
         for r, c in zip(sr, sc):
-            heapq.heappush(heap, (float(seed_costs[r, c]), int(r), int(c), 0, -1))
+            sa = int(seed_alloc[r, c]) if seed_alloc is not None else 0
+            heapq.heappush(heap, (float(seed_costs[r, c]), int(r), int(c), sa, -1))
     nod = cost == nodata
     done = nod.copy()
     while heap:
@@ -188,8 +190,10 @@ class CostShardDS:
         self.cost: dict[int, np.ndarray] = {}
         self.src: dict[int, np.ndarray] = {}
         self.seed: dict[int, np.ndarray] = {}
+        self.seed_alloc: dict[int, np.ndarray] = {}
         self.est: dict[int, np.ndarray] = {}
-        self.frames: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        self.alloc_out: dict[int, np.ndarray] = {}
+        self.frames: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def ingest(self, split_ds) -> list[int]:
         from ..kernels import codecs
@@ -207,19 +211,22 @@ class CostShardDS:
                     batch["srcl"][i].as_py(), batch["srcl_fmt"][i].as_py()
                 ).astype(np.int64)
                 self.seed[tid] = np.full(self.cost[tid].shape, np.inf)
+                self.seed_alloc[tid] = np.zeros(self.cost[tid].shape, dtype=np.int64)
                 owned.append(tid)
         return owned
 
     def _run_tile(self, tid: int):
-        a, _bl, _al = cost_distance(
+        a, _bl, al = cost_distance(
             self.cost[tid],
             self.src[tid],
             self.nodata,
             self.res,
             seed_costs=self.seed[tid],
             mark_unreached_inf=True,
+            seed_alloc=self.seed_alloc[tid],
         )
         self.est[tid] = a
+        self.alloc_out[tid] = al
         h, w = a.shape
         msgs = []
         tr, tc = tid // self.tiles_x, tid % self.tiles_x
@@ -234,8 +241,9 @@ class CostShardDS:
                 cs = slice(w - 1, w) if dc == 1 else (slice(0, 1) if dc == -1 else slice(None))
                 est_strip = np.ascontiguousarray(a[rs, cs]).ravel().copy()
                 cost_strip = np.ascontiguousarray(self.cost[tid][rs, cs]).ravel().copy()
+                alloc_strip = np.ascontiguousarray(self.alloc_out[tid][rs, cs]).ravel().copy()
                 rel = (1 - dr) * 3 + (1 - dc)
-                msgs.append((ntr * self.tiles_x + ntc, rel, est_strip, cost_strip))
+                msgs.append((ntr * self.tiles_x + ntc, rel, est_strip, cost_strip, alloc_strip))
         return msgs
 
     def start(self):
@@ -246,8 +254,8 @@ class CostShardDS:
 
     def push(self, msgs):
         touched = set()
-        for tid, rel, est_strip, cost_strip in msgs:
-            self.frames[(tid, rel)] = (est_strip, cost_strip)
+        for tid, rel, est_strip, cost_strip, alloc_strip in msgs:
+            self.frames[(tid, rel)] = (est_strip, cost_strip, alloc_strip)
             touched.add(tid)
         out = []
         h = w = self.tpx
@@ -256,7 +264,8 @@ class CostShardDS:
             cg = self.cost[tid]
             ext_a = np.full((h + 2, w + 2), np.inf)
             ext_c = np.full((h + 2, w + 2), np.inf)
-            for (ftid, rel), (ea, ec) in self.frames.items():
+            ext_l = np.zeros((h + 2, w + 2), dtype=np.int64)
+            for (ftid, rel), (ea, ec, el) in self.frames.items():
                 if ftid != tid:
                     continue
                 rr = rel // 3 - 1
@@ -265,33 +274,43 @@ class CostShardDS:
                 cs = slice(0, 1) if cc == -1 else (slice(w + 1, w + 2) if cc == 1 else slice(1, w + 1))
                 ext_a[rs, cs] = ea.reshape(ext_a[rs, cs].shape)
                 ext_c[rs, cs] = ec.reshape(ext_c[rs, cs].shape)
+                ext_l[rs, cs] = el.reshape(ext_l[rs, cs].shape)
             ext_a[ext_c == self.nodata] = np.inf  # nodata cost blocks travel
             best = np.full((h, w), np.inf)
+            best_l = np.zeros((h, w), dtype=np.int64)
             from .focal import DX8, DY8
 
             for i in range(8):
                 dy, dx = int(DY8[i]), int(DX8[i])
                 sh_a = ext_a[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
                 sh_c = ext_c[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                sh_l = ext_l[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
                 step = diag if (dy != 0 and dx != 0) else self.res
                 with np.errstate(invalid="ignore"):
                     cand = sh_a + (sh_c + cg) / 2.0 * step
-                best = np.minimum(best, cand)
+                win = cand < best
+                best = np.where(win, cand, best)
+                best_l = np.where(win, sh_l, best_l)
             cur = self.seed[tid]
             upd = np.isfinite(best) & (best < cur - 1e-9)
             if upd.any():
                 self.seed[tid] = np.where(upd, best, cur)
+                self.seed_alloc[tid] = np.where(upd, best_l, self.seed_alloc[tid])
                 out.extend(self._run_tile(tid))
         return out
 
-    def dump(self, path: str):
+    def dump(self, path: str, mode: str = "distance"):
         from .bsp import ShardBase
 
         base = ShardBase(self.tpx, self.tiles_x, self.tiles_y)
         tiles = {}
         for tid, a in self.est.items():
-            g = a.copy()
-            g[~np.isfinite(g)] = self.nodata
+            if mode == "alloc":
+                g = self.alloc_out[tid].astype(np.float64)
+                g[~np.isfinite(a)] = self.nodata
+            else:
+                g = a.copy()
+                g[~np.isfinite(g)] = self.nodata
             g[self.cost[tid] == self.nodata] = self.nodata
             tiles[tid] = g
         ShardBase._dump_tiles(base, path, tiles, "f32")
@@ -314,3 +333,48 @@ def cost_distance_ds(cost_ds, source_ds, spec, num_workers: int = 4, out_dir: st
         num_workers,
         out_dir,
     )
+
+
+def cost_allocation_ds(cost_ds, source_ds, spec, num_workers: int = 4,
+                       out_dir: str | None = None):
+    """Dataset-native CostAllocation (cost_allocation.rs): the BSP cost
+    engine tracks, per cell, the SOURCE ID of the cheapest path (source
+    ids ride the border frames with the accumulated-cost strips); the
+    allocation grid is the second dump mode of the same shards."""
+    import os as _os
+    import tempfile
+
+    import ray
+    import ray.data as rd
+
+    from .bsp import combine_tile_layers
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="costalloc_", dir="/tmp")
+    _os.makedirs(out_dir, exist_ok=True)
+    combined = combine_tile_layers(spec, costl=cost_ds, srcl=source_ds)
+    Worker = ray.remote(CostShardDS)
+    workers = [
+        Worker.remote(spec.tile_px, spec.tiles_x, spec.tiles_y, spec.nodata, spec.res)
+        for _ in range(num_workers)
+    ]
+    splits = combined.split(num_workers, locality_hints=workers)
+    owned = ray.get([w.ingest.remote(s) for w, s in zip(workers, splits)])
+    shard_of = {tid: i for i, tids in enumerate(owned) for tid in tids}
+    pending = ray.get([w.start.remote() for w in workers])
+    while True:
+        routed: list[list] = [[] for _ in range(num_workers)]
+        n = 0
+        for msgs in pending:
+            for msg in msgs:
+                if msg[0] in shard_of:
+                    routed[shard_of[msg[0]]].append(msg)
+                    n += 1
+        if n == 0:
+            break
+        busy = [(w, m) for w, m in zip(workers, routed) if m]
+        pending = ray.get([w.push.remote(m) for w, m in busy])
+    ray.get([
+        w.dump.remote(_os.path.join(out_dir, f"shard_{i}.parquet"), "alloc")
+        for i, w in enumerate(workers)
+    ])
+    return rd.read_parquet(out_dir)
