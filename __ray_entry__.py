@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flightline_edges": R.q_flightline_edges,
         "reclass_interval": R.q_reclass_interval,
         "allocation": R.q_allocation,
+        "slope_horn": R.q_slope_horn,
+        "aspect_horn": R.q_aspect_horn,
     }
 
 
@@ -158,6 +160,8 @@ def oracle_sql() -> dict[str, str]:
         "flightline_edges": R.Q_FLIGHTLINE_EDGES_SQL,
         "reclass_interval": R.Q_RECLASS_INTERVAL_SQL,
         "allocation": R.Q_ALLOCATION_SQL,
+        "slope_horn": R.Q_SLOPE_HORN_SQL,
+        "aspect_horn": R.Q_ASPECT_HORN_SQL,
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

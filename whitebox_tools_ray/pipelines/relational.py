@@ -1999,3 +1999,127 @@ Q_ALLOCATION_SQL = """
             LIMIT 1) AS alloc
     FROM g
 """
+
+
+def _analytic_dem_tiles():
+    """64×64 analytic DEM (z = (row·31 + col·17) mod 97 — integer-exact
+    on both sides of the compare), as 4×4 tiles of 16 px."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                indexing="ij",
+            )
+            g = ((rr * 31 + cc * 17) % 97).astype(np.float64)
+            rows.append(
+                {
+                    "tile_row": tr,
+                    "tile_col": tc,
+                    "bytes": codecs.encode_tile(g, "f64"),
+                    "fmt": "f64",
+                }
+            )
+    return rd.from_items(rows), spec
+
+
+def _tiles_to_cells(out_ds, spec, value_name: str):
+    from ..kernels import codecs
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rr, cc, vv = [], [], []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            for r in range(g.shape[0]):
+                for c in range(g.shape[1]):
+                    rr.append(tr * spec.tile_px + r)
+                    cc.append(tc * spec.tile_px + c)
+                    vv.append(float(g[r, c]))
+        return pa.table(
+            {
+                "row": pa.array(rr, pa.int64()),
+                "col": pa.array(cc, pa.int64()),
+                value_name: pa.array(vv, pa.float64()),
+            }
+        )
+
+    return out_ds.map_batches(cells, batch_format="pyarrow")
+
+
+def q_slope_horn(sf_dir: str):
+    """Slope (slope.rs:256-292 Horn derivatives, edge replication) on an
+    analytic DEM — the focal halo engine vs a pure-SQL twin."""
+    from ..stages.focal import focal_op, slope_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    # f64 payload: the default f32 output tier quantizes the 7th
+    # significant digit, which the ROUND(…,6) compare would see
+    out = focal_op(ds, spec, slope_kernel, 1, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "slope")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["slope"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({"row": batch["row"], "col": batch["col"], "slope": pa.array(v)})
+
+    return cells.map_batches(rnd, batch_format="pyarrow")
+
+
+def _horn_sql(out_expr: str, out_name: str) -> str:
+    # z(r, c) with edge replication: out-of-grid neighbours take the
+    # centre value (slope.rs convention reproduced by the halo engine)
+    zfun = (
+        "CAST((CASE WHEN {r} BETWEEN 0 AND 63 AND {c} BETWEEN 0 AND 63"
+        " THEN ({r}) * 31 + ({c}) * 17 ELSE g.row * 31 + g.col * 17 END) % 97 AS DOUBLE)"
+    )
+
+    def z(dr, dc):
+        return zfun.format(r=f"(g.row + ({dr}))", c=f"(g.col + ({dc}))")
+
+    ne, e, se = z(-1, 1), z(0, 1), z(1, 1)
+    s, sw, w = z(1, 0), z(1, -1), z(0, -1)
+    nw, n = z(-1, -1), z(-1, 0)
+    res = 90.0  # SceneSpec default res (kernels/grid.py DEFAULT_RES)
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+         d AS (SELECT g.row, g.col,
+                      (({nw}) - ({sw}) + 2.0 * (({n}) - ({s})) + ({ne}) - ({se})) / {8.0 * res} AS fy,
+                      (({se}) - ({sw}) + 2.0 * (({e}) - ({w})) + ({ne}) - ({nw})) / {8.0 * res} AS fx
+               FROM g)
+    SELECT row, col, {out_expr} AS {out_name}
+    FROM d
+    """
+
+
+Q_SLOPE_HORN_SQL = _horn_sql("ROUND(DEGREES(ATAN(SQRT(fx * fx + fy * fy))), 6)", "slope")
+
+
+def q_aspect_horn(sf_dir: str):
+    """Aspect (aspect.rs:256-283 literal branch) on the analytic DEM."""
+    from ..stages.focal import aspect_kernel, focal_op
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, aspect_kernel, 1, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "aspect")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["aspect"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({"row": batch["row"], "col": batch["col"], "aspect": pa.array(v)})
+
+    return cells.map_batches(rnd, batch_format="pyarrow")
+
+
+Q_ASPECT_HORN_SQL = _horn_sql(
+    "ROUND(CASE WHEN fx > 0 THEN 180.0 - DEGREES(ATAN(fy / fx)) + 90.0 * (CASE WHEN fx > 0 THEN 1 ELSE -1 END) ELSE -1.0 END, 6)",
+    "aspect",
+)
