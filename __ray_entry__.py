@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allocation": R.q_allocation,
         "slope_horn": R.q_slope_horn,
         "aspect_horn": R.q_aspect_horn,
+        "hillshade_horn": R.q_hillshade_horn,
+        "window_total": R.q_window_total,
+        "prof_curvature": R.q_prof_curvature_horn,
     }
 
 
@@ -162,6 +165,9 @@ def oracle_sql() -> dict[str, str]:
         "allocation": R.Q_ALLOCATION_SQL,
         "slope_horn": R.Q_SLOPE_HORN_SQL,
         "aspect_horn": R.Q_ASPECT_HORN_SQL,
+        "hillshade_horn": R.q_hillshade_horn_sql(),
+        "window_total": R.q_window_total_sql(),
+        "prof_curvature": R.q_prof_curvature_horn_sql(),
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

@@ -2123,3 +2123,118 @@ Q_ASPECT_HORN_SQL = _horn_sql(
     "ROUND(CASE WHEN fx > 0 THEN 180.0 - DEGREES(ATAN(fy / fx)) + 90.0 * (CASE WHEN fx > 0 THEN 1 ELSE -1 END) ELSE -1.0 END, 6)",
     "aspect",
 )
+
+
+def q_hillshade_horn(sf_dir: str):
+    """Hillshade (hillshade.rs Horn + sun illumination, 0-32767 int)."""
+    from ..stages.focal import focal_op, hillshade_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, hillshade_kernel, 1, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "hs")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["hs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "hs": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_hillshade_horn_sql() -> str:
+    # np.round is round-half-even; duckdb ROUND is half-away. The
+    # kernel's values are irrational (products of trig terms), so the
+    # exact-.5 boundary is unreachable and both agree — expressed here
+    # with ROUND for clarity.
+    return _horn_sql(
+        "CAST(ROUND(LEAST(GREATEST("
+        "SIN(RADIANS(30.0)) * COS(ATAN(SQRT(fx * fx + fy * fy)))"
+        " + COS(RADIANS(30.0)) * SIN(ATAN(SQRT(fx * fx + fy * fy)))"
+        " * COS(RADIANS(315.0 - 90.0) - ATAN2(-fx, fy)), 0.0), 1.0) * 32767.0, 0) AS BIGINT)",
+        "hs",
+    )
+
+
+def q_window_total(sf_dir: str):
+    """TotalFilter (window sum, radius 1) on the analytic DEM — integer
+    arithmetic end to end, no rounding at all."""
+    from ..stages.focal import make_window_kernel, focal_op
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, make_window_kernel("total", 1), 1, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "total")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "total": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_window_total_sql() -> str:
+    # out-of-grid neighbours are NODATA for window stats (excluded from
+    # the sum — no whole-neighbour replication here)
+    zc = "CAST(((g.row + ({dr})) * 31 + (g.col + ({dc})) * 17) % 97 AS BIGINT)"
+    terms = []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+            terms.append(f"CASE WHEN {cond} THEN {zc.format(dr=dr, dc=dc)} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT row, col, CAST({total} AS BIGINT) AS total
+    FROM g
+    """
+
+
+def q_prof_curvature_horn(sf_dir: str):
+    """ProfCurvature (prof_curvature.rs:285-300) on the analytic DEM."""
+    from ..stages.terrain2 import prof_curvature_kernel
+    from ..stages.focal import focal_op
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, prof_curvature_kernel, 1, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "profc")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["profc"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({"row": batch["row"], "col": batch["col"], "profc": pa.array(v)})
+
+    return cells.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_prof_curvature_horn_sql() -> str:
+    # second derivatives on the replicated-neighbour frame; cell size 90
+    zfun = (
+        "CAST((CASE WHEN {r} BETWEEN 0 AND 63 AND {c} BETWEEN 0 AND 63"
+        " THEN ({r}) * 31 + ({c}) * 17 ELSE g.row * 31 + g.col * 17 END) % 97 AS DOUBLE)"
+    )
+
+    def z(dr, dc):
+        return zfun.format(r=f"(g.row + ({dr}))", c=f"(g.col + ({dc}))")
+
+    ne, e_, se = z(-1, 1), z(0, 1), z(1, 1)
+    s_, sw, w_ = z(1, 0), z(1, -1), z(0, -1)
+    nw, n_ = z(-1, -1), z(-1, 0)
+    ctr = zfun.format(r="g.row", c="g.col")
+    res = 90.0
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+         d AS (SELECT g.row, g.col,
+                      (({e_}) - ({w_})) / {2.0 * res} AS zx,
+                      (({n_}) - ({s_})) / {2.0 * res} AS zy,
+                      (({e_}) - 2.0 * ({ctr}) + ({w_})) / {res * res} AS zxx,
+                      (({n_}) - 2.0 * ({ctr}) + ({s_})) / {res * res} AS zyy,
+                      (-({nw}) + ({ne}) + ({sw}) - ({se})) / {4.0 * res * res} AS zxy
+               FROM g)
+    SELECT row, col,
+           ROUND(CASE WHEN zx * zx + zy * zy > 0
+                 THEN DEGREES((zxx * zx * zx + 2.0 * zxy * zx * zy + zyy * zy * zy)
+                      / ((zx * zx + zy * zy) * POWER(1.0 + zx * zx + zy * zy, 1.5))) * 100.0
+                 ELSE -32768.0 END, 6) AS profc
+    FROM d
+    """
