@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hillshade_horn": R.q_hillshade_horn,
         "window_total": R.q_window_total,
         "prof_curvature": R.q_prof_curvature_horn,
+        "d8_accum": R.q_d8_accum,
+        "basins_grid": R.q_basins_grid,
     }
 
 
@@ -168,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "hillshade_horn": R.q_hillshade_horn_sql(),
         "window_total": R.q_window_total_sql(),
         "prof_curvature": R.q_prof_curvature_horn_sql(),
+        "d8_accum": R.q_d8_accum_sql(),
+        "basins_grid": R.q_basins_grid_sql(),
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

@@ -2238,3 +2238,133 @@ def q_prof_curvature_horn_sql() -> str:
                  ELSE -32768.0 END, 6) AS profc
     FROM d
     """
+
+
+def q_d8_accum(sf_dir: str):
+    """D8FlowAccumulation (d8_flow_accum.rs, out_type=cells) on the
+    analytic DEM — pointer via the halo engine, accumulation via the
+    Dataset-native BSP drain, oracle via a recursive-CTE path count."""
+    from ..stages.flow import d8_pointer_masked, flow_accumulation_ds
+
+    ds, spec = _analytic_dem_tiles()
+    ptr = d8_pointer_masked(ds, spec)
+    acc = flow_accumulation_ds(ptr, spec, num_workers=2)
+    cells = _tiles_to_cells(acc, spec, "acc")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["acc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "acc": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_d8_accum_sql() -> str:
+    """Pointer argmax (strictly-greater, first-in-ring-order tie rule,
+    distance-weighted diagonals) + WITH RECURSIVE path walk; acc(cell) =
+    number of cells whose flowpath passes through it (incl. itself)."""
+    # ring order 0=NE 1=E 2=SE 3=S 4=SW 5=W 6=NW 7=N (focal DY8/DX8)
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    import math
+
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r = "CASE d " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c = "CASE d " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col) AS (
+        SELECT row, col, row, col FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col,
+               w.row + ({move_r}), w.col + ({move_c})
+        FROM walk w JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+        WHERE dirs.d >= 0
+    )
+    SELECT row, col, CAST(COUNT(*) AS BIGINT) AS acc
+    FROM walk
+    GROUP BY row, col
+    ORDER BY row, col
+    """
+
+
+def q_basins_grid(sf_dir: str):
+    """Basins (basins.rs): dense 1-based labels in terminal-gid order —
+    the Dataset-native terminal-resolution shards vs a recursive-CTE
+    pointer walk."""
+    from ..stages.basins import basins_ds
+    from ..stages.flow import d8_pointer_masked
+
+    ds, spec = _analytic_dem_tiles()
+    ptr = d8_pointer_masked(ds, spec)
+    lab = basins_ds(ptr, spec, num_workers=2)
+    cells = _tiles_to_cells(lab, spec, "basin")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["basin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "basin": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_basins_grid_sql() -> str:
+    """Walk every cell to its terminal; label = dense rank of the
+    terminal's row-major gid."""
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r_w = "CASE wd " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c_w = "CASE wd " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col, wd) AS (
+        SELECT row, col, row, col, d FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col, w.nrow, w.ncol, d2.d
+        FROM (SELECT src_row, src_col,
+                     row + ({move_r_w}) AS nrow, col + ({move_c_w}) AS ncol
+              FROM walk WHERE wd >= 0) w
+        JOIN dirs d2 ON d2.row = w.nrow AND d2.col = w.ncol
+    ),
+    term AS (SELECT src_row, src_col, row * 64 + col AS tgid
+             FROM walk WHERE wd < 0),
+    ranks AS (SELECT tgid, DENSE_RANK() OVER (ORDER BY tgid) AS lab
+              FROM (SELECT DISTINCT tgid FROM term))
+    SELECT term.src_row AS row, term.src_col AS col,
+           CAST(ranks.lab AS BIGINT) AS basin
+    FROM term JOIN ranks ON term.tgid = ranks.tgid
+    ORDER BY row, col
+    """
