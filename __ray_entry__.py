@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prof_curvature": R.q_prof_curvature_horn,
         "d8_accum": R.q_d8_accum,
         "basins_grid": R.q_basins_grid,
+        "downslope_length": R.q_downslope_length,
     }
 
 
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "prof_curvature": R.q_prof_curvature_horn_sql(),
         "d8_accum": R.q_d8_accum_sql(),
         "basins_grid": R.q_basins_grid_sql(),
+        "downslope_length": R.q_downslope_length_sql(),
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

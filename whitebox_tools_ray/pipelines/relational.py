@@ -2368,3 +2368,69 @@ def q_basins_grid_sql() -> str:
     FROM term JOIN ranks ON term.tgid = ranks.tgid
     ORDER BY row, col
     """
+
+
+def q_downslope_length(sf_dir: str):
+    """DownslopeFlowpathLength (downslope_flowpath_length.rs): total
+    step length to the flowpath terminal — the terminal-resolution
+    'acc' mode vs the recursive walk summing step lengths. ROUND(…,4):
+    the BSP doubling and the CTE walk associate the float sum in
+    different orders (noise ~1e-9 on O(10^3) values)."""
+    from ..stages.hydro2 import downslope_flowpath_length
+
+    ds, spec = _analytic_dem_tiles()
+    out = downslope_flowpath_length(ds, spec, num_workers=2)
+    cells = _tiles_to_cells(out, spec, "dfl")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["dfl"].to_numpy(zero_copy_only=False), 4)
+        return pa.table({"row": batch["row"], "col": batch["col"], "dfl": pa.array(v)})
+
+    return cells.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_downslope_length_sql() -> str:
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    diag = math.sqrt(2.0) * res
+    step_len = "CASE wd " + " ".join(
+        f"WHEN {i} THEN {diag!r}" if dr != 0 and dc != 0 else f"WHEN {i} THEN {float(res)!r}"
+        for i, (dr, dc) in enumerate(ring)
+    ) + " ELSE 0.0 END"
+    move_r_w = "CASE wd " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c_w = "CASE wd " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col, wd, dist) AS (
+        SELECT row, col, row, col, d, CAST(0.0 AS DOUBLE) FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col, w.nrow, w.ncol, d2.d, w.ndist
+        FROM (SELECT src_row, src_col,
+                     row + ({move_r_w}) AS nrow, col + ({move_c_w}) AS ncol,
+                     dist + ({step_len}) AS ndist
+              FROM walk WHERE wd >= 0) w
+        JOIN dirs d2 ON d2.row = w.nrow AND d2.col = w.ncol
+    )
+    SELECT src_row AS row, src_col AS col, ROUND(dist, 4) AS dfl
+    FROM walk WHERE wd < 0
+    ORDER BY row, col
+    """
