@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d8_accum": R.q_d8_accum,
         "basins_grid": R.q_basins_grid,
         "downslope_length": R.q_downslope_length,
+        "watershed_grid": R.q_watershed_grid,
     }
 
 
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "d8_accum": R.q_d8_accum_sql(),
         "basins_grid": R.q_basins_grid_sql(),
         "downslope_length": R.q_downslope_length_sql(),
+        "watershed_grid": R.q_watershed_grid_sql(),
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

@@ -2434,3 +2434,75 @@ def q_downslope_length_sql() -> str:
     FROM walk WHERE wd < 0
     ORDER BY row, col
     """
+
+
+def q_watershed_grid(sf_dir: str):
+    """Watershed (watershed.rs): labels from pour points — the walk stops
+    at the FIRST pour cell downstream (pour cells are targets)."""
+    from ..stages.basins import watershed_ds
+    from ..stages.flow import d8_pointer_masked
+
+    ds, spec = _analytic_dem_tiles()
+    gs = spec.grid_spec()
+    # pour cells at fixed grid coords (tie-free by construction)
+    pours_rc = [(10, 20, 1), (40, 45, 2), (55, 9, 3)]
+    pours = [
+        (gs.west + (c + 0.5) * spec.res, gs.north - (r + 0.5) * spec.res, pid)
+        for r, c, pid in pours_rc
+    ]
+    ptr = d8_pointer_masked(ds, spec)
+    lab = watershed_ds(ptr, spec, pours, num_workers=2)
+    cells = _tiles_to_cells(lab, spec, "ws")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["ws"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "ws": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_watershed_grid_sql() -> str:
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r_w = "CASE wd " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c_w = "CASE wd " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    pours(prow, pcol, pid) AS (VALUES (10, 20, 1), (40, 45, 2), (55, 9, 3)),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT d0.row, d0.col,
+                    CASE WHEN p.pid IS NOT NULL THEN -10 ELSE d0.d END AS d,
+                    COALESCE(p.pid, 0) AS pour_id
+             FROM (SELECT row, col, {dir_case} AS d
+                   FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)) d0
+             LEFT JOIN pours p ON p.prow = d0.row AND p.pcol = d0.col),
+    walk(src_row, src_col, row, col, wd, pour_id) AS (
+        SELECT row, col, row, col, d, pour_id FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col, w.nrow, w.ncol, d2.d, d2.pour_id
+        FROM (SELECT src_row, src_col,
+                     row + ({move_r_w}) AS nrow, col + ({move_c_w}) AS ncol
+              FROM walk WHERE wd >= 0) w
+        JOIN dirs d2 ON d2.row = w.nrow AND d2.col = w.ncol
+    )
+    SELECT src_row AS row, src_col AS col,
+           CAST(pour_id AS BIGINT) AS ws
+    FROM walk WHERE wd < 0
+    ORDER BY row, col
+    """
