@@ -2536,3 +2536,76 @@ Q_TREND_SURFACE_SQL = """
     SELECT record_id, ROUND(b0 + b1 * x + b2 * y, 2) AS trend
     FROM pts, coef
 """
+
+
+def q_resample_bilinear(sf_dir: str):
+    """Resample (resample.rs bilinear) 64×64 → 32×32 at 2× the cell
+    size: every destination centre lands mid-way between four source
+    centres, so the output is the exact mean of the 2×2 block — binary
+    fractions, bit-exact with no rounding on either side."""
+    import pyarrow as pa2
+
+    from ..kernels import codecs
+    from ..kernels.grid import GridSpec
+    from ..sources.tiles import SceneSpec
+    from ..stages.resample import resample
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    gs = spec.grid_spec()
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                indexing="ij",
+            )
+            g = ((rr * 31 + cc * 17) % 97).astype(np.float64)
+            rows.append(
+                {
+                    "tile_row": tr,
+                    "tile_col": tc,
+                    "bytes": codecs.encode_tile(g, "f64"),
+                    "fmt": "f64",
+                }
+            )
+    src_table = pa2.Table.from_pylist(rows)
+    dest = GridSpec(
+        west=gs.west, north=gs.north, res_x=gs.res_x * 2, res_y=gs.res_y * 2,
+        rows=32, columns=32, nodata=gs.nodata,
+    )
+    out = resample(src_table, spec, dest, dest_tile_px=16, method="bilinear")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rr, cc, vv = [], [], []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            for r in range(g.shape[0]):
+                for c in range(g.shape[1]):
+                    rr.append(tr * 16 + r)
+                    cc.append(tc * 16 + c)
+                    vv.append(float(g[r, c]))
+        return pa.table(
+            {
+                "row": pa.array(rr, pa.int64()),
+                "col": pa.array(cc, pa.int64()),
+                "value": pa.array(vv, pa.float64()),
+            }
+        )
+
+    return out.map_batches(cells, batch_format="pyarrow")
+
+
+Q_RESAMPLE_BILINEAR_SQL = """
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 31)) AS r) r,
+                    (SELECT unnest(generate_series(0, 31)) AS c) c)
+    SELECT row, col,
+           (CAST(((2*row) * 31 + (2*col) * 17) % 97 AS DOUBLE)
+            + CAST(((2*row) * 31 + (2*col+1) * 17) % 97 AS DOUBLE)
+            + CAST(((2*row+1) * 31 + (2*col) * 17) % 97 AS DOUBLE)
+            + CAST(((2*row+1) * 31 + (2*col+1) * 17) % 97 AS DOUBLE)) / 4.0 AS value
+    FROM g
+"""
