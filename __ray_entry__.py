@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "downslope_length": R.q_downslope_length,
         "watershed_grid": R.q_watershed_grid,
         "resample_bilinear": R.q_resample_bilinear,
+        "idw_grid": R.q_idw_grid,
     }
 
 
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "watershed_grid": R.q_watershed_grid_sql(),
         "trend_surface": R.Q_TREND_SURFACE_SQL,
         "resample_bilinear": R.Q_RESAMPLE_BILINEAR_SQL,
+        "idw_grid": R.q_idw_grid_sql(),
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
         # lang_pred / trend_surface / pca_project intentionally omitted:

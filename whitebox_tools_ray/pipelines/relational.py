@@ -2609,3 +2609,82 @@ Q_RESAMPLE_BILINEAR_SQL = """
             + CAST(((2*row+1) * 31 + (2*col+1) * 17) % 97 AS DOUBLE)) / 4.0 AS value
     FROM g
 """
+
+
+def q_idw_grid(sf_dir: str):
+    """IdwInterpolation (idw_interpolation.rs): 6 fixed points gridded
+    onto the 64×64 scene (radius 4 cells, power 2; fixture verified
+    free of d=0 and d=radius boundary hits). Cells without a point in
+    radius are nodata on both sides."""
+    import pyarrow as pa2
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+    from ..stages.gridding import idw_gridding
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    gs = spec.grid_spec()
+    res = spec.res
+    fixture = [(5, 7, 0.3, 0.7, 11.0), (20, 40, 0.6, 0.2, 23.0), (50, 12, 0.1, 0.9, 7.0),
+               (33, 33, 0.8, 0.4, 17.0), (10, 55, 0.2, 0.3, 29.0), (60, 60, 0.7, 0.6, 5.0)]
+    pts = pa2.table(
+        {
+            "x": pa2.array([gs.west + (c + f) * res for (r, c, f, g_, v) in fixture]),
+            "y": pa2.array([gs.north - (r + g_) * res for (r, c, f, g_, v) in fixture]),
+            "value": pa2.array([v for (r, c, f, g_, v) in fixture]),
+        }
+    )
+    out = idw_gridding(pts, spec, radius=4.0 * res, power=2.0, out_fmt="f64")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rr, cc, vv = [], [], []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            for r in range(g.shape[0]):
+                for c in range(g.shape[1]):
+                    rr.append(tr * 16 + r)
+                    cc.append(tc * 16 + c)
+                    vv.append(round(float(g[r, c]), 6))
+        return pa.table(
+            {
+                "row": pa.array(rr, pa.int64()),
+                "col": pa.array(cc, pa.int64()),
+                "idw": pa.array(vv, pa.float64()),
+            }
+        )
+
+    return out.map_batches(cells, batch_format="pyarrow")
+
+
+def q_idw_grid_sql() -> str:
+    from ..sources.tiles import SceneSpec
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    gs = spec.grid_spec()
+    res = spec.res
+    fixture = [(5, 7, 0.3, 0.7, 11.0), (20, 40, 0.6, 0.2, 23.0), (50, 12, 0.1, 0.9, 7.0),
+               (33, 33, 0.8, 0.4, 17.0), (10, 55, 0.2, 0.3, 29.0), (60, 60, 0.7, 0.6, 5.0)]
+    vals = ", ".join(
+        f"({gs.west + (c + f) * res!r}, {gs.north - (r + g_) * res!r}, {v!r})"
+        for (r, c, f, g_, v) in fixture
+    )
+    return f"""
+    WITH pts(px, py, v) AS (VALUES {vals}),
+    g AS (SELECT r.r AS row, c.c AS col,
+                 {gs.west!r} + (c.c + 0.5) * {res!r} AS x,
+                 {gs.north!r} - (r.r + 0.5) * {res!r} AS y
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    w AS (SELECT g.row, g.col,
+                 SUM(v / ((x - px) * (x - px) + (y - py) * (y - py))) AS num,
+                 SUM(1.0 / ((x - px) * (x - px) + (y - py) * (y - py))) AS den
+          FROM g JOIN pts
+            ON (x - px) * (x - px) + (y - py) * (y - py) <= {(4.0 * res) ** 2!r}
+          GROUP BY g.row, g.col)
+    SELECT g.row, g.col,
+           ROUND(COALESCE(w.num / w.den, {gs.nodata!r}), 6) AS idw
+    FROM g LEFT JOIN w ON w.row = g.row AND w.col = g.col
+    ORDER BY g.row, g.col
+    """

@@ -149,6 +149,7 @@ def idw_gridding(
     y_col: str = "y",
     z_col: str = "value",
     concurrency=(1, 8),
+    out_fmt: str = "f32",
 ):
     """IDW / nearest-neighbor gridding of a point layer onto the scene's
     tile grid. Returns Dataset[tile_id, tile_row, tile_col, bytes, fmt]."""
@@ -168,7 +169,7 @@ def idw_gridding(
     )
     return tiles.map_batches(
         _GriddingActor,
-        fn_constructor_args=(ref, spec, method, radius, 1, power, "f32"),
+        fn_constructor_args=(ref, spec, method, radius, 1, power, out_fmt),
         batch_format="pyarrow",
         batch_size=4,
         concurrency=concurrency,
