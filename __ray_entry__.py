@@ -181,9 +181,10 @@ def oracle_sql() -> dict[str, str]:
         "trend_surface": R.Q_TREND_SURFACE_SQL,
         "resample_bilinear": R.Q_RESAMPLE_BILINEAR_SQL,
         "idw_grid": R.q_idw_grid_sql(),
+        "hex_binning": R.q_hex_binning_sql(),
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /
-        # lang_pred / trend_surface / pca_project intentionally omitted:
+        # lang_pred / pca_project intentionally omitted:
         # non-SQL-expressible (sketch / iterative / heuristic / eigen) →
         # driver's rows-only check.
     }

@@ -827,10 +827,10 @@ def q_sliding_window_sql(size_s: int = 3600, hop_s: int = 900) -> str:
 
 
 def q_hex_binning(sf_dir: str, res: int = 9):
-    """Planar hex-cell binning counts (VectorHexBinning analog; the hex
-    assignment's cube-rounding is not reasonably SQL-expressible →
-    rows-only check; the quad variant `cell_binning` carries the SQL
-    oracle)."""
+    """Planar hex-cell binning counts (VectorHexBinning analog). The
+    cube-rounding assignment has a full SQL twin (ROUND_EVEN + the two
+    CASE fixes, q_hex_binning_sql) — bit-exact incl. the pack_hex
+    int64 layout."""
     from ..stages.zonal import cell_binning
 
     return cell_binning(synth_points(sf_dir), "x", "y", kind="hex", level=res)
@@ -2687,4 +2687,41 @@ def q_idw_grid_sql() -> str:
            ROUND(COALESCE(w.num / w.den, {gs.nodata!r}), 6) AS idw
     FROM g LEFT JOIN w ON w.row = g.row AND w.col = g.col
     ORDER BY g.row, g.col
+    """
+
+
+def q_hex_binning_sql(res: int = 9) -> str:
+    """SQL twin of the planar hex assignment: cube rounding spelled out
+    with ROUND_EVEN (numpy's half-even) + the two CASE fixes, then the
+    pack_hex int64 layout. size = 65536/2^res."""
+    size = 65536.0 / (2.0 ** res)
+    return f"""
+    WITH pts AS (
+        SELECT ((l_orderkey * 7919 + l_linenumber * 104729) % 1000000) / 1000.0 AS x,
+               ((l_partkey * 6271 + l_suppkey * 3571) % 1000000) / 1000.0 AS y
+        FROM lineitem
+    ), f AS (
+        SELECT (SQRT(3.0) / 3.0 * x - y / 3.0) / {size!r} AS xf,
+               (2.0 / 3.0 * y) / {size!r} AS zf
+        FROM pts
+    ), rr AS (
+        SELECT xf, zf, -xf - zf AS yf,
+               ROUND_EVEN(xf, 0) AS rx, ROUND_EVEN(-xf - zf, 0) AS ry,
+               ROUND_EVEN(zf, 0) AS rz
+        FROM f
+    ), fx AS (
+        SELECT *,
+               ABS(rx - xf) AS dx, ABS(ry - yf) AS dy, ABS(rz - zf) AS dz
+        FROM rr
+    ), cube AS (
+        SELECT CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS q,
+               CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy THEN -rx - ry ELSE rz END AS r
+        FROM fx
+    )
+    SELECT CAST(({res} * 281474976710656) + (CAST(q AS BIGINT) + 8388608) * 16777216
+                + (CAST(r AS BIGINT) + 8388608) AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM cube
+    GROUP BY 1
+    ORDER BY 1
     """
