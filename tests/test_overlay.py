@@ -221,6 +221,39 @@ class TestOverlayStages:
         assert out["zone"].tolist() == [1, 2]
         assert out["area"].tolist() == pytest.approx([280.0, 100.0])
 
+    def test_dissolve_skewed_zone_salted(self, ray_session):
+        """90% of records share one zone value: the salted two-stage path
+        must complete without a single-task group and match the
+        single-stage (salt=None) result exactly."""
+        import ray.data as rd
+
+        from whitebox_tools_ray.stages import overlay as ov
+
+        recs = []
+        # hot zone: 45 overlapping 2x1 strips tiling [0,46]x[0,1]
+        for i in range(45):
+            recs.append(
+                make_polygon_record(i + 1, [rect_cw(i, 0, i + 2, 1)], "p", 7)
+            )
+        # cold zones: one rect each
+        for z in range(5):
+            recs.append(
+                make_polygon_record(100 + z, [rect_cw(100 + 3 * z, 0, 102 + 3 * z, 1)], "p", z)
+            )
+        tbl = pa.Table.from_pylist(recs, schema=POLY_SCHEMA)
+        salted = (
+            ov.dissolve(rd.from_arrow(tbl), "zone", salt=8)
+            .to_pandas().sort_values("zone").reset_index(drop=True)
+        )
+        single = (
+            ov.dissolve(rd.from_arrow(tbl), "zone", salt=None)
+            .to_pandas().sort_values("zone").reset_index(drop=True)
+        )
+        assert salted["zone"].tolist() == single["zone"].tolist()
+        assert salted["area"].tolist() == pytest.approx(single["area"].tolist())
+        hot = salted[salted["zone"] == 7]
+        assert hot["area"].sum() == pytest.approx(46.0)
+
     def test_split_and_polygonize(self, ray_session):
         import ray.data as rd
 

@@ -377,13 +377,19 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    method: str = "broadcast",
+    method: str = "auto",
     num_planes: int = 8,
     num_tables: int = 12,
+    broadcast_cap: int = 200_000,
 ):
     """Cosine-similarity near-dup pairs (id_a < id_b).
 
-    Two paths:
+    Three paths:
+    - ``auto`` (default) — EXACT ``broadcast`` while ``ds.count()`` is at
+      most ``broadcast_cap`` rows (count is parquet-metadata-cheap on the
+      usual read path), else the ``lsh`` scale path. This keeps the
+      registered tool safe at 100 TB without sacrificing the exact
+      small-table answer the oracle gate checks.
     - ``broadcast`` — EXACT: the embedding table is broadcast once
       (``ray.put``) and every batch matmuls against it. O(N²) work but
       zero shuffle; correct only while the table fits one worker heap
@@ -394,6 +400,8 @@ def embedding_near_dup(
       (miss prob ≈ (1-(1-θ/π)^b)^L per pair), linear shuffle volume —
       codes + ids only, never an all-pairs exchange.
     """
+    if method == "auto":
+        method = "broadcast" if ds.count() <= broadcast_cap else "lsh"
     if method == "lsh":
         return _embedding_near_dup_lsh(
             ds, threshold, id_col, emb_col, num_planes=num_planes, num_tables=num_tables
@@ -488,18 +496,22 @@ def _embedding_near_dup_lsh(
     return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
-def components_minlabel(pairs_ds, max_rounds: int = 20):
+def components_minlabel(pairs_ds, max_rounds: int = 64):
     """Connected components of a pair list by DISTRIBUTED min-label
-    propagation — returns Dataset[node, component].
+    propagation WITH pointer jumping — returns Dataset[node, component].
 
-    Each round is two keyed shuffles (the GraphX-style label push):
-    group every node's current label with its incident edges, push the
-    label across each edge, take the min label per node. The driver holds
-    only a per-round convergence checksum (sum of labels — monotone
-    non-increasing, so equal sum ⇒ fixed point); edges and labels stay in
-    the object store throughout. Converges in O(component diameter)
-    rounds."""
+    Each round: (1) push — every edge forwards its endpoint's current
+    label to the peer (bucketed hash join of edges × labels), every node
+    takes the min candidate (native ``Min`` aggregate); (2) jump — each
+    node replaces its label by its label's label (labels self-join),
+    halving chain depth. Push alone needs O(diameter) rounds; push+jump
+    converges in O(log n) — a 10⁹-node path resolves in ~30 rounds. The
+    driver holds only a per-round convergence checksum (sum of label
+    hashes — labels are monotone non-increasing, so an unchanged sum ⇒
+    fixed point); edges and labels stay in the object store."""
     from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join_bucketed
 
     # node ids may be strings or ints; propagate on whatever the min order is
     def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -511,6 +523,10 @@ def components_minlabel(pairs_ds, max_rounds: int = 20):
         )
 
     edges = pairs_ds.map_batches(edge_rows, batch_format="pandas").materialize()
+    # bounded block count: every round's join/groupby multiplies tiny
+    # blocks (measured ×4/round → round time compounds); repartitioning
+    # the label table back to nb blocks keeps per-round cost flat
+    nb = int(min(max(edges.num_blocks(), 8), 200))
     labels = (
         edges.groupby("node")
         .aggregate(Min("peer"))
@@ -543,40 +559,41 @@ def components_minlabel(pairs_ds, max_rounds: int = 20):
 
     prev = checksum(labels)
     for _ in range(max_rounds):
-        # push labels across edges: union(labels-as-self-msg, edge rows) →
-        # per-node group carries its label and its peers → emit candidate
-        # labels to peers → min per node
-        lab_msgs = labels.map_batches(
-            lambda b: pa.table({"node": b["node"], "peer": b["node"], "lbl": b["component"]}),
+        # push: each edge forwards label[node] to peer; min per node over
+        # pushed candidates and the node's own label (native aggregates)
+        fwd = hash_join_bucketed(edges, labels, key="node", how="inner")
+        cand_push = fwd.map_batches(
+            lambda b: pa.table({"node": b["peer"], "cand": b["component"]}),
             batch_format="pyarrow",
         )
-        edge_msgs = edges.map_batches(
-            lambda b: pa.table(
-                {"node": b["node"], "peer": b["peer"],
-                 "lbl": pa.nulls(len(b), b["node"].type)}
-            ),
+        cand_self = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "cand": b["component"]}),
             batch_format="pyarrow",
         )
-
-        def push(g: pd.DataFrame) -> pd.DataFrame:
-            own = g["lbl"].dropna()
-            if own.empty:
-                return pd.DataFrame({"node": [], "cand": []})
-            lbl = own.min()
-            peers = g.loc[g["lbl"].isna(), "peer"]
-            nodes = pd.concat([peers, pd.Series([g["node"].iloc[0]])], ignore_index=True)
-            return pd.DataFrame({"node": nodes, "cand": lbl})
-
-        labels = (
-            lab_msgs.union(edge_msgs)
-            .groupby("node")
-            .map_groups(push, batch_format="pandas")
+        pushed = (
+            cand_push.union(cand_self)
             .groupby("node")
             .aggregate(Min("cand"))
             .map_batches(
                 lambda b: pa.table({"node": b["node"], "component": b["min(cand)"]}),
                 batch_format="pyarrow",
             )
+            .repartition(nb)
+            .materialize()  # consumed twice below (join left + label lookup)
+        )
+        # jump: component ← label[component]. Every component value is a
+        # live node id of the same component, so the inner join is total.
+        lk = pushed.map_batches(
+            lambda b: pa.table({"k": b["node"], "comp2": b["component"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            hash_join_bucketed(pushed, lk, key="component", right_key="k", how="inner")
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "component": b["comp2"]}),
+                batch_format="pyarrow",
+            )
+            .repartition(nb)
             .materialize()
         )
         cur = checksum(labels)
@@ -584,3 +601,65 @@ def components_minlabel(pairs_ds, max_rounds: int = 20):
             break
         prev = cur
     return labels
+
+
+def functional_roots(parents_ds, max_rounds: int = 64):
+    """Root of every node of a functional forest — Dataset[node, root].
+
+    Input: Dataset[node, parent] where roots are self-parented
+    (``parent == node``); every node has exactly one parent row (a
+    forest of in-trees / chains, e.g. D8 run predecessors). Pointer
+    doubling (``anc ← anc[anc]`` via a bucketed self-join) halves chain
+    depth per round → O(log depth) rounds; per-round block count is
+    repartition-bounded (same measured blowup fix as
+    ``components_minlabel``). Driver holds only the convergence
+    checksum."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join_bucketed
+
+    labels = parents_ds.map_batches(
+        lambda b: pa.table({"node": b["node"], "anc": b["parent"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    nb = int(min(max(labels.num_blocks(), 8), 200))
+    labels = labels.repartition(nb).materialize()
+
+    def checksum(lab) -> float:
+        h = lab.map_batches(
+            lambda b: pa.table(
+                {
+                    "s": pa.array(
+                        [float(np.sum(pd.util.hash_array(
+                            np.asarray(b["anc"].to_pylist(), dtype=object)
+                        ).view(np.int64) % (1 << 40)))]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return h.aggregate(Sum("s"))["sum(s)"]
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        lk = labels.map_batches(
+            lambda b: pa.table({"k": b["node"], "anc2": b["anc"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            hash_join_bucketed(labels, lk, key="anc", right_key="k", how="inner")
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "anc": b["anc2"]}),
+                batch_format="pyarrow",
+            )
+            .repartition(nb)
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "root": b["anc"]}),
+        batch_format="pyarrow",
+    )

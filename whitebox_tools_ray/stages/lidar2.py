@@ -230,14 +230,20 @@ def lidar_tophat(ds, radius: float = 2.0):
 
 def lidar_segmentation(ds, radius: float = 2.0, norm_diff_deg: float = 10.0,
                        max_z_diff: float = 1.0, point_id_col: str = "pid"):
-    """Region growing by normal similarity + z continuity.
+    """Region growing by normal similarity + z continuity
+    (lidar_segmentation.rs).
 
     Per-cell local segmentation (union-find over neighbour pairs that
-    satisfy both thresholds), then margin points — which appear in two
-    cells — contribute label-equivalence pairs; a driver union-find
-    merges them and a broadcast map relabels (exactly the raster clump
-    pattern). Requires a unique ``pid`` column."""
+    satisfy both thresholds); margin points — which appear in several
+    cells — contribute label-equivalence pairs via a ``groupby(pid)``;
+    the pairs resolve through the DISTRIBUTED min-label propagation
+    (``dedup.components_minlabel``), so the driver only ever holds the
+    resolved component map — O(cell-boundary equivalence labels), a tiny
+    fraction of the cloud — never a per-point table. Requires a unique
+    ``pid`` column."""
     import ray
+
+    from .dedup import components_minlabel
 
     cos_t = np.cos(np.radians(norm_diff_deg))
 
@@ -267,36 +273,44 @@ def lidar_segmentation(ds, radius: float = 2.0, norm_diff_deg: float = 10.0,
         roots = np.array([find(i) for i in range(len(x))])
         # local label = pid of the root point (globally unique)
         lab = pid[roots]
-        return pd.DataFrame({"pid": pid, "label": lab, "own": g["own"].to_numpy()})
+        out = g.drop(columns=["cell"]).copy()
+        out["label"] = lab
+        return out
 
-    pairs = _neighbour_apply(ds, radius, per_cell).to_pandas()
-    # each pid may carry several labels (one per cell it appeared in) —
-    # union them all
-    parent: dict = {}
+    # all rows (own + margin copies) keep their full columns + local label
+    labeled = _neighbour_apply(ds, radius, per_cell)
 
-    def find(a):
-        while parent.setdefault(a, a) != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
+    # a pid seen in k cells carries k labels → (min, other) equivalences
+    def equiv_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        labs = pd.unique(g["label"])
+        root = labs.min()
+        others = labs[labs != root]
+        return pd.DataFrame(
+            {"id_a": np.full(len(others), root, dtype=np.int64),
+             "id_b": others.astype(np.int64)}
+        )
 
-    for pid_val, grp in pairs.groupby("pid")["label"]:
-        labs = [find(v) for v in grp]
-        root = min(labs)
-        for v in labs:
-            parent[v] = root
-    own_rows = pairs[pairs["own"] == 1][["pid", "label"]].copy()
-    own_rows["segment"] = [find(v) for v in own_rows["label"]]
-    lut = dict(zip(own_rows["pid"], own_rows["segment"]))
-    ref = ray.put(lut)
+    pairs = (
+        labeled.select_columns([point_id_col, "label"])
+        .groupby(point_id_col)
+        .map_groups(equiv_pairs, batch_format="pandas")
+        .materialize()
+    )
+    comp_map: dict = {}
+    if pairs.count() > 0:
+        cp = components_minlabel(pairs).to_pandas()  # O(boundary labels)
+        comp_map = dict(zip(cp["node"], cp["component"]))
+    ref = ray.put(comp_map)
 
-    def attach(batch: pa.Table) -> pa.Table:
+    def relabel(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
-        pid_np = batch[point_id_col].to_numpy(zero_copy_only=False)
-        seg = np.array([m.get(v, -1) for v in pid_np])
-        return batch.append_column("segment", pa.array(seg, pa.int64()))
+        out = batch[batch["own"] == 1].drop(columns=["own"]).copy()
+        lab = out.pop("label")
+        seg = lab.map(m) if m else pd.Series(np.nan, index=lab.index)
+        out["segment"] = seg.where(seg.notna(), lab).astype(np.int64)
+        return out
 
-    return ds.map_batches(attach, batch_format="pyarrow")
+    return labeled.map_batches(relabel, batch_format="pandas")
 
 
 def lidar_ransac_planes(ds, radius: float = 2.0, num_iter: int = 20,

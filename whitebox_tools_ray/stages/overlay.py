@@ -309,12 +309,17 @@ def split_with_lines(a_ds, lines_table: pa.Table, concurrency=(1, 8)):
     )
 
 
-def dissolve(ds, field: str = "zone"):
+def dissolve(ds, field: str = "zone", salt: int | None = 8):
     """dissolve.rs:254-302: merge polygons sharing an attribute value by
-    removing shared edges — groupby(field), per-group arrangement union.
-    Each group's records co-locate via the groupby shuffle; the kernel
-    dissolves internal boundaries exactly (shared borders collapse to
-    single arrangement edges)."""
+    removing shared edges — arrangement union per attribute value.
+
+    Skew-safe two-stage shape: records first salt into ``salt``
+    sub-groups (``groupby(field, salt)``) and each sub-group dissolves
+    independently; the partial polygons (already collapsed — far fewer
+    rings than input records) then merge in one ``groupby(field)``. The
+    arrangement union is associative, so the result is identical to the
+    single-stage form while a hot zone value never lands on a single
+    task holding every input record. ``salt=None`` disables staging."""
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         groups = [
@@ -329,6 +334,18 @@ def dissolve(ds, field: str = "zone"):
         df[field] = key
         return df
 
+    if salt and salt > 1:
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            s = batch["record_id"].to_numpy(zero_copy_only=False).astype(np.int64) % salt
+            return batch.append_column("__salt", pa.array(s, pa.int64()))
+
+        partial = (
+            ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby([field, "__salt"])
+            .map_groups(merge, batch_format="pandas")
+        )
+        return partial.groupby(field).map_groups(merge, batch_format="pandas")
     return ds.groupby(field).map_groups(merge, batch_format="pandas")
 
 
@@ -354,13 +371,21 @@ def merge_line_segments(ds, snap: float = 1e-9):
     """MergeLineSegments (merge_line_segments.rs): stitch touching line
     segments into maximal chains.
 
-    Scale shape: endpoint keys (quantized) + segment ids aggregate to the
-    driver (keys only — geometry never leaves the workers); the driver
-    builds the tiny adjacency graph, broadcasts segment→chain ids, and a
-    final groupby(chain) assembles polylines in order."""
+    Fully distributed shape: quantized endpoint keys per segment
+    (``map_batches``), ``groupby(node)`` emits a segment-adjacency pair
+    for every degree-2 node, the pairs resolve to chain ids through the
+    distributed min-label propagation (``dedup.components_minlabel``), a
+    bucketed hash join attaches the chain id to the geometry, and one
+    ``groupby(chain)`` assembles each polyline with a LOCAL walk over
+    just that chain's segments. Driver state is only the set of
+    junction nodes (degree ≥ 3 — O(junctions), tiny), broadcast so the
+    local walk breaks chains exactly where the global graph does."""
     import ray
 
-    # 1. collect (segment_id, endpoint keys) — ids + 4 ints per record
+    from .dedup import components_minlabel
+    from .joins import hash_join_bucketed
+
+    # 1. (segment_id, endpoint keys) — ids + 4 ints per record
     def keys(batch: pa.Table) -> pa.Table:
         rid = batch["record_id"].to_numpy(zero_copy_only=False)
         k = {"record_id": [], "ax": [], "ay": [], "bx": [], "by": []}
@@ -374,89 +399,147 @@ def merge_line_segments(ds, snap: float = 1e-9):
             k["by"].append(int(round(ys[-1] / snap)))
         return pa.table({c: pa.array(v, pa.int64()) for c, v in k.items()})
 
-    kt = ds.map_batches(keys, batch_format="pyarrow").to_pandas()
-    # 2. driver-side chain building on the id graph
-    from collections import defaultdict
+    kt = ds.map_batches(keys, batch_format="pyarrow")
 
-    node_segs = defaultdict(list)
-    for _, r in kt.iterrows():
-        node_segs[(r.ax, r.ay)].append(int(r.record_id))
-        node_segs[(r.bx, r.by)].append(int(r.record_id))
-    seg_nodes = {
-        int(r.record_id): ((r.ax, r.ay), (r.bx, r.by)) for _, r in kt.iterrows()
-    }
-    chain_of: dict[int, int] = {}
-    order_of: dict[int, int] = {}
-    flip_of: dict[int, bool] = {}
-    cid = 0
-    for sid in sorted(seg_nodes):
-        if sid in chain_of:
-            continue
-        # walk both directions from this segment through degree-2 nodes
-        chain = [(sid, False)]
+    # 2. node incidence rows → per-node degree; degree-2 nodes emit one
+    #    adjacency pair, degree≥3 nodes are junctions (chain breaks)
+    def node_rows(batch: pa.Table) -> pa.Table:
+        rid = batch["record_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nx": pa.concat_arrays([batch["ax"].combine_chunks(), batch["bx"].combine_chunks()]),
+                "ny": pa.concat_arrays([batch["ay"].combine_chunks(), batch["by"].combine_chunks()]),
+                "record_id": pa.array(np.concatenate([rid, rid]), pa.int64()),
+            }
+        )
+
+    # kind 0 → (a, b) is a segment-adjacency pair; kind 1 → (a, b) is a
+    # junction node key. Plain int64 throughout (extension dtypes poison
+    # downstream schema negotiation).
+    def per_node(g: pd.DataFrame) -> pd.DataFrame:
+        deg = len(g)
+        if deg == 2:
+            a, b = sorted(g["record_id"].tolist())
+            if a != b:  # a 2-point closed loop segment touches itself
+                return pd.DataFrame({"kind": [np.int8(0)], "a": [np.int64(a)], "b": [np.int64(b)]})
+        if deg >= 3:
+            return pd.DataFrame(
+                {"kind": [np.int8(1)],
+                 "a": [np.int64(g["nx"].iloc[0])], "b": [np.int64(g["ny"].iloc[0])]}
+            )
+        return pd.DataFrame(
+            {"kind": np.array([], np.int8), "a": np.array([], np.int64), "b": np.array([], np.int64)}
+        )
+
+    node_out = (
+        kt.map_batches(node_rows, batch_format="pyarrow")
+        .groupby(["nx", "ny"])
+        .map_groups(per_node, batch_format="pandas")
+        .materialize()
+    )
+    import pyarrow.compute as pc
+
+    junctions = set(
+        map(
+            tuple,
+            node_out.map_batches(
+                lambda b: b.filter(pc.equal(b["kind"], 1)).select(["a", "b"]),
+                batch_format="pyarrow",
+            ).to_pandas().to_numpy(),
+        )
+    )
+    jref = ray.put(junctions)
+    pairs = node_out.map_batches(
+        lambda b: pa.table(
+            {"id_a": (f := b.filter(pc.equal(b["kind"], 0)))["a"], "id_b": f["b"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    # 3. chain id = connected component (min record_id in the chain)
+    if pairs.count() > 0:
+        labels = components_minlabel(pairs).map_batches(
+            lambda b: pa.table({"node": b["node"], "chain_lbl": b["component"]}),
+            batch_format="pyarrow",
+        )
+        joined = hash_join_bucketed(ds, labels, key="record_id", right_key="node", how="left")
+    else:
+        joined = ds.map_batches(
+            lambda b: b.append_column("chain_lbl", pa.nulls(b.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+
+    def set_chain(batch: pd.DataFrame) -> pd.DataFrame:
+        lbl = batch["chain_lbl"]
+        batch = batch.drop(columns=["chain_lbl"])
+        batch["chain"] = lbl.where(lbl.notna(), batch["record_id"]).astype(np.int64)
+        return batch
+
+    # 4. one group per chain: local ordered walk (O(chain length))
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        junc = _ray.get(jref)
+        segs = {}
+        for _, row in g.iterrows():
+            xs = np.asarray(row["xs"], dtype=np.float64)
+            ys = np.asarray(row["ys"], dtype=np.float64)
+            a = (int(round(xs[0] / snap)), int(round(ys[0] / snap)))
+            b = (int(round(xs[-1] / snap)), int(round(ys[-1] / snap)))
+            segs[int(row["record_id"])] = (a, b, xs, ys)
+        from collections import defaultdict
+
+        node_segs = defaultdict(list)
+        for sid, (a, b, _, _) in segs.items():
+            node_segs[a].append(sid)
+            node_segs[b].append(sid)
+        # start from the smallest segment and extend both ways through
+        # pass-through nodes (local degree 2, not a global junction)
+        start = min(segs)
+        chain = [(start, False)]
+        used = {start}
         for direction in (0, 1):
-            cur, flipped = sid, False
+            cur, flipped = start, False
             while True:
-                n0, n1 = seg_nodes[cur]
-                tip = (n1 if not flipped else n0) if direction == 0 else (n0 if not flipped else n1)
-                nxts = [s for s in node_segs[tip] if s != cur and s not in {c for c, _ in chain}]
-                if len(node_segs[tip]) != 2 or not nxts:
+                a, b = segs[cur][0], segs[cur][1]
+                tip = (b if not flipped else a) if direction == 0 else (a if not flipped else b)
+                if len(node_segs[tip]) != 2 or tip in junc:
+                    break
+                nxts = [s for s in node_segs[tip] if s != cur and s not in used]
+                if not nxts:
                     break
                 nxt = nxts[0]
-                na, nb = seg_nodes[nxt]
+                na, nb = segs[nxt][0], segs[nxt][1]
                 nflip = (na != tip) if direction == 0 else (nb != tip)
                 if direction == 0:
                     chain.append((nxt, nflip))
                 else:
                     chain.insert(0, (nxt, not nflip))
+                used.add(nxt)
                 cur, flipped = nxt, nflip
-        for order, (s, fl) in enumerate(chain):
-            chain_of[s] = cid
-            order_of[s] = order
-            flip_of[s] = fl
-        cid += 1
-    ref = ray.put((chain_of, order_of, flip_of))
-
-    class Tag:
-        def __init__(self):
-            self.chain_of, self.order_of, self.flip_of = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rid = batch["record_id"].to_numpy(zero_copy_only=False)
-            chain = [self.chain_of.get(int(r), -1) for r in rid]
-            order = [self.order_of.get(int(r), 0) for r in rid]
-            flip = [self.flip_of.get(int(r), False) for r in rid]
-            return (
-                batch.append_column("chain", pa.array(chain, pa.int64()))
-                .append_column("ord", pa.array(order, pa.int64()))
-                .append_column("flip", pa.array(flip, pa.bool_()))
-            )
-
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ord")
-        xs: list[float] = []
-        ys: list[float] = []
-        for _, row in g.iterrows():
-            rx = list(row["xs"])
-            ry = list(row["ys"])
-            if row["flip"]:
+        xs_out: list[float] = []
+        ys_out: list[float] = []
+        for sid, fl in chain:
+            rx = list(segs[sid][2])
+            ry = list(segs[sid][3])
+            if fl:
                 rx, ry = rx[::-1], ry[::-1]
-            if xs and abs(xs[-1] - rx[0]) < snap * 2 and abs(ys[-1] - ry[0]) < snap * 2:
+            if xs_out and abs(xs_out[-1] - rx[0]) < snap * 2 and abs(ys_out[-1] - ry[0]) < snap * 2:
                 rx, ry = rx[1:], ry[1:]
-            xs.extend(rx)
-            ys.extend(ry)
+            xs_out.extend(rx)
+            ys_out.extend(ry)
         return pd.DataFrame(
             {
-                "record_id": [int(g["chain"].iloc[0]) + 1],
+                "record_id": [int(g["chain"].iloc[0])],
                 "parts": [[0]],
-                "xs": [xs],
-                "ys": [ys],
-                "n_segments": [len(g)],
+                "xs": [xs_out],
+                "ys": [ys_out],
+                "n_segments": [len(chain)],
             }
         )
 
     return (
-        ds.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 4))
+        joined.map_batches(set_chain, batch_format="pandas")
         .groupby("chain")
         .map_groups(assemble, batch_format="pandas")
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import numpy as np
+import pandas as pd
 
 from ..kernels import codecs
 from .focal import DX8, DY8
@@ -564,85 +565,200 @@ def stream_cell_rows(stream_ds, pointer_ds, spec):
 
 
 def stream_links_ds(stream_ds, pointer_ds, spec):
-    """Dataset-native link identification: the link walk runs on the
-    collected stream-cell TABLE (not the raster). Returns
-    (link_id_ds — painted raster Dataset, links list) with the same link
-    semantics as ``stream_links``."""
+    """Dataset-native link identification with NO O(stream cells) driver
+    materialization. Returns (link_id_ds — painted raster Dataset, links
+    list) with the same link semantics (ids, lengths, ds_link) as
+    ``stream_links``; the driver holds only the O(links) link table, and
+    each link's ``cells`` carries [head, terminal] (the cell-level paint
+    stays in the Dataset).
+
+    Phases (all Dataset ops):
+      1. ``stream_cell_rows`` — per-cell (gid, ptr, inflow, down_gid,
+         down_is_stream), distributed halo extraction;
+      2. run roots: every non-start cell (inflow==1) has a unique
+         upstream run predecessor → pointer-doubling root resolution
+         (``dedup.functional_roots``, O(log run length) rounds);
+      3. link ids = 1 + rank of start gid (sort-based order index,
+         ``ordering.zip_with_order_index`` — matches the reference's
+         scan-order numbering);
+      4. per-link length / ds_link by native groupby aggregates on the
+         labeled cell table;
+      5. paint: labeled cells co-shuffle with blank tile rows on the
+         tile key (``groupby(tkey)``) — never a driver broadcast of the
+         cell set."""
     import pyarrow as pa
-    import ray
+    import pyarrow.compute as pc
 
-    rows = stream_cell_rows(stream_ds, pointer_ds, spec).to_pandas()
+    from .dedup import functional_roots
+    from .joins import hash_join_bucketed
+    from .ordering import zip_with_order_index
+
     W = spec.tiles_x * spec.tile_px
-    gid = rows["gid"].to_numpy()
-    info = {
-        int(g): (int(p), int(i), int(dg), bool(ds_))
-        for g, p, i, dg, ds_ in zip(
-            gid, rows["ptr"], rows["inflow"], rows["down_gid"], rows["down_is_stream"]
-        )
-    }
-    diag = float(np.sqrt(2.0) * spec.res)
-    lengths = [diag, spec.res, diag, spec.res, diag, spec.res, diag, spec.res]
-    link_of: dict[int, int] = {}
-    links: list[dict] = []
-    next_id = 1
-    starts = sorted(g for g, (p, i, dg, ds_) in info.items() if i == 0 or i >= 2)
-    for s in starts:
-        lid = next_id
-        next_id += 1
-        cells = []
-        length = 0.0
-        g = s
-        while True:
-            if g in link_of:
-                break
-            link_of[g] = lid
-            cells.append((g // W, g % W))
-            p, i, dg, ds_ = info[g]
-            if p < 0 or not ds_ or dg not in info:
-                break
-            length += lengths[p]
-            if info[dg][1] >= 2:
-                break
-            g = dg
-        if cells:
-            links.append({"link_id": lid, "cells": cells, "length": length})
-    for lk in links:
-        r, c = lk["cells"][-1]
-        g = r * W + c
-        p, i, dg, ds_ = info[g]
-        lk["ds_link"] = -1
-        if p >= 0 and ds_ and dg in link_of and link_of[dg] != lk["link_id"]:
-            lk["ds_link"] = link_of[dg]
-    # paint the link-id raster back (per-tile buckets, broadcast once)
     tpx = spec.tile_px
-    by_tile: dict[int, list] = {}
-    for gg, lid in link_of.items():
-        tid = (gg // W // tpx) * spec.tiles_x + (gg % W) // tpx
-        by_tile.setdefault(tid, []).append((gg, lid))
-    ref = ray.put(by_tile)
-    nodata = spec.nodata
-    _ = nodata
+    diag = float(np.sqrt(2.0) * spec.res)
+    lengths = np.array([diag, spec.res, diag, spec.res, diag, spec.res, diag, spec.res])
 
-    def paint(batch: pa.Table) -> pa.Table:
-        lut = ray.get(ref)
-        outs = []
-        for i in range(batch.num_rows):
-            tr = int(batch["tile_row"][i].as_py())
-            tc = int(batch["tile_col"][i].as_py())
-            g = np.zeros((tpx, tpx))
-            for gg, lid in lut.get(tr * spec.tiles_x + tc, ()):
-                g[gg // W - tr * tpx, gg % W - tc * tpx] = lid
-            outs.append(codecs.encode_tile(g, "f32"))
+    def annotate(batch):
+        ptr = batch["ptr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inflow = batch["inflow"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dis = batch["down_is_stream"].to_numpy(zero_copy_only=False)
+        cont = (ptr >= 0) & dis
+        is_start = (inflow == 0) | (inflow >= 2)
+        len_c = np.where(cont, lengths[np.clip(ptr, 0, 7)], 0.0)
         return pa.table(
             {
-                "tile_row": batch["tile_row"],
-                "tile_col": batch["tile_col"],
-                "bytes": pa.array(outs, pa.binary()),
-                "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
+                "gid": batch["gid"],
+                "ptr": batch["ptr"],
+                "down_gid": batch["down_gid"],
+                "cont": pa.array(cont),
+                "is_start": pa.array(is_start),
+                "len_c": pa.array(len_c, pa.float64()),
             }
         )
 
-    return stream_ds.map_batches(paint, batch_format="pyarrow"), links
+    cells = (
+        stream_cell_rows(stream_ds, pointer_ds, spec)
+        .map_batches(annotate, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # 2. parent pointers: starts self-parent; run continuations u→down
+    #    give the down cell (inflow==1, non-start) its unique parent
+    def self_parents(b: pa.Table) -> pa.Table:
+        m = b.filter(b["is_start"])
+        return pa.table({"node": m["gid"], "parent": m["gid"]})
+
+    def cont_edges(b: pa.Table) -> pa.Table:
+        m = b.filter(b["cont"])
+        return pa.table({"child": m["down_gid"], "parent_gid": m["gid"]})
+
+    non_start = cells.map_batches(
+        lambda b: pa.table({"k": (m := b.filter(pc.invert(b["is_start"])))["gid"],
+                            "node_": m["gid"]}),
+        batch_format="pyarrow",
+    )
+    edges = cells.map_batches(cont_edges, batch_format="pyarrow")
+    child_parents = hash_join_bucketed(
+        non_start, edges, key="k", right_key="child", how="inner"
+    ).map_batches(
+        lambda b: pa.table({"node": b["node_"], "parent": b["parent_gid"]}),
+        batch_format="pyarrow",
+    )
+    parents = cells.map_batches(self_parents, batch_format="pyarrow").union(child_parents)
+    roots = functional_roots(parents)  # (node → root), root = run start
+
+    # 3. link ids: rank of start gid in ascending order (+1)
+    starts = cells.map_batches(
+        lambda b: pa.table({"sgid": b.filter(b["is_start"])["gid"]}),
+        batch_format="pyarrow",
+    )
+    # rank is 1-based (start=1 default) → link_id = rank directly
+    start_ids = zip_with_order_index(starts, "sgid", "rank", strategy="auto").map_batches(
+        lambda b: pa.table({"root_k": b["sgid"], "link_id": b["rank"]}),
+        batch_format="pyarrow",
+    )
+
+    labeled = (
+        hash_join_bucketed(
+            hash_join_bucketed(cells, roots, key="gid", right_key="node", how="inner"),
+            start_ids, key="root", right_key="root_k", how="inner",
+        )
+        .materialize()
+    )
+
+    # 4. per-link aggregates: length, head (root gid), terminal cell +
+    #    downstream link. Terminal: cont==false OR down in another run.
+    down_roots = roots.map_batches(
+        lambda b: pa.table({"dk": b["node"], "down_root": b["root"]}),
+        batch_format="pyarrow",
+    )
+    down_ids = start_ids.map_batches(
+        lambda b: pa.table({"dl_k": b["root_k"], "down_link": b["link_id"]}),
+        batch_format="pyarrow",
+    )
+    with_down = hash_join_bucketed(
+        labeled, down_roots, key="down_gid", right_key="dk", how="left"
+    )
+
+    # left-join misses leave NaN in the int key; sentinel −1 keeps the
+    # next join's key column plain int64 (no start has gid −1)
+    def fix_down_root(b: pd.DataFrame) -> pd.DataFrame:
+        b["down_root"] = b["down_root"].fillna(-1).astype(np.int64)
+        return b
+
+    with_down = hash_join_bucketed(
+        with_down.map_batches(fix_down_root, batch_format="pandas"),
+        down_ids, key="down_root", right_key="dl_k", how="left",
+    )
+
+    def per_link(g: pd.DataFrame) -> pd.DataFrame:
+        lid = int(g["link_id"].iloc[0])
+        head = int(g["root"].iloc[0])
+        length = float(g["len_c"].sum())
+        term = g[(~g["cont"]) | (g["down_root"].isna()) | (g["down_root"] != g["root"])]
+        ds_link = -1
+        tg = head
+        if len(term):
+            t = term.iloc[0]
+            tg = int(t["gid"])
+            if bool(t["cont"]) and pd.notna(t["down_link"]) and int(t["down_link"]) != lid:
+                ds_link = int(t["down_link"])
+        return pd.DataFrame(
+            {"link_id": [lid], "length": [length], "ds_link": [ds_link],
+             "head_gid": [head], "term_gid": [tg]}
+        )
+
+    link_tbl = (
+        with_down.groupby("link_id").map_groups(per_link, batch_format="pandas").to_pandas()
+    )
+    links = [
+        {
+            "link_id": int(r.link_id),
+            "cells": [(int(r.head_gid) // W, int(r.head_gid) % W),
+                      (int(r.term_gid) // W, int(r.term_gid) % W)],
+            "length": float(r.length),
+            "ds_link": int(r.ds_link),
+        }
+        for r in link_tbl.itertuples()
+    ]
+
+    # 5. paint: labeled cells + one blank row per tile, co-shuffled on tkey
+    def cell_tkeys(b: pa.Table) -> pa.Table:
+        g = b["gid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tk = (g // W // tpx) * spec.tiles_x + (g % W) // tpx
+        return pa.table(
+            {"tkey": pa.array(tk, pa.int64()), "gid": b["gid"],
+             "link_id": b["link_id"].cast(pa.int64())}
+        )
+
+    def blank_rows(b: pa.Table) -> pa.Table:
+        tr = b["tile_row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = b["tile_col"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"tkey": pa.array(tr * spec.tiles_x + tc, pa.int64()),
+             "gid": pa.array(np.full(len(tr), -1), pa.int64()),
+             "link_id": pa.array(np.zeros(len(tr)), pa.int64())}
+        )
+
+    def paint(g: pd.DataFrame) -> pd.DataFrame:
+        tk = int(g["tkey"].iloc[0])
+        tr, tc = tk // spec.tiles_x, tk % spec.tiles_x
+        grid = np.zeros((tpx, tpx))
+        m = g[g["gid"] >= 0]
+        gg = m["gid"].to_numpy(dtype=np.int64)
+        grid[gg // W - tr * tpx, gg % W - tc * tpx] = m["link_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"tile_row": [tr], "tile_col": [tc],
+             "bytes": [codecs.encode_tile(grid, "f32")], "fmt": ["f32"]}
+        )
+
+    painted = (
+        labeled.map_batches(cell_tkeys, batch_format="pyarrow")
+        .union(stream_ds.map_batches(blank_rows, batch_format="pyarrow"))
+        .groupby("tkey")
+        .map_groups(paint, batch_format="pandas")
+    )
+    return painted, links
 
 
 def extract_streams_ds(accum_ds, spec, threshold: float):
