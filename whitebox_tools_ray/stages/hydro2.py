@@ -265,12 +265,20 @@ def flatten_lakes(dem_ds, lakes_ds, spec):
 def flood_order(dem_ds, spec, num_workers: int = 4):
     """Rank of the FILLED surface (priority-flood pop order up to tie
     order) — fill, then a distinct-value prefix scan assigns each cell
-    count(filled_z ≤ v)."""
-    from .fill import fill_depressions_ds
-    from .stats3 import distinct_value_scan
-    import ray
+    count(filled_z < v).
 
-    filled = fill_depressions_ds(dem_ds, spec, num_workers=num_workers)
+    Fully distributed: the distinct-value table (≈ all cells on a
+    continuous DEM) never lands on the driver — cell values join their
+    rank through a bucketed hash join on the exact value (both sides
+    decode the same filled tiles, so float bits match), and tiles
+    reassemble with a tile-key co-shuffle. Driver state is only the
+    per-block offset meta inside ``distinct_value_scan``."""
+    from .fill import fill_depressions_ds
+    from .joins import hash_join_bucketed
+    from .stats3 import distinct_value_scan
+
+    filled = fill_depressions_ds(dem_ds, spec, num_workers=num_workers).materialize()
+    tpx = spec.tile_px
 
     def widen(batch: pa.Table) -> pa.Table:
         vs = []
@@ -281,31 +289,61 @@ def flood_order(dem_ds, spec, num_workers: int = 4):
         return pa.table({"v": v, "c": np.ones(len(v))})
 
     wide = filled.map_batches(widen, batch_format="pyarrow")
-    scanned, totals = distinct_value_scan(wide, "v", ["c"])
-    tbl = scanned.to_pandas().sort_values("v")
-    vals = tbl["v"].to_numpy()
-    ranks = (tbl["off_c"].to_numpy()).astype(np.float64)  # rank of first cell at v
-    ref = ray.put((vals, ranks))
-    _ = totals
+    scanned, _totals = distinct_value_scan(wide, "v", ["c"])
+    rank_tbl = scanned.map_batches(
+        lambda b: pa.table({"rv": b["v"], "rank": b["off_c"]}),
+        batch_format="pyarrow",
+    )
 
-    def paint(batch: pa.Table) -> pa.Table:
-        vv, rr = ray.get(ref)
-        outs = []
-        for bb, ff in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
-            g = codecs.decode_tile(bb, ff)
-            idx = np.clip(np.searchsorted(vv, g), 0, max(len(vv) - 1, 0))
-            o = np.where(g != spec.nodata, rr[idx], spec.nodata)
-            outs.append(codecs.encode_tile(o, "f32"))
-        return pa.table(
-            {
-                "tile_row": batch["tile_row"],
-                "tile_col": batch["tile_col"],
-                "bytes": pa.array(outs, pa.binary()),
-                "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
-            }
+    # per-cell rows (tkey, flat idx, value) for non-nodata cells
+    def cell_rows(batch: pa.Table) -> pa.Table:
+        tks, idxs, vals = [], [], []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            flat = g.ravel()
+            m = np.nonzero(flat != spec.nodata)[0]
+            tk = int(batch["tile_row"][i].as_py()) * spec.tiles_x + int(batch["tile_col"][i].as_py())
+            tks.append(np.full(len(m), tk, dtype=np.int64))
+            idxs.append(m.astype(np.int64))
+            vals.append(flat[m])
+        if not tks:
+            return pa.table({"tkey": pa.array([], pa.int64()), "idx": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        return pa.table({"tkey": np.concatenate(tks), "idx": np.concatenate(idxs),
+                         "v": np.concatenate(vals)})
+
+    cells = filled.map_batches(cell_rows, batch_format="pyarrow")
+    joined = hash_join_bucketed(cells, rank_tbl, key="v", right_key="rv", how="inner")
+    ranked = joined.map_batches(
+        lambda b: pa.table({"tkey": b["tkey"], "idx": b["idx"],
+                            "rank": b["rank"].cast(pa.float64())}),
+        batch_format="pyarrow",
+    )
+
+    # one blank row per tile so all-nodata tiles still emit
+    def blanks(batch: pa.Table) -> pa.Table:
+        tr = batch["tile_row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = batch["tile_col"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(tr)
+        return pa.table({"tkey": pa.array(tr * spec.tiles_x + tc, pa.int64()),
+                         "idx": pa.array(np.full(n, -1), pa.int64()),
+                         "rank": pa.array(np.zeros(n), pa.float64())})
+
+    def paint(g: pd.DataFrame) -> pd.DataFrame:
+        tk = int(g["tkey"].iloc[0])
+        grid = np.full(tpx * tpx, spec.nodata)
+        m = g[g["idx"] >= 0]
+        grid[m["idx"].to_numpy(dtype=np.int64)] = m["rank"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {"tile_row": [tk // spec.tiles_x], "tile_col": [tk % spec.tiles_x],
+             "bytes": [codecs.encode_tile(grid.reshape(tpx, tpx), "f32")], "fmt": ["f32"]}
         )
 
-    return filled.map_batches(paint, batch_format="pyarrow")
+    return (
+        ranked.union(filled.map_batches(blanks, batch_format="pyarrow"))
+        .groupby("tkey")
+        .map_groups(paint, batch_format="pandas")
+    )
 
 
 def unnest_basins(pointer_ds, spec, pour_points, num_workers: int = 4):
