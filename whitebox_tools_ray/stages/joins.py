@@ -122,8 +122,19 @@ def hash_join_bucketed(
     rk = right_key or key
     if num_buckets is None:
         num_buckets = 32
-    lschema = left_ds.schema()
-    rschema = right_ds.schema()
+
+    def _arrow_side(ds):
+        # pandas-block datasets report numpy/python types (lists come back
+        # as object); the null-pad union below needs real Arrow types, so
+        # coerce such inputs through a zero-shuffle arrow round-trip
+        s = ds.schema()
+        if all(isinstance(t, pa.DataType) for t in s.types):
+            return ds, s
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        return ds, ds.schema()
+
+    left_ds, lschema = _arrow_side(left_ds)
+    right_ds, rschema = _arrow_side(right_ds)
     lcols = list(lschema.names)
     # overlapping right column names (other than its key) get a _r suffix
     rename = {c: (c + "_r" if c in lcols and c != rk else c) for c in rschema.names}
@@ -170,7 +181,7 @@ def hash_join_bucketed(
         for c in names:
             try:
                 out[c] = pa.field(c, types[c]).type.to_pandas_dtype()
-            except NotImplementedError:
+            except (NotImplementedError, TypeError):
                 pass
         return out
 
