@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watershed_grid": R.q_watershed_grid,
         "resample_bilinear": R.q_resample_bilinear,
         "idw_grid": R.q_idw_grid,
+        "horizon_angle": R.q_horizon_angle,
+        "fetch_analysis": R.q_fetch_analysis,
+        "viewshed": R.q_viewshed,
     }
 
 
@@ -181,6 +184,9 @@ def oracle_sql() -> dict[str, str]:
         "trend_surface": R.Q_TREND_SURFACE_SQL,
         "resample_bilinear": R.Q_RESAMPLE_BILINEAR_SQL,
         "idw_grid": R.q_idw_grid_sql(),
+        "horizon_angle": R.Q_HORIZON_ANGLE_SQL,
+        "fetch_analysis": R.Q_FETCH_ANALYSIS_SQL,
+        "viewshed": R.Q_VIEWSHED_SQL,
         "hex_binning": R.q_hex_binning_sql(),
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /

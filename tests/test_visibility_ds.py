@@ -1,0 +1,119 @@
+"""Dataset forms of the visibility family must be bit-identical to the
+single-grid kernels (absolute-coordinate arithmetic makes tiling
+invisible to the result)."""
+
+import numpy as np
+import pytest
+
+
+NOD = -32768.0
+
+
+def _scene():
+    from whitebox_tools_ray.sources.tiles import SceneSpec
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16, nodata=NOD, res=1.0)
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, 60, (64, 64)).astype(float)
+    full[rng.random((64, 64)) < 0.03] = NOD
+    return spec, full
+
+
+def _tiles_ds(full, spec):
+    import ray.data as rd
+
+    from whitebox_tools_ray.kernels import codecs
+
+    tpx = spec.tile_px
+    rows = []
+    for tr in range(spec.tiles_y):
+        for tc in range(spec.tiles_x):
+            rows.append(
+                {
+                    "tile_row": tr,
+                    "tile_col": tc,
+                    "bytes": codecs.encode_tile(
+                        full[tr * tpx : (tr + 1) * tpx, tc * tpx : (tc + 1) * tpx], "f64"
+                    ),
+                    "fmt": "f64",
+                }
+            )
+    return rd.from_items(rows)
+
+
+def _back(ds, spec):
+    from whitebox_tools_ray.kernels import codecs
+
+    tpx = spec.tile_px
+    out = np.full((spec.rows, spec.columns), np.nan)
+    for _, r in ds.to_pandas().iterrows():
+        g = codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
+        out[r.tile_row * tpx : (r.tile_row + 1) * tpx,
+            r.tile_col * tpx : (r.tile_col + 1) * tpx] = g
+    return out
+
+
+class TestVisibilityDatasetForms:
+    @pytest.mark.parametrize("az,md", [(90.0, 20.0), (217.0, 12.0)])
+    def test_directional_ds_bitexact(self, ray_session, az, md):
+        from whitebox_tools_ray.stages import visibility as vis
+
+        spec, full = _scene()
+        for dsf, kf, kw in (
+            (vis.horizon_angle_ds, vis.horizon_angle, {}),
+            (vis.fetch_analysis_ds, vis.fetch_analysis, {}),
+            (vis.directional_relief_ds, vis.directional_relief, {}),
+        ):
+            got = _back(dsf(_tiles_ds(full, spec), spec, az, md, out_fmt="f64"), spec)
+            want = kf(full, NOD, az, md, **kw)
+            assert np.array_equal(got, want)
+
+    @pytest.mark.parametrize("station,sectors", [((32, 32), 8), ((5, 60), 6)])
+    def test_viewshed_ds_bitexact(self, ray_session, station, sectors):
+        from whitebox_tools_ray.stages import visibility as vis
+
+        spec, full = _scene()
+        sr, sc = station
+        if full[sr, sc] == NOD:
+            full[sr, sc] = 20.0
+        got = _back(
+            vis.viewshed_ds(_tiles_ds(full, spec), spec, station,
+                            n_sectors=sectors, out_fmt="f64"),
+            spec,
+        )
+        want = vis.viewshed(full, NOD, station)
+        assert np.array_equal(got, want)
+
+    def test_viewshed_wall_property(self, ray_session):
+        # the wall hides everything behind it from a low station
+        from whitebox_tools_ray.stages import visibility as vis
+
+        g = np.zeros((20, 20))
+        g[:, 10] = 50.0
+        v = vis.viewshed(g, NOD, (10, 5), station_height=2.0)
+        assert (v[:, 11:] == 0.0).all()
+        assert v[10, 5] == 1.0
+
+    def test_visibility_index_ds(self, ray_session):
+        from whitebox_tools_ray.stages import visibility as vis
+
+        spec, full = _scene()
+        got = _back(
+            vis.visibility_index_ds(_tiles_ds(full, spec), spec,
+                                    station_step=16, out_fmt="f64"),
+            spec,
+        )
+        want = vis.visibility_index(full, NOD, station_step=16)
+        assert np.array_equal(got, want)
+
+    def test_registry_dispatch(self, ray_session):
+        from whitebox_tools_ray import api
+        from whitebox_tools_ray.stages import visibility as vis
+
+        spec, full = _scene()
+        got = _back(
+            api.run("HorizonAngle", _tiles_ds(full, spec), spec, 90.0, 15.0,
+                    out_fmt="f64"),
+            spec,
+        )
+        assert np.array_equal(got, vis.horizon_angle(full, NOD, 90.0, 15.0))

@@ -746,13 +746,21 @@ def _register_all():
              "hydro_analysis", [P("dem_ds", "Dataset"), P("spec", "SceneSpec")],
              "hydro_analysis/sink.rs")
     vis = __import__("whitebox_tools_ray.stages.visibility", fromlist=["x"])
-    register("Viewshed", vis.viewshed, "Station line-of-sight visibility (per-partition kernel)",
-             "terrain_analysis", [P("grid", "Raster"), P("nodata", "Float"), P("station_rc", "List")],
+    register("Viewshed", vis.viewshed_ds,
+             "Station line-of-sight visibility (azimuthal-sector decomposition)",
+             "terrain_analysis",
+             [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("station_rc", "List")],
              "terrain_analysis/viewshed.rs")
-    register("HorizonAngle", vis.horizon_angle, "Max elevation angle along an azimuth ray",
-             "terrain_analysis", [], "terrain_analysis/horizon_angle.rs")
-    register("FetchAnalysis", vis.fetch_analysis, "Distance to first obstruction along azimuth",
-             "terrain_analysis", [], "terrain_analysis/fetch_analysis.rs")
+    register("HorizonAngle", vis.horizon_angle_ds,
+             "Max elevation angle along an azimuth ray (directional-halo gather)",
+             "terrain_analysis",
+             [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("azimuth_deg", "Float"), P("max_dist", "Float")],
+             "terrain_analysis/horizon_angle.rs")
+    register("FetchAnalysis", vis.fetch_analysis_ds,
+             "Distance to first obstruction along azimuth (directional-halo gather)",
+             "terrain_analysis",
+             [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("azimuth_deg", "Float"), P("max_dist", "Float")],
+             "terrain_analysis/fetch_analysis.rs")
     register("BreachDepressions", fl.breach_depressions,
              "Pit-wise least-cost carve (Lindsay 2016); per-partition kernel",
              "hydro_analysis", [P("grid", "Raster"), P("nodata", "Float")],
@@ -1078,12 +1086,15 @@ def _register_all():
     register("ImpoundmentSizeIndex", h2.impoundment_size_index,
              "n(z+h) - sum(z upstream), clipped (documented approximation)",
              "hydro_analysis", [], "hydro_analysis/impoundment_size_index.rs")
-    register("DirectionalRelief", vis.directional_relief,
-             "Mean along-azimuth elevation minus z (per-partition kernel)",
-             "terrain_analysis", [], "terrain_analysis/directional_relief.rs:20-27")
-    register("VisibilityIndex", vis.visibility_index,
-             "Share of sampled stations seeing each cell", "terrain_analysis",
-             [], "terrain_analysis/visibility_index.rs")
+    register("DirectionalRelief", vis.directional_relief_ds,
+             "Mean along-azimuth elevation minus z (directional-halo gather)",
+             "terrain_analysis",
+             [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("azimuth_deg", "Float"), P("max_dist", "Float")],
+             "terrain_analysis/directional_relief.rs:20-27")
+    register("VisibilityIndex", vis.visibility_index_ds,
+             "Share of sampled stations seeing each cell (broadcast DEM, station-parallel)",
+             "terrain_analysis", [P("tiles_ds", "Dataset"), P("spec", "SceneSpec")],
+             "terrain_analysis/visibility_index.rs")
     im2 = __import__("whitebox_tools_ray.stages.image2", fromlist=["x"])
     register("ChangeVectorAnalysis", im2.change_vector_analysis,
              "Change magnitude + sector code", "image_analysis",

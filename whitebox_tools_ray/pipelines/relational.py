@@ -2725,3 +2725,136 @@ def q_hex_binning_sql(res: int = 9) -> str:
     GROUP BY 1
     ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# visibility family gate queries (terrain_analysis/horizon_angle.rs,
+# fetch_analysis.rs, viewshed.rs) — the Dataset forms on the analytic DEM
+# vs pure-SQL twins. Axis azimuths make the directional ray walk (and,
+# via the analytic z formula, even the bilinear viewshed profile)
+# SQL-expressible with bit-identical double arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def q_horizon_angle(sf_dir: str):
+    """HorizonAngle due east, 20 steps: per cell the max elevation angle
+    atan2(z(r, c+s) − z(r, c), s·res) over s = 1..20; −π/2 where no
+    in-grid sample exists (col 63). Runs through horizon_angle_ds's
+    directional-halo gather."""
+    from ..stages.visibility import horizon_angle_ds
+
+    ds, spec = _analytic_dem_tiles()
+    out = horizon_angle_ds(ds, spec, 90.0, 20.0 * spec.res, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "ha")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["ha"].to_numpy(zero_copy_only=False), 9)
+        return pa.table({"row": batch["row"], "col": batch["col"], "ha": pa.array(v)})
+
+    return cells.map_batches(rnd, batch_format="pyarrow")
+
+
+Q_HORIZON_ANGLE_SQL = """
+WITH g AS (SELECT r.r AS row, c.c AS col
+           FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                (SELECT unnest(generate_series(0, 63)) AS c) c),
+     st AS (SELECT unnest(generate_series(1, 20)) AS s),
+     b AS (SELECT g.row, g.col,
+                  MAX(ATAN2(CAST((g.row * 31 + (g.col + st.s) * 17) % 97 AS DOUBLE)
+                            - CAST((g.row * 31 + g.col * 17) % 97 AS DOUBLE),
+                            st.s * 90.0)) AS best
+           FROM g, st
+           WHERE g.col + st.s <= 63
+           GROUP BY g.row, g.col)
+SELECT g.row, g.col, ROUND(COALESCE(b.best, -PI() / 2), 9) AS ha
+FROM g LEFT JOIN b ON g.row = b.row AND g.col = b.col
+"""
+
+
+def q_fetch_analysis(sf_dir: str):
+    """FetchAnalysis due south, 20 steps: distance (s·res) to the first
+    cell with z(r+s, c) > z(r, c) + 0.022·s·res; 1800 (= max_dist)
+    where unobstructed. Integer-exact outputs on the analytic DEM."""
+    from ..stages.visibility import fetch_analysis_ds
+
+    ds, spec = _analytic_dem_tiles()
+    out = fetch_analysis_ds(ds, spec, 180.0, 20.0 * spec.res, out_fmt="f64")
+    return _tiles_to_cells(out, spec, "fetch")
+
+
+Q_FETCH_ANALYSIS_SQL = """
+WITH g AS (SELECT r.r AS row, c.c AS col
+           FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                (SELECT unnest(generate_series(0, 63)) AS c) c),
+     st AS (SELECT unnest(generate_series(1, 20)) AS s),
+     b AS (SELECT g.row, g.col, MIN(st.s) AS s_first
+           FROM g, st
+           WHERE g.row + st.s <= 63
+             AND CAST(((g.row + st.s) * 31 + g.col * 17) % 97 AS DOUBLE)
+                 > CAST((g.row * 31 + g.col * 17) % 97 AS DOUBLE) + ((0.022 * st.s) * 90.0)
+           GROUP BY g.row, g.col)
+SELECT g.row, g.col, COALESCE(b.s_first * 90.0, 1800.0) AS fetch
+FROM g LEFT JOIN b ON g.row = b.row AND g.col = b.col
+"""
+
+
+def q_viewshed(sf_dir: str):
+    """Viewshed from station (31, 31) + 2 m: a cell is visible iff no
+    intervening bilinear sample along the sight line subtends a larger
+    vertical angle (+1e-12 guard). Runs through viewshed_ds's azimuthal
+    sector decomposition (8 sectors); the SQL twin replays the exact
+    double expression tree on the analytic z formula."""
+    from ..stages.visibility import viewshed_ds
+
+    ds, spec = _analytic_dem_tiles()
+    out = viewshed_ds(ds, spec, (31, 31), station_height=2.0,
+                      n_sectors=8, out_fmt="f64")
+    return _tiles_to_cells(out, spec, "vis")
+
+
+# z(31,31) = (31*31 + 31*17) % 97 = 33 → zs = 35.0
+Q_VIEWSHED_SQL = """
+WITH g AS (SELECT r.r AS row, c.c AS col
+           FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                (SELECT unnest(generate_series(0, 63)) AS c) c),
+     tgt AS (SELECT row, col,
+                    CAST(row - 31 AS DOUBLE) AS dy,
+                    CAST(col - 31 AS DOUBLE) AS dx,
+                    SQRT(CAST(row - 31 AS DOUBLE) * CAST(row - 31 AS DOUBLE)
+                         + CAST(col - 31 AS DOUBLE) * CAST(col - 31 AS DOUBLE)) AS dist,
+                    CAST((row * 31 + col * 17) % 97 AS DOUBLE) AS z
+             FROM g),
+     samp AS (SELECT t.row, t.col, t.dist, t.z,
+                     CAST(u.s AS DOUBLE) / t.dist AS tt
+              FROM tgt t,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, CAST(CEIL(t.dist) AS BIGINT) - 1)) AS s) u),
+     pos AS (SELECT row, col, dist, z, tt,
+                    31 + (CAST(row - 31 AS DOUBLE)) * tt AS rr,
+                    31 + (CAST(col - 31 AS DOUBLE)) * tt AS cc
+             FROM samp),
+     quad AS (SELECT row, col, dist, z, tt, rr, cc,
+                     LEAST(GREATEST(FLOOR(rr), 0), 62) AS r0,
+                     LEAST(GREATEST(FLOOR(cc), 0), 62) AS c0
+              FROM pos),
+     interp AS (SELECT row, col, dist, z, tt,
+                       rr - r0 AS fr, cc - c0 AS fc,
+                       CAST((CAST(r0 AS BIGINT) * 31 + CAST(c0 AS BIGINT) * 17) % 97 AS DOUBLE) AS q00,
+                       CAST((CAST(r0 AS BIGINT) * 31 + (CAST(c0 AS BIGINT) + 1) * 17) % 97 AS DOUBLE) AS q01,
+                       CAST(((CAST(r0 AS BIGINT) + 1) * 31 + CAST(c0 AS BIGINT) * 17) % 97 AS DOUBLE) AS q10,
+                       CAST(((CAST(r0 AS BIGINT) + 1) * 31 + (CAST(c0 AS BIGINT) + 1) * 17) % 97 AS DOUBLE) AS q11
+                FROM quad),
+     ang AS (SELECT row, col,
+                    MAX((((q00 * (1 - fr)) * (1 - fc)
+                          + (q01 * (1 - fr)) * fc
+                          + (q10 * fr) * (1 - fc)
+                          + (q11 * fr) * fc) - 35.0)
+                        / ((tt * dist) * 90.0)) AS max_ang,
+                    ANY_VALUE((z - 35.0) / (dist * 90.0)) AS target
+             FROM interp
+             GROUP BY row, col)
+SELECT g.row, g.col,
+       CASE WHEN a.max_ang IS NOT NULL AND a.max_ang > a.target + 1e-12
+            THEN 0.0 ELSE 1.0 END AS vis
+FROM g LEFT JOIN ang a ON g.row = a.row AND g.col = a.col
+"""
