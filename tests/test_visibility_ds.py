@@ -117,3 +117,39 @@ class TestVisibilityDatasetForms:
             spec,
         )
         assert np.array_equal(got, vis.horizon_angle(full, NOD, 90.0, 15.0))
+
+
+class TestFocalMarginStore:
+    def test_store_vs_exchange_bitexact(self, ray_session):
+        """The margin-store path (tile bodies stay put, only strips move)
+        must match the exchange path bit-for-bit, nodata holes included."""
+        import ray.data as rd
+
+        from whitebox_tools_ray.kernels import codecs
+        from whitebox_tools_ray.sources.tiles import SceneSpec
+        from whitebox_tools_ray.stages import focal
+
+        spec = SceneSpec(tiles_x=9, tiles_y=9, tile_px=8, nodata=NOD, res=90.0)
+        rng = np.random.default_rng(21)
+        full = rng.integers(0, 80, (72, 72)).astype(float)
+        full[rng.random((72, 72)) < 0.04] = NOD
+        rows = [
+            {
+                "tile_row": tr,
+                "tile_col": tc,
+                "bytes": codecs.encode_tile(
+                    full[tr * 8 : (tr + 1) * 8, tc * 8 : (tc + 1) * 8], "f64"
+                ),
+                "fmt": "f64",
+            }
+            for tr in range(9)
+            for tc in range(9)
+        ]
+        for kern, halo in ((focal.slope_kernel, 1), (focal.hillshade_kernel, 1)):
+            a = focal.focal_op(rd.from_items(rows), spec, kern, halo,
+                               out_fmt="f64", mode="exchange").to_pandas()
+            b = focal.focal_op(rd.from_items(rows), spec, kern, halo,
+                               out_fmt="f64", mode="store").to_pandas()
+            a = a.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
+            b = b.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
+            assert (a["bytes"] == b["bytes"]).all()
