@@ -45,33 +45,74 @@ TILE_OUT_SCHEMA = pa.schema(
 )
 
 
+class _PeerMixin:
+    """Worker→worker message plumbing composed onto any BSP worker class
+    by ``run_bsp`` (workers duck-type start/push; this adds inbox +
+    direct routing so border payloads never pass through the driver)."""
+
+    def set_peers(self, peers: list, shard_of: dict[int, int]):
+        self._peers = peers
+        self._shard_of = shard_of
+        self._inbox: list = []
+
+    def enqueue(self, msgs: list) -> bool:
+        self._inbox.extend(msgs)
+        return True
+
+    def _route(self, msgs: list):
+        """Send messages straight to the owning peers; return (count,
+        ack refs) for the driver's barrier. Self-sends go through the
+        same handle (they queue behind this call — no deadlock, nothing
+        here blocks on a peer)."""
+        by: dict[int, list] = {}
+        for m in msgs:
+            sid = self._shard_of.get(m[0])
+            if sid is not None:
+                by.setdefault(sid, []).append(m)
+        refs = [self._peers[sid].enqueue.remote(ms) for sid, ms in by.items()]
+        return sum(len(ms) for ms in by.values()), refs
+
+    def bsp_start(self):
+        return self._route(self.start())
+
+    def bsp_round(self):
+        msgs, self._inbox = self._inbox, []
+        if not msgs:
+            return 0, []
+        return self._route(self.push(msgs))
+
+
 def run_bsp(tiles_ds, worker_cls, worker_args: tuple, num_workers: int, out_dir: str):
     """Drive a BSP worker class over a tiles Dataset; returns the output
-    tiles Dataset (read back from the shard parquet files)."""
+    tiles Dataset (read back from the shard parquet files).
+
+    Border messages flow WORKER→WORKER: each shard routes its outbound
+    messages straight to the owning peer's inbox (actor-to-actor calls,
+    payloads through the object store), and the driver only collects a
+    per-round routed-message count plus the delivery ack refs — O(num
+    shards) driver traffic per round, not O(boundary cells). Deadlock
+    freedom: a shard never blocks on a peer inside its own round — it
+    returns the enqueue ack refs to the driver, which awaits them before
+    launching the next round (so every round-k message is delivered
+    before any shard consumes its round-k inbox)."""
     import ray
     import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)
-    Worker = ray.remote(worker_cls)
+    host_cls = type(worker_cls.__name__, (_PeerMixin, worker_cls), {})
+    Worker = ray.remote(host_cls)
     workers = [Worker.remote(*worker_args) for _ in range(num_workers)]
     splits = tiles_ds.split(num_workers, locality_hints=workers)
     owned = ray.get([w.ingest.remote(s) for w, s in zip(workers, splits)])
     shard_of = {tid: i for i, tids in enumerate(owned) for tid in tids}
+    ray.get([w.set_peers.remote(workers, shard_of) for w in workers])
 
-    pending = ray.get([w.start.remote() for w in workers])
+    results = ray.get([w.bsp_start.remote() for w in workers])
     while True:
-        routed: list[list] = [[] for _ in range(num_workers)]
-        n = 0
-        for msgs in pending:
-            for msg in msgs:
-                tid = msg[0]
-                if tid in shard_of:
-                    routed[shard_of[tid]].append(msg)
-                    n += 1
-        if n == 0:
+        ray.get([r for _, refs in results for r in refs])  # deliveries land
+        if sum(n for n, _ in results) == 0:
             break
-        busy = [(w, m) for w, m in zip(workers, routed) if m]
-        pending = ray.get([w.push.remote(m) for w, m in busy])
+        results = ray.get([w.bsp_round.remote() for w in workers])
 
     ray.get([w.dump.remote(os.path.join(out_dir, f"shard_{i}.parquet")) for i, w in enumerate(workers)])
     return rd.read_parquet(out_dir)
