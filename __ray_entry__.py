@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "horizon_angle": R.q_horizon_angle,
         "fetch_analysis": R.q_fetch_analysis,
         "viewshed": R.q_viewshed,
+        "overlay_intersect_cp": R.q_overlay_intersect_cp,
+        "idw_grid_cp": R.q_idw_grid_cp,
     }
 
 
@@ -187,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         "horizon_angle": R.Q_HORIZON_ANGLE_SQL,
         "fetch_analysis": R.Q_FETCH_ANALYSIS_SQL,
         "viewshed": R.Q_VIEWSHED_SQL,
+        "overlay_intersect_cp": R.Q_OVERLAY_INTERSECT_CP_SQL,
+        "idw_grid_cp": R.q_idw_grid_sql(),
         "hex_binning": R.q_hex_binning_sql(),
         "topk_per_group": R.q_topk_per_group_sql(),
         # minhash_pairs / simhash_pairs / kmeans_clusters / ann_lsh /

@@ -153,3 +153,70 @@ class TestFocalMarginStore:
             a = a.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
             b = b.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
             assert (a["bytes"] == b["bytes"]).all()
+
+
+class TestCoPartitionFallbacks:
+    def test_overlay_copartition_matches_broadcast(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from whitebox_tools_ray.stages import overlay as ov
+
+        rng = np.random.default_rng(17)
+
+        def rect_record(rid, x0, y0, w, h):
+            xs = [x0, x0, x0 + w, x0 + w]
+            ys = [y0, y0 + h, y0 + h, y0]
+            return {"record_id": rid, "parts": [0], "xs": xs, "ys": ys,
+                    "x_min": x0, "x_max": x0 + w, "y_min": y0, "y_max": y0 + h}
+
+        SCH = pa.schema([("record_id", pa.int32()), ("parts", pa.list_(pa.int32())),
+                         ("xs", pa.list_(pa.float64())), ("ys", pa.list_(pa.float64())),
+                         ("x_min", pa.float64()), ("x_max", pa.float64()),
+                         ("y_min", pa.float64()), ("y_max", pa.float64())])
+        A = [rect_record(i, rng.uniform(0, 80), rng.uniform(0, 80),
+                         rng.uniform(2, 15), rng.uniform(2, 15)) for i in range(40)]
+        B = [rect_record(1000 + i, rng.uniform(0, 80), rng.uniform(0, 80),
+                         rng.uniform(2, 15), rng.uniform(2, 15)) for i in range(35)]
+        a_tbl = pa.Table.from_pylist(A, schema=SCH)
+        b_tbl = pa.Table.from_pylist(B, schema=SCH)
+        for op in ("intersect", "difference"):
+            bc = ov.overlay(rd.from_arrow(a_tbl), b_tbl, op).to_pandas()
+            cp = ov.overlay_copartition(rd.from_arrow(a_tbl), rd.from_arrow(b_tbl), op).to_pandas()
+            assert len(bc) == len(cp)
+            sa = bc.groupby("record_id")["area"].sum().sort_index()
+            sb = cp.groupby("record_id")["area"].sum().sort_index()
+            assert sa.index.tolist() == sb.index.tolist()
+            assert np.allclose(sa.values, sb.values, rtol=0, atol=1e-9)
+
+    def test_idw_copartition_matches_broadcast(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from whitebox_tools_ray.kernels import codecs
+        from whitebox_tools_ray.sources.tiles import SceneSpec
+        from whitebox_tools_ray.stages import gridding as gr
+
+        spec = SceneSpec(tiles_x=3, tiles_y=3, tile_px=8)
+        gs = spec.grid_spec()
+        rng = np.random.default_rng(2)
+        n = 200
+        tbl = pa.table({
+            "x": gs.west + rng.random(n) * spec.columns * gs.res_x,
+            "y": gs.north - rng.random(n) * spec.rows * gs.res_y,
+            "value": rng.random(n) * 100,
+        })
+
+        def back(ds):
+            out = np.full((spec.rows, spec.columns), np.nan)
+            for _, r in ds.to_pandas().iterrows():
+                out[int(r.tile_row) * 8 : (int(r.tile_row) + 1) * 8,
+                    int(r.tile_col) * 8 : (int(r.tile_col) + 1) * 8] = \
+                    codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
+            return out
+
+        for method in ("idw", "nearest"):
+            a = back(gr.idw_gridding(tbl, spec, radius=300.0, method=method, out_fmt="f64"))
+            b = back(gr.idw_gridding_ds(rd.from_arrow(tbl), spec, radius=300.0,
+                                        method=method, out_fmt="f64"))
+            assert np.array_equal(a, b)

@@ -594,14 +594,14 @@ def _register_all():
 
     register("Clump", cc.clump_ds, "Connected components, Dataset-native 2-pass merge", "gis_analysis",
              [P("tiles_ds", "Dataset"), P("spec", "SceneSpec")], "gis_analysis/clump.rs:246-281")
-    register("IdwInterpolation", gridding.idw_gridding, "IDW points->raster via per-tile FRS",
+    register("IdwInterpolation", gridding.idw_gridding_auto, "IDW points->raster (broadcast table or co-partitioned Dataset)",
              "gis_analysis", [], "gis_analysis/idw_interpolation.rs")
-    register("NearestNeighbourGridding", lambda p, s2, radius, **kw: gridding.idw_gridding(p, s2, radius, method="nearest", **kw),
+    register("NearestNeighbourGridding", lambda p, s2, radius, **kw: gridding.idw_gridding_auto(p, s2, radius, method="nearest", **kw),
              "Nearest-point gridding", "gis_analysis", [], "gis_analysis/nearest_neighbour_gridding.rs")
-    register("LidarIdwInterpolation", gridding.idw_gridding, "IDW gridding of the point cloud",
+    register("LidarIdwInterpolation", gridding.idw_gridding_auto, "IDW gridding of the point cloud",
              "lidar_analysis", [], "lidar_analysis/lidar_idw_interpolation.rs")
     register("LidarNearestNeighbourGridding",
-             lambda p, s2, radius, **kw: gridding.idw_gridding(p, s2, radius, method="nearest", **kw),
+             lambda p, s2, radius, **kw: gridding.idw_gridding_auto(p, s2, radius, method="nearest", **kw),
              "NN gridding of the point cloud", "lidar_analysis",
              [], "lidar_analysis/lidar_nn_gridding.rs")
     register("LidarBlockMaximum", lambda ds, gs, **kw: gridding.block_gridding(ds, gs, "max", **kw),

@@ -2858,3 +2858,74 @@ SELECT g.row, g.col,
             THEN 0.0 ELSE 1.0 END AS vis
 FROM g LEFT JOIN ang a ON g.row = a.row AND g.col = a.col
 """
+
+
+def q_overlay_intersect_cp(sf_dir: str):
+    """Intersect through the BOTH-SIDES-LARGE co-partition path
+    (overlay_copartition: quad-cell pair discovery + bucketed geometry
+    joins, no broadcast) — same oracle as the broadcast form."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import overlay as ov
+
+    a_ds, _b_tbl, _a_tbl, b_ds = _pair_rect_layers(sf_dir)
+    out = ov.overlay_copartition(a_ds, b_ds, "intersect")
+    agg = out.groupby("record_id").aggregate(Sum("area", alias_name="area"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"pair_id": t["record_id"].cast(pa.int64()), "area": t["area"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_OVERLAY_INTERSECT_CP_SQL = Q_OVERLAY_INTERSECT_SQL
+
+
+def q_idw_grid_cp(sf_dir: str):
+    """IdwInterpolation through the point-side co-partition path
+    (idw_gridding_ds: margin-duplicated flat-map + tile-key groupby, no
+    broadcast) on the same 6-point fixture — same oracle as the
+    broadcast form."""
+    import pyarrow as pa2
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+    from ..stages.gridding import idw_gridding_ds
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    gs = spec.grid_spec()
+    res = spec.res
+    fixture = [(5, 7, 0.3, 0.7, 11.0), (20, 40, 0.6, 0.2, 23.0), (50, 12, 0.1, 0.9, 7.0),
+               (33, 33, 0.8, 0.4, 17.0), (10, 55, 0.2, 0.3, 29.0), (60, 60, 0.7, 0.6, 5.0)]
+    pts = pa2.table(
+        {
+            "x": pa2.array([gs.west + (c + f) * res for (r, c, f, g_, v) in fixture]),
+            "y": pa2.array([gs.north - (r + g_) * res for (r, c, f, g_, v) in fixture]),
+            "value": pa2.array([v for (r, c, f, g_, v) in fixture]),
+        }
+    )
+    out = idw_gridding_ds(rd.from_arrow(pts), spec, radius=4.0 * res, power=2.0,
+                          out_fmt="f64")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rr, cc, vv = [], [], []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            for r in range(g.shape[0]):
+                for c in range(g.shape[1]):
+                    rr.append(tr * 16 + r)
+                    cc.append(tc * 16 + c)
+                    vv.append(round(float(g[r, c]), 6))
+        return pa.table(
+            {
+                "row": pa.array(rr, pa.int64()),
+                "col": pa.array(cc, pa.int64()),
+                "idw": pa.array(vv, pa.float64()),
+            }
+        )
+
+    return out.map_batches(cells, batch_format="pyarrow")

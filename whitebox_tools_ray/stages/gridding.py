@@ -48,6 +48,71 @@ def _points_by_tile(
     }
 
 
+def _interp_points_tile(px, py, pz, tid: int, spec, gs: GridSpec, method: str,
+                        radius: float, power: float,
+                        frs: FixedRadiusSearch2D | None = None) -> np.ndarray:
+    """Interpolate one tile from its (margin-duplicated) point set —
+    shared by the broadcast actor and the co-partition path, so both
+    produce identical values for identical per-tile point sets."""
+    tpx = spec.tile_px
+    tr, tc = tid // spec.tiles_x, tid % spec.tiles_x
+    out = np.full((tpx, tpx), gs.nodata)
+    if len(px) == 0:
+        return out
+    # canonical point order: the weighted sums reassociate under
+    # reordering (~1e-14), and the co-partition path's group concat
+    # order is nondeterministic — sort so both paths sum identically
+    order = np.lexsort((pz, py, px))
+    px, py, pz = px[order], py[order], pz[order]
+    if frs is not None and not np.array_equal(order, np.arange(len(order))):
+        frs = None
+    rows = np.arange(tr * tpx, (tr + 1) * tpx)
+    cols = np.arange(tc * tpx, (tc + 1) * tpx)
+    ys = gs.y_from_row(rows)
+    xs = gs.x_from_col(cols)
+    # vectorized path: full (cells × points) distance matrix when it
+    # fits comfortably; FRS per-cell loop otherwise
+    if len(px) * tpx * tpx <= 5_000_000:
+        gx, gy = np.meshgrid(xs, ys)
+        d = np.hypot(gx.ravel()[:, None] - px[None, :], gy.ravel()[:, None] - py[None, :])
+        if method == "idw":
+            with np.errstate(divide="ignore"):
+                w = np.where(d <= radius, 1.0 / d**power, 0.0)
+            exact = d == 0.0
+            has_exact = exact.any(axis=1)
+            wsum = w.sum(axis=1)
+            vals = np.where(wsum > 0, (w @ pz) / np.maximum(wsum, 1e-300), gs.nodata)
+            if has_exact.any():
+                first_exact = exact.argmax(axis=1)
+                vals[has_exact] = pz[first_exact[has_exact]]
+            out[:] = vals.reshape(tpx, tpx)
+        elif method == "nearest":
+            out[:] = pz[d.argmin(axis=1)].reshape(tpx, tpx)
+        else:
+            raise ValueError(method)
+        return out
+    if frs is None:
+        frs = FixedRadiusSearch2D(px, py, radius)
+    for i, y in enumerate(ys):
+        for j, x in enumerate(xs):
+            if method == "idw":
+                idx, d = frs.search(x, y)
+                if len(idx) == 0:
+                    continue
+                if np.any(d == 0.0):
+                    out[i, j] = pz[idx[d == 0.0][0]]
+                else:
+                    w = 1.0 / d**power
+                    out[i, j] = float(np.sum(w * pz[idx]) / np.sum(w))
+            elif method == "nearest":
+                idx, d = frs.knn(x, y, 1)
+                if len(idx):
+                    out[i, j] = pz[idx[0]]
+            else:
+                raise ValueError(method)
+    return out
+
+
 class _GriddingActor:
     """Per-actor: per-tile FRS indexes built lazily; per tile batch,
     interpolate every cell center."""
@@ -66,62 +131,17 @@ class _GriddingActor:
         self._frs_cache: dict[int, FixedRadiusSearch2D] = {}
 
     def _interp_tile(self, tid: int) -> np.ndarray:
-        from ..kernels import codecs  # noqa: F401
-
         tpx = self.spec.tile_px
-        tr, tc = tid // self.spec.tiles_x, tid % self.spec.tiles_x
-        out = np.full((tpx, tpx), self.gs.nodata)
         pts = self.by_tile.get(tid)
         if pts is None:
-            return out
+            return np.full((tpx, tpx), self.gs.nodata)
         px, py, pz = pts
         frs = self._frs_cache.get(tid)
         if frs is None:
             frs = FixedRadiusSearch2D(px, py, self.radius)
             self._frs_cache[tid] = frs
-        rows = np.arange(tr * tpx, (tr + 1) * tpx)
-        cols = np.arange(tc * tpx, (tc + 1) * tpx)
-        ys = self.gs.y_from_row(rows)
-        xs = self.gs.x_from_col(cols)
-        # vectorized path: full (cells × points) distance matrix when it
-        # fits comfortably; FRS per-cell loop otherwise
-        if len(px) * tpx * tpx <= 5_000_000:
-            gx, gy = np.meshgrid(xs, ys)
-            d = np.hypot(gx.ravel()[:, None] - px[None, :], gy.ravel()[:, None] - py[None, :])
-            if self.method == "idw":
-                with np.errstate(divide="ignore"):
-                    w = np.where(d <= self.radius, 1.0 / d**self.power, 0.0)
-                exact = d == 0.0
-                has_exact = exact.any(axis=1)
-                wsum = w.sum(axis=1)
-                vals = np.where(wsum > 0, (w @ pz) / np.maximum(wsum, 1e-300), self.gs.nodata)
-                if has_exact.any():
-                    first_exact = exact.argmax(axis=1)
-                    vals[has_exact] = pz[first_exact[has_exact]]
-                out[:] = vals.reshape(tpx, tpx)
-            elif self.method == "nearest":
-                out[:] = pz[d.argmin(axis=1)].reshape(tpx, tpx)
-            else:
-                raise ValueError(self.method)
-            return out
-        for i, y in enumerate(ys):
-            for j, x in enumerate(xs):
-                if self.method == "idw":
-                    idx, d = frs.search(x, y)
-                    if len(idx) == 0:
-                        continue
-                    if np.any(d == 0.0):
-                        out[i, j] = pz[idx[d == 0.0][0]]
-                    else:
-                        w = 1.0 / d**self.power
-                        out[i, j] = float(np.sum(w * pz[idx]) / np.sum(w))
-                elif self.method == "nearest":
-                    idx, d = frs.knn(x, y, 1)
-                    if len(idx):
-                        out[i, j] = pz[idx[0]]
-                else:
-                    raise ValueError(self.method)
-        return out
+        return _interp_points_tile(px, py, pz, tid, self.spec, self.gs,
+                                   self.method, self.radius, self.power, frs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..kernels import codecs
@@ -174,6 +194,108 @@ def idw_gridding(
         batch_size=4,
         concurrency=concurrency,
     )
+
+
+def idw_gridding_ds(
+    points_ds,
+    spec,
+    radius: float,
+    power: float = 2.0,
+    method: str = "idw",
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "value",
+    out_fmt: str = "f32",
+):
+    """Point-side co-partition gridding (the documented fallback for
+    point sets too large to materialize/broadcast): each point flat-maps
+    to every tile whose window+margin contains it (margin duplication,
+    typically a few % for radius ≪ tile width), and a tile-key groupby
+    interpolates each tile from its local point set — identical values
+    to the broadcast path via the shared ``_interp_points_tile`` kernel.
+    Shuffle payload = points × duplication factor; the driver never
+    touches the point table. Tie-breaking among EXACT-duplicate
+    distances may differ from the broadcast path (group concat order is
+    not the table order); the reference leaves that order unspecified
+    too."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+
+    gs = spec.grid_spec()
+    margin = radius if method == "idw" else max(radius, 4.0 * spec.res)
+    tile_w = spec.tile_px * gs.res_x
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+
+    def assign(batch: pa.Table) -> pa.Table:
+        px = batch.column(x_col).to_numpy(zero_copy_only=False)
+        py = batch.column(y_col).to_numpy(zero_copy_only=False)
+        pz = batch.column(z_col).to_numpy(zero_copy_only=False)
+        t0x = np.floor((px - margin - gs.west) / tile_w).astype(np.int64)
+        t1x = np.floor((px + margin - gs.west) / tile_w).astype(np.int64)
+        t0y = np.floor((gs.north - (py + margin)) / tile_w).astype(np.int64)
+        t1y = np.floor((gs.north - (py - margin)) / tile_w).astype(np.int64)
+        tid, xs_, ys_, zs_ = [], [], [], []
+        for i in range(len(px)):
+            for tr in range(max(t0y[i], 0), min(t1y[i], tiles_y - 1) + 1):
+                for tc in range(max(t0x[i], 0), min(t1x[i], tiles_x - 1) + 1):
+                    tid.append(tr * tiles_x + tc)
+                    xs_.append(px[i])
+                    ys_.append(py[i])
+                    zs_.append(pz[i])
+        return pa.table(
+            {
+                "tile_id": pa.array(tid, pa.int64()),
+                "px": pa.array(xs_, pa.float64()),
+                "py": pa.array(ys_, pa.float64()),
+                "pz": pa.array(zs_, pa.float64()),
+                "marker": pa.array([0] * len(tid), pa.int8()),
+            }
+        )
+
+    # one marker row per tile so empty tiles still emit (all-nodata)
+    def markers(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table(
+            {
+                "tile_id": pa.array(ids, pa.int64()),
+                "px": pa.array([0.0] * n, pa.float64()),
+                "py": pa.array([0.0] * n, pa.float64()),
+                "pz": pa.array([0.0] * n, pa.float64()),
+                "marker": pa.array([1] * n, pa.int8()),
+            }
+        )
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["tile_id"].iloc[0])
+        pts = g[g["marker"] == 0]
+        out = _interp_points_tile(pts["px"].to_numpy(), pts["py"].to_numpy(),
+                                  pts["pz"].to_numpy(), tid, spec,
+                                  gs, method, radius, power)
+        return pd.DataFrame(
+            {
+                "tile_id": [tid],
+                "tile_row": [tid // tiles_x],
+                "tile_col": [tid % tiles_x],
+                "bytes": [codecs.encode_tile(out, out_fmt)],
+                "fmt": [out_fmt],
+            }
+        )
+
+    pts = points_ds.map_batches(assign, batch_format="pyarrow")
+    seed = rd.range(tiles_x * tiles_y).map_batches(markers, batch_format="pyarrow")
+    return pts.union(seed).groupby("tile_id").map_groups(per_tile, batch_format="pandas")
+
+
+def idw_gridding_auto(points, spec, radius: float, **kw):
+    """Registry dispatcher: an Arrow table (small side) takes the
+    broadcast actor path; a Dataset (large side) takes the co-partition
+    path."""
+    if isinstance(points, pa.Table):
+        return idw_gridding(points, spec, radius, **kw)
+    kw.pop("concurrency", None)
+    return idw_gridding_ds(points, spec, radius, **kw)
 
 
 def block_gridding(points_ds, gs: GridSpec, stat: str = "max", x_col="x", y_col="y", z_col="value"):

@@ -204,6 +204,173 @@ def overlay(a_ds, b_table: pa.Table, op: str, concurrency=(1, 8)):
     )
 
 
+def overlay_copartition(a_ds, b_ds, op: str, cell_size: float | None = None,
+                        num_buckets: int = 32):
+    """Both-sides-large overlay (the documented fallback for overlay
+    layers too big to broadcast): exact same per-subject kernel
+    semantics as :func:`overlay` — every subject meets the FULL set of
+    B records whose bbox touches its bbox — with no ``ray.put`` of B
+    and no driver materialization.
+
+    Shape (the clip_points SJ pattern, generalized to record pairs):
+
+    1. both layers flat-map their (cell, id, bbox) cover — keys + 4
+       floats only, geometry stays put;
+    2. per-cell bbox join finds candidate (a_id, b_id) pairs, each pair
+       deduped to the ONE cell containing the corner
+       (max(ax0, bx0), max(ay0, by0)) of the bbox intersection;
+    3. pairs pull B geometry through a bucketed hash join and pack one
+       candidate-list row per subject;
+    4. subjects pull their pack through a second bucketed join (left,
+       so bbox-disjoint subjects keep the difference fast path) and run
+       the arrangement kernel.
+
+    B geometry is replicated once per candidate pair (inherent to the
+    join's selectivity); A geometry crosses the wire once. When
+    ``cell_size`` is None it is estimated from a bbox-extent aggregate,
+    which EXECUTES both inputs once — pass it explicitly when the
+    inputs are expensive lazy pipelines."""
+    import pickle
+
+    from .joins import hash_join_bucketed
+
+    keep_disjoint = op == "difference"
+
+    if cell_size is None:
+        from ray.data.aggregate import Max, Min
+
+        ext = []
+        for ds in (a_ds, b_ds):
+            agg = ds.select_columns(["x_min", "x_max", "y_min", "y_max"]).aggregate(
+                Min("x_min"), Max("x_max"), Min("y_min"), Max("y_max")
+            )
+            ext.append(agg)
+        x0 = min(e["min(x_min)"] for e in ext)
+        x1 = max(e["max(x_max)"] for e in ext)
+        y0 = min(e["min(y_min)"] for e in ext)
+        y1 = max(e["max(y_max)"] for e in ext)
+        cell_size = max(x1 - x0, y1 - y0, 1e-9) / 32.0
+
+    cs = float(cell_size)
+    OFF = 1 << 20  # cell coordinates assumed within ±2^20 cells of origin
+
+    def _cell_key(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        return (cx + OFF) * (1 << 21) + (cy + OFF)
+
+    def cover(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            rid = batch["record_id"].to_numpy(zero_copy_only=False)
+            x0 = batch["x_min"].to_numpy(zero_copy_only=False)
+            x1 = batch["x_max"].to_numpy(zero_copy_only=False)
+            y0 = batch["y_min"].to_numpy(zero_copy_only=False)
+            y1 = batch["y_max"].to_numpy(zero_copy_only=False)
+            cells, ids, bx0, bx1, by0, by1 = [], [], [], [], [], []
+            cx0 = np.floor(x0 / cs).astype(np.int64)
+            cx1 = np.floor(x1 / cs).astype(np.int64)
+            cy0 = np.floor(y0 / cs).astype(np.int64)
+            cy1 = np.floor(y1 / cs).astype(np.int64)
+            for i in range(len(rid)):
+                for cx in range(cx0[i], cx1[i] + 1):
+                    for cy in range(cy0[i], cy1[i] + 1):
+                        cells.append((cx + OFF) * (1 << 21) + (cy + OFF))
+                        ids.append(int(rid[i]))
+                        bx0.append(x0[i])
+                        bx1.append(x1[i])
+                        by0.append(y0[i])
+                        by1.append(y1[i])
+            return pa.table(
+                {
+                    "cell": pa.array(cells, pa.int64()),
+                    "rid": pa.array(ids, pa.int64()),
+                    "bx0": pa.array(bx0, pa.float64()),
+                    "bx1": pa.array(bx1, pa.float64()),
+                    "by0": pa.array(by0, pa.float64()),
+                    "by1": pa.array(by1, pa.float64()),
+                    "side": pa.array([side] * len(ids), pa.int8()),
+                }
+            )
+
+        return fn
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        A = g[g["side"] == 0]
+        B = g[g["side"] == 1]
+        if not len(A) or not len(B):
+            return pd.DataFrame({"a_id": pd.Series([], dtype=np.int64),
+                                 "b_id": pd.Series([], dtype=np.int64)})
+        bx0 = B["bx0"].to_numpy(); bx1 = B["bx1"].to_numpy()
+        by0 = B["by0"].to_numpy(); by1 = B["by1"].to_numpy()
+        bid = B["rid"].to_numpy()
+        a_out, b_out = [], []
+        for _, a in A.iterrows():
+            hit = (bx0 <= a["bx1"]) & (bx1 >= a["bx0"]) & (by0 <= a["by1"]) & (by1 >= a["by0"])
+            if not hit.any():
+                continue
+            # canonical-cell dedup: keep only pairs whose intersection
+            # corner lands in THIS cell
+            ccx = np.floor(np.maximum(bx0[hit], a["bx0"]) / cs).astype(np.int64)
+            ccy = np.floor(np.maximum(by0[hit], a["by0"]) / cs).astype(np.int64)
+            keep = _cell_key(ccx, ccy) == cell
+            for b in bid[hit][keep]:
+                a_out.append(int(a["rid"]))
+                b_out.append(int(b))
+        return pd.DataFrame({"a_id": pd.Series(a_out, dtype=np.int64),
+                             "b_id": pd.Series(b_out, dtype=np.int64)})
+
+    def pack_b(g: pd.DataFrame) -> pd.DataFrame:
+        groups = []
+        for _, row in g.iterrows():
+            groups.append(record_rings(row["parts"], row["xs"], row["ys"]))
+        return pd.DataFrame(
+            {
+                "a_id": pd.Series([int(g["a_id"].iloc[0])], dtype=np.int64),
+                "bpack": pd.Series([pickle.dumps(groups)], dtype=object),
+            }
+        )
+
+    def run_kernel(batch: pd.DataFrame) -> pa.Table:
+        out = _new_out()
+        for _, row in batch.iterrows():
+            rings = record_rings(row["parts"], row["xs"], row["ys"])
+            if not rings:
+                continue
+            bp = row.get("bpack")
+            has_pack = bp is not None and not (isinstance(bp, float) and np.isnan(bp))
+            if not has_pack:
+                if keep_disjoint:
+                    area = abs(sum(ring_signed_area(r) for r in rings))
+                    out["record_id"].append(row["record_id"])
+                    out["frag"].append(0)
+                    out["parts"].append(list(row["parts"]))
+                    out["xs"].append(list(row["xs"]))
+                    out["ys"].append(list(row["ys"]))
+                    out["x_min"].append(row["x_min"])
+                    out["x_max"].append(row["x_max"])
+                    out["y_min"].append(row["y_min"])
+                    out["y_max"].append(row["y_max"])
+                    out["area"].append(area)
+                continue
+            b_groups = pickle.loads(bytes(bp))
+            polys = polygon_overlay(rings, b_groups, op)
+            _emit_polys(int(row["record_id"]), polys, out)
+        return _out_table(out)
+
+    a_cells = a_ds.map_batches(cover(0), batch_format="pyarrow")
+    b_cells = b_ds.map_batches(cover(1), batch_format="pyarrow")
+    pairs = (
+        a_cells.union(b_cells)
+        .groupby("cell")
+        .map_groups(pair_group, batch_format="pandas")
+    )
+    with_geom = hash_join_bucketed(pairs, b_ds, key="b_id", right_key="record_id",
+                                   num_buckets=num_buckets)
+    packed = with_geom.groupby("a_id").map_groups(pack_b, batch_format="pandas")
+    joined = hash_join_bucketed(a_ds, packed, key="record_id", right_key="a_id",
+                                how="left", num_buckets=num_buckets)
+    return joined.map_batches(run_kernel, batch_format="pandas", batch_size=64)
+
+
 def intersect(a_ds, b_table, **kw):
     return overlay(a_ds, b_table, "intersect", **kw)
 
