@@ -49,19 +49,19 @@ def _emit_with_halo(ds, radius: float, cols: list[str] | None = None):
     r = float(radius)
 
     def fn(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas() if cols is None else batch.select(cols).to_pandas()
-        x = pdf["x"].to_numpy(dtype=np.float64)
-        y = pdf["y"].to_numpy(dtype=np.float64)
+        t = batch if cols is None else batch.select(cols)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.float64)
         cx = np.floor(x / r).astype(np.int64)
         cy = np.floor(y / r).astype(np.int64)
-        frames = []
+        tables = []
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dx == 0 and dy == 0:
-                    g = pdf.copy()
-                    g["cell"] = (cy * 1_000_003 + cx).astype(np.int64)
-                    g["own"] = np.int8(1)
-                    frames.append(g)
+                    g = t.append_column("cell", pa.array(cy * 1_000_003 + cx, pa.int64()))
+                    tables.append(
+                        g.append_column("own", pa.array(np.ones(len(x), dtype=np.int8)))
+                    )
                     continue
                 ncx, ncy = cx + dx, cy + dy
                 # distance from point to the neighbour cell's square
@@ -70,11 +70,13 @@ def _emit_with_halo(ds, radius: float, cols: list[str] | None = None):
                 m = np.hypot(ddx, ddy) <= r
                 if not m.any():
                     continue
-                g = pdf[m].copy()
-                g["cell"] = (ncy[m] * 1_000_003 + ncx[m]).astype(np.int64)
-                g["own"] = np.int8(0)
-                frames.append(g)
-        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+                idx = np.flatnonzero(m)
+                g = t.take(pa.array(idx, pa.int64()))
+                g = g.append_column("cell", pa.array(ncy[m] * 1_000_003 + ncx[m], pa.int64()))
+                tables.append(
+                    g.append_column("own", pa.array(np.zeros(len(idx), dtype=np.int8)))
+                )
+        return pa.concat_tables(tables)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -386,12 +388,14 @@ def lidar_info(ds) -> dict:
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        z = batch["z"].to_numpy(zero_copy_only=False)
         out = {
-            "n": [len(pdf)],
-            "xmin": [float(pdf["x"].min())], "xmax": [float(pdf["x"].max())],
-            "ymin": [float(pdf["y"].min())], "ymax": [float(pdf["y"].max())],
-            "zmin": [float(pdf["z"].min())], "zmax": [float(pdf["z"].max())],
+            "n": [len(x)],
+            "xmin": [float(x.min())], "xmax": [float(x.max())],
+            "ymin": [float(y.min())], "ymax": [float(y.max())],
+            "zmin": [float(z.min())], "zmax": [float(z.max())],
         }
         return pa.table(out)
 
@@ -412,13 +416,27 @@ def lidar_point_stats(ds, resolution: float = 1.0):
     """LidarPointStats: per grid cell n / z min / max / range."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
-        pdf["cx"] = np.floor(pdf["x"] / resolution).astype(np.int64)
-        pdf["cy"] = np.floor(pdf["y"] / resolution).astype(np.int64)
-        agg = pdf.groupby(["cy", "cx"]).agg(
-            n=("z", "size"), zmin=("z", "min"), zmax=("z", "max")
-        ).reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z = batch["z"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = np.floor(x / resolution).astype(np.int64)
+        cy = np.floor(y / resolution).astype(np.int64)
+        keys = cy * 1_000_003 + cx
+        uk, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+        n = np.bincount(inv)
+        zmin = np.full(len(uk), np.inf)
+        zmax = np.full(len(uk), -np.inf)
+        np.minimum.at(zmin, inv, z)
+        np.maximum.at(zmax, inv, z)
+        return pa.table(
+            {
+                "cy": pa.array(cy[first], pa.int64()),
+                "cx": pa.array(cx[first], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "zmin": pa.array(zmin),
+                "zmax": pa.array(zmax),
+            }
+        )
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -452,12 +470,15 @@ def lidar_classify_subset(base_ds, subset_poly, cls: int, class_col: str = "clas
 
     def fn(batch: pa.Table) -> pa.Table:
         pxs, pys = ray.get(ref)
-        pdf = batch.to_pandas()
         inside = geometry.points_in_poly(
-            pdf["x"].to_numpy(dtype=np.float64), pdf["y"].to_numpy(dtype=np.float64), pxs, pys
+            batch["x"].to_numpy(zero_copy_only=False).astype(np.float64),
+            batch["y"].to_numpy(zero_copy_only=False).astype(np.float64),
+            pxs, pys,
         )
-        pdf.loc[inside, class_col] = cls
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        old = batch[class_col].to_numpy(zero_copy_only=False)
+        new = np.where(inside, cls, old)
+        i = batch.schema.get_field_index(class_col)
+        return batch.set_column(i, class_col, pa.array(new, batch[class_col].type))
 
     return base_ds.map_batches(fn, batch_format="pyarrow")
 
@@ -541,22 +562,24 @@ def lidar_colourize(points_ds, tiles_ds, spec):
     tpx = spec.tile_px
 
     def key_points(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
-        col = np.floor((pdf["x"].to_numpy() - gs.west) / spec.res).astype(np.int64)
-        row = np.floor((gs.north - pdf["y"].to_numpy()) / spec.res).astype(np.int64)
-        pdf["__r"] = row
-        pdf["__c"] = col
-        pdf["tkey"] = (row // tpx) * spec.tiles_x + (col // tpx)
-        pdf["__side"] = np.int8(0)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        col = np.floor(
+            (batch["x"].to_numpy(zero_copy_only=False) - gs.west) / spec.res
+        ).astype(np.int64)
+        row = np.floor(
+            (gs.north - batch["y"].to_numpy(zero_copy_only=False)) / spec.res
+        ).astype(np.int64)
+        t = batch.append_column("__r", pa.array(row, pa.int64()))
+        t = t.append_column("__c", pa.array(col, pa.int64()))
+        t = t.append_column(
+            "tkey", pa.array((row // tpx) * spec.tiles_x + (col // tpx), pa.int64())
+        )
+        return t.append_column("__side", pa.array(np.zeros(len(row), dtype=np.int8)))
 
     def key_tiles(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
-        pdf["tkey"] = (
-            pdf["tile_row"].astype(np.int64) * spec.tiles_x + pdf["tile_col"].astype(np.int64)
-        )
-        pdf["__side"] = np.int8(1)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        tr = batch["tile_row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = batch["tile_col"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.append_column("tkey", pa.array(tr * spec.tiles_x + tc, pa.int64()))
+        return t.append_column("__side", pa.array(np.ones(len(tr), dtype=np.int8)))
 
     pts = points_ds.map_batches(key_points, batch_format="pyarrow")
     tls = tiles_ds.map_batches(key_tiles, batch_format="pyarrow")
