@@ -273,3 +273,41 @@ class TestVisibility:
         f = fetch_analysis(g, -32768.0, 90.0, max_dist=20.0)
         # looking east: cells west of the wall hit it
         assert f[10, 5] < 20.0 and f.max() <= 20.0
+
+
+class TestCombineTileLayers:
+    """Store-actor zip must equal the exchange groupby zip — including
+    a tile missing from a secondary layer (b"" payload)."""
+
+    def test_store_matches_exchange(self, ray_session):
+        from whitebox_tools_ray.stages.bsp import combine_tile_layers
+
+        spec = tsrc.SceneSpec(tiles_x=9, tiles_y=9, tile_px=8, seed=3)
+        base_t = tsrc.generate_tiles(spec, fmt_cycle=("f32",))
+        other_t = tsrc.generate_tiles(
+            tsrc.SceneSpec(tiles_x=9, tiles_y=9, tile_px=8, seed=4),
+            fmt_cycle=("f32",),
+        )
+
+        def run(mode):
+            base = rd.from_arrow(base_t).repartition(6)
+            # drop one tile from the secondary layer
+            other = rd.from_arrow(other_t).repartition(6).filter(
+                lambda r: not (r["tile_row"] == 2 and r["tile_col"] == 5)
+            )
+            out = combine_tile_layers(
+                spec, mode=mode, a=base, b=other
+            ).to_pandas()
+            return out.sort_values(["tile_row", "tile_col"]).reset_index(drop=True)
+
+        ex = run("exchange")
+        st = run("store")
+        assert list(ex.columns) == list(st.columns)
+        assert len(ex) == len(st) == 81
+        for col in ("a", "b", "a_fmt", "b_fmt"):
+            assert all(
+                bytes(x) == bytes(y) if isinstance(x, (bytes, bytearray)) else x == y
+                for x, y in zip(ex[col], st[col])
+            ), col
+        miss = st[(st.tile_row == 2) & (st.tile_col == 5)]
+        assert bytes(miss["b"].iloc[0]) == b"" and miss["b_fmt"].iloc[0] == ""

@@ -177,15 +177,98 @@ def decode_row(batch: pa.Table, i: int) -> np.ndarray:
     return codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
 
 
-def combine_tile_layers(spec, **layers):
+def _combine_store(spec, names: list[str], layers: dict, n_stores: int):
+    """Shuffle-free zip: the FIRST layer's blocks stream through in
+    place; every other layer pushes (tkey, layer_idx, bytes, fmt) once
+    into a small pool of store actors (the focal ``_MarginStore`` —
+    its schema fits verbatim with ``rel`` = layer index), with a
+    ``materialize()`` barrier per secondary layer so every payload is
+    registered before any primary block pulls. Moves N-1 of N layers
+    exactly once and pays no union fan-in / groupby sort.
+
+    Assumes every output tile is present in the first layer — true for
+    all engine callers, where each layer is a per-tile map over the
+    same scene tiling. Tiles missing from a secondary layer yield
+    ``b""`` payloads, matching the exchange path."""
+    import ray
+
+    from .focal import _MarginStore
+
+    tiles_x = spec.tiles_x
+    stores = [ray.remote(num_cpus=0)(_MarginStore).remote() for _ in range(n_stores)]
+
+    barriers = []
+    for li, name in enumerate(names[1:], start=1):
+        def push(batch: pa.Table, li=li) -> pa.Table:
+            tr = batch["tile_row"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tc = batch["tile_col"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tkeys = tr * tiles_x + tc
+            blobs = batch["bytes"].to_pylist()
+            fmts = batch["fmt"].to_pylist()
+            per_store: dict[int, list] = {}
+            for i in range(batch.num_rows):
+                k = int(tkeys[i])
+                per_store.setdefault(k % n_stores, []).append((k, li, blobs[i], fmts[i]))
+            ray.get([stores[si].put.remote(items) for si, items in per_store.items()])
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        barriers.append(layers[name].map_batches(push, batch_format="pyarrow").materialize())
+
+    def pull(batch: pa.Table) -> pa.Table:
+        tr = batch["tile_row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = batch["tile_col"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tkeys = tr * tiles_x + tc
+        per_store: dict[int, list[int]] = {}
+        for k in tkeys:
+            per_store.setdefault(int(k) % n_stores, []).append(int(k))
+        packs: dict[int, list] = {}
+        for res in ray.get([stores[si].get.remote(ks) for si, ks in per_store.items()]):
+            packs.update(res)
+        cols = {
+            "tile_row": pa.array(tr, pa.int64()),
+            "tile_col": pa.array(tc, pa.int64()),
+            names[0]: batch["bytes"],
+            names[0] + "_fmt": batch["fmt"],
+        }
+        for li, name in enumerate(names[1:], start=1):
+            data: list[bytes] = []
+            fmt: list[str] = []
+            for k in tkeys:
+                hit = next(
+                    ((d, f) for rel, d, f in packs.get(int(k), []) if rel == li), None
+                )
+                data.append(hit[0] if hit else b"")
+                fmt.append(hit[1] if hit else "")
+            cols[name] = pa.array(data, pa.binary())
+            cols[name + "_fmt"] = pa.array(fmt, pa.string())
+        return pa.table(cols)
+
+    out = layers[names[0]].map_batches(pull, batch_format="pyarrow")
+    # keep the actors alive for as long as the (lazy) result can execute
+    out._combine_stores = (stores, barriers)
+    return out
+
+
+def combine_tile_layers(spec, mode: str = "auto", **layers):
     """Zip N tile Datasets on (tile_row, tile_col) into one Dataset with
-    a bytes column per layer name — the keyed-groupby zip (no driver
-    materialization). Each input must be Dataset[tile_row, tile_col,
-    bytes, fmt]; output rows carry ``<name>`` bytes columns (payloads
-    re-encoded to their original fmt strings in ``<name>_fmt``)."""
+    a bytes column per layer name. Each input must be
+    Dataset[tile_row, tile_col, bytes, fmt]; output rows carry
+    ``<name>`` bytes columns (payloads keep their original fmt strings
+    in ``<name>_fmt``).
+
+    ``mode``: "exchange" unions all layers and zips through one
+    ``groupby(tkey)`` shuffle — simple, but the shuffle carries 100% of
+    every layer's payload and the union fan-in measurably anti-scales;
+    "store" streams the first layer in place and routes the others
+    through a store-actor pool (see ``_combine_store``) — the 100-TB
+    path. "auto" picks "store" for scenes of ≥ 64 tiles."""
     import pandas as pd
 
     names = list(layers)
+    n_tiles = spec.tiles_x * spec.tiles_y
+    if len(names) >= 2 and (mode == "store" or (mode == "auto" and n_tiles >= 64)):
+        n_stores = max(1, min(64, n_tiles // 512 + 1))
+        return _combine_store(spec, names, layers, n_stores)
     tagged = []
     for name, ds in layers.items():
         def tag(batch: pa.Table, name=name) -> pa.Table:
