@@ -676,6 +676,75 @@ class TestBreachDepressions:
         np.testing.assert_allclose(filled[v], out[v], atol=1e-9)
         assert out[4, 4] == 10.0  # pit itself already drains via the hole
 
+    def test_breach_ds_tiled_vs_global_parity(self, ray_session):
+        """breach_depressions_ds (exact route) on a multi-pit tiled DEM
+        == breach_depressions on the assembled grid, bit for bit; above
+        the cell cap it routes to fill_depressions_ds (raise-not-carve),
+        whose output must also be depression-free."""
+        import ray.data as rd
+
+        from whitebox_tools_ray.kernels import codecs
+        from whitebox_tools_ray.sources import tiles as tsrc
+        from whitebox_tools_ray.stages.fill import (
+            breach_depressions,
+            breach_depressions_ds,
+            priority_flood,
+        )
+
+        spec = tsrc.SceneSpec(tiles_x=3, tiles_y=3, tile_px=16, seed=21)
+        table = tsrc.generate_tiles(spec, fmt_cycle=("f32",))
+        grid = tsrc.assemble_scene(table, spec)
+        # carve several explicit pits so multiple rounds fire
+        for (r, c) in ((6, 6), (20, 30), (37, 12), (25, 40)):
+            grid[r - 2 : r + 3, c - 2 : c + 3] -= 80.0
+        rows = []
+        for tr in range(3):
+            for tc in range(3):
+                sub = grid[tr * 16 : (tr + 1) * 16, tc * 16 : (tc + 1) * 16]
+                rows.append(
+                    {
+                        "tile_row": tr,
+                        "tile_col": tc,
+                        "bytes": codecs.encode_tile(sub, "f32"),
+                        "fmt": "f32",
+                    }
+                )
+        # f32 encode/decode round-trip so both paths see identical input
+        grid32 = np.vstack(
+            [
+                np.hstack(
+                    [
+                        codecs.decode_tile(rows[tr * 3 + tc]["bytes"], "f32")
+                        for tc in range(3)
+                    ]
+                )
+                for tr in range(3)
+            ]
+        )
+        ds = rd.from_items(rows).repartition(4)
+        out = breach_depressions_ds(ds, spec).to_pandas()
+        got = np.full((48, 48), spec.nodata)
+        for _, row in out.iterrows():
+            t = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            got[
+                int(row["tile_row"]) * 16 : int(row["tile_row"]) * 16 + 16,
+                int(row["tile_col"]) * 16 : int(row["tile_col"]) * 16 + 16,
+            ] = t
+        expect = breach_depressions(grid32, spec.nodata)
+        np.testing.assert_allclose(got, np.float32(expect), rtol=0, atol=0)
+        # demoted route: cap of 1 cell forces fill; still depression-free
+        filled = breach_depressions_ds(ds, spec, exact_cell_cap=1).to_pandas()
+        gotf = np.full((48, 48), spec.nodata)
+        for _, row in filled.iterrows():
+            t = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            gotf[
+                int(row["tile_row"]) * 16 : int(row["tile_row"]) * 16 + 16,
+                int(row["tile_col"]) * 16 : int(row["tile_col"]) * 16 + 16,
+            ] = t
+        assert (gotf >= grid32 - 1e-3).all()  # fill raises, never carves
+        refill = priority_flood(gotf.astype(np.float64), spec.nodata)
+        np.testing.assert_allclose(refill, gotf, atol=1e-3)
+
 
 class TestStreamLinksDS:
     def test_ds_matches_dict_form(self, ray_session):

@@ -761,9 +761,11 @@ def _register_all():
              "terrain_analysis",
              [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("azimuth_deg", "Float"), P("max_dist", "Float")],
              "terrain_analysis/fetch_analysis.rs")
-    register("BreachDepressions", fl.breach_depressions,
-             "Pit-wise least-cost carve (Lindsay 2016); per-partition kernel",
-             "hydro_analysis", [P("grid", "Raster"), P("nodata", "Float")],
+    register("BreachDepressions", fl.breach_depressions_ds,
+             "Pit-wise least-cost carve (Lindsay 2016); exact one-task kernel "
+             "up to 16M cells, fill_depressions_ds (raise-not-carve) above",
+             "hydro_analysis",
+             [P("dem_ds", "Dataset"), P("spec", "SceneSpec")],
              "hydro_analysis/breach_depressions.rs")
 
     # terrain_analysis

@@ -526,3 +526,61 @@ def breach_depressions(grid: np.ndarray, nodata: float, epsilon: float = 1e-5,
         if not carved_any:
             break
     return z
+
+
+def breach_depressions_ds(dem_ds, spec, epsilon: float = 1e-5,
+                          max_rounds: int = 8, num_workers: int = 4,
+                          exact_cell_cap: int = 16_000_000):
+    """Dataset-native BreachDepressions.
+
+    The exact Lindsay-2016 carve is globally sequential — each carve
+    lowers cells and therefore changes the dig cost of every later
+    pit's least-cost search — so it does not decompose into
+    independent tile tasks. Two routes:
+
+    - scenes up to ``exact_cell_cap`` cells (128 MB of f64): the tile
+      table groups under one constant key and a SINGLE worker task
+      assembles the scene, runs the exact kernel, and re-emits tiles.
+      Pixel data never touches the driver, but the kernel is one task
+      (breach_depressions.rs itself is a whole-raster in-memory pass).
+    - larger scenes route to ``fill_depressions_ds`` — the same
+      depression-free every-cell-drains guarantee, with cells RAISED to
+      the spill level instead of carved below it. Documented semantics
+      difference; pick FillDepressions explicitly when parity with the
+      reference's breach values matters at that scale.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..kernels import codecs
+
+    if spec.rows * spec.columns > exact_cell_cap:
+        return fill_depressions_ds(dem_ds, spec, num_workers=num_workers)
+
+    nodata, tpx, tiles_x = spec.nodata, spec.tile_px, spec.tiles_x
+
+    def carve(g: pd.DataFrame) -> pd.DataFrame:
+        full = np.full((spec.rows, spec.columns), nodata, dtype=np.float64)
+        for _, row in g.iterrows():
+            t = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            r0 = int(row["tile_row"]) * tpx
+            c0 = int(row["tile_col"]) * tpx
+            full[r0 : r0 + t.shape[0], c0 : c0 + t.shape[1]] = t
+        z = breach_depressions(full, nodata, epsilon=epsilon, max_rounds=max_rounds)
+        out = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+        for _, row in g.iterrows():
+            tr, tc = int(row["tile_row"]), int(row["tile_col"])
+            r0, c0 = tr * tpx, tc * tpx
+            out["tile_row"].append(tr)
+            out["tile_col"].append(tc)
+            out["bytes"].append(
+                codecs.encode_tile(z[r0 : r0 + tpx, c0 : c0 + tpx], "f32")
+            )
+            out["fmt"].append("f32")
+        return pd.DataFrame(out)
+
+    keyed = dem_ds.map_batches(
+        lambda b: b.append_column("__one", pa.array(np.zeros(b.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    return keyed.groupby("__one").map_groups(carve, batch_format="pandas")
