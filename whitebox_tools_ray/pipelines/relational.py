@@ -285,22 +285,47 @@ def q_cell_binning_sql(level: int = 9) -> str:
 
 def q_tile_assign(sf_dir: str, width: float = 125.0):
     """LidarTile-rule tile assignment + per-tile counts
-    (lidar_tile.rs:257-281 parity in SQL)."""
-    from ray.data.aggregate import Count, Max, Min
+    (lidar_tile.rs:257-281 parity in SQL).
+
+    Both passes pre-aggregate inside coalesced map_batches (1-row extent
+    partials; per-batch tile counts) so the Aggregate operators see a
+    handful of tiny blocks — its fixed cost scales with input block
+    count, and Ray over-splits small reads to ~2 blocks/CPU."""
+    from ray.data.aggregate import Max, Min, Sum
 
     from ..kernels.grid import TileGrid
 
     pts = synth_points(sf_dir)
-    ext = pts.aggregate(Min("x", alias_name="mnx"), Max("x", alias_name="mxx"), Min("y", alias_name="mny"), Max("y", alias_name="mxy"))
+
+    def ext_partial(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"mnx": [x.min()], "mxx": [x.max()], "mny": [y.min()], "mxy": [y.max()]}
+        )
+
+    ext = pts.map_batches(
+        ext_partial, batch_format="pyarrow", batch_size=262144
+    ).aggregate(
+        Min("mnx", alias_name="mnx"), Max("mxx", alias_name="mxx"),
+        Min("mny", alias_name="mny"), Max("mxy", alias_name="mxy"),
+    )
     tg = TileGrid.from_extent(ext["mnx"], ext["mxx"], ext["mny"], ext["mxy"], width, width)
 
-    def assign(batch: pa.Table) -> pa.Table:
+    def assign_count(batch: pa.Table) -> pa.Table:
         row, col, tid = tg.assign(
             batch["x"].to_numpy(zero_copy_only=False), batch["y"].to_numpy(zero_copy_only=False)
         )
-        return batch.append_column("tile_id", pa.array(tid, pa.int64()))
+        uk, cnt = np.unique(tid, return_counts=True)
+        return pa.table(
+            {"tile_id": pa.array(uk, pa.int64()), "n_p": pa.array(cnt, pa.int64())}
+        )
 
-    return pts.map_batches(assign, batch_format="pyarrow").groupby("tile_id").aggregate(Count(alias_name="n"))
+    return (
+        pts.map_batches(assign_count, batch_format="pyarrow", batch_size=262144)
+        .groupby("tile_id")
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
 
 
 def q_tile_assign_sql(width: float = 125.0) -> str:

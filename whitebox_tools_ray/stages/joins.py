@@ -24,6 +24,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# rows per tagged block in hash_join_bucketed — bundles Ray's over-split
+# small blocks before the bucket shuffle (reducer count == input blocks);
+# ~6 MB for a 3-int64-column table, well under target block size at scale
+TAG_BATCH_SIZE = 262_144
+
 
 def _build_last_wins(df: pd.DataFrame, key: str) -> pd.DataFrame:
     """Dedup build side keeping the LAST row per key (join_tables.rs:316-329)."""
@@ -169,8 +174,19 @@ def hash_join_bucketed(
 
         return fn
 
-    tagged = left_ds.map_batches(tag(key, 0, False), batch_format="pyarrow").union(
-        right_ds.map_batches(tag(rk, 1, True), batch_format="pyarrow")
+    # Coalesce while tagging: Ray over-splits small reads (~2 blocks/CPU)
+    # and the sort shuffle's reducer count equals its INPUT block count, so
+    # 128 tiny blocks cost a fixed ~4 s regardless of data volume (measured
+    # sf0.1: 6.2 s -> 2.1 s with 16 blocks/side). An explicit batch_size
+    # makes map_batches bundle input blocks up to that many rows, shrinking
+    # the tagged block count without an extra shuffle; at scale blocks are
+    # already >= this size and the bundling is a no-op.
+    tagged = left_ds.map_batches(
+        tag(key, 0, False), batch_format="pyarrow", batch_size=TAG_BATCH_SIZE
+    ).union(
+        right_ds.map_batches(
+            tag(rk, 1, True), batch_format="pyarrow", batch_size=TAG_BATCH_SIZE
+        )
     )
     rk_out = rename[rk]
 
@@ -188,13 +204,15 @@ def hash_join_bucketed(
     ltypes_pd = _pd_types(lcols)
     rtypes_pd = _pd_types(rcols)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
         lg = g[g["__side"] == 0][lcols].astype(ltypes_pd)
         rg = g[g["__side"] == 1][[c for c in rcols]].astype(rtypes_pd)
         # pandas merge handles empty sides, keeping a consistent schema
         out = lg.merge(rg, how=how, left_on=key, right_on=rk_out, suffixes=("", "_r"))
         if rk_out != key and rk_out in out.columns:
             out = out.drop(columns=[rk_out])
-        return out
+        # emit ARROW blocks: downstream groupby/aggregate over pandas
+        # blocks measured ~4x slower than over arrow blocks
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
