@@ -109,7 +109,7 @@ def q_pricing_summary(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -393,13 +393,13 @@ def q_dedup_exact(sf_dir: str):
         h = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
         return batch.append_column("__h", pa.array(h, pa.string()))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())]})
+    from ray.data.aggregate import Min
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=262144)
         .groupby("__h")
-        .map_groups(first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
     )
 
 

@@ -57,7 +57,9 @@ def zonal_statistics(ds, zone_col: str, value_col: str):
     from ray.data.aggregate import Max, Min, Sum
 
     partials = ds.map_batches(
-        lambda b: _partial_stats(b, zone_col, value_col), batch_format="pyarrow"
+        lambda b: _partial_stats(b, zone_col, value_col),
+        batch_format="pyarrow",
+        batch_size=262144,  # coalesce over-split blocks: Aggregate cost ~ input block count
     )
     agg = partials.groupby("zone").aggregate(
         Sum("n", alias_name="n"),
@@ -123,7 +125,7 @@ def cell_binning(
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
         .groupby("cell")
         .aggregate(Sum("n", alias_name="n"))
     )
