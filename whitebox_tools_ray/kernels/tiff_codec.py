@@ -1,0 +1,230 @@
+"""Minimal GeoTIFF codec (classic TIFF 6.0 little/big-endian, single
+IFD, stripped or tiled, uncompressed or Deflate), written from the
+public TIFF 6.0 + GeoTIFF 1.1 specifications; tag coverage mirrors what
+the reference reader consumes (src/raster/geotiff/mod.rs,
+tiff_consts.rs): ImageWidth/Length, BitsPerSample, SampleFormat,
+Compression 1/8, Strip/Tile offsets+counts, ModelPixelScale,
+ModelTiepoint, GDAL_NODATA.
+
+Sample types: uint8/16/32, int8/16/32, float32/64, single band.
+Decode returns float64 grids (the engine's working dtype).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _read_ifd(buf: bytes, bo: str):
+    ifd_off = struct.unpack_from(bo + "I", buf, 4)[0]
+    n = struct.unpack_from(bo + "H", buf, ifd_off)[0]
+    tags = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, e)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            voff = e + 8
+        else:
+            voff = struct.unpack_from(bo + "I", buf, e + 8)[0]
+        if typ == 2:  # ASCII
+            tags[tag] = buf[voff : voff + cnt].split(b"\x00")[0].decode("ascii", "replace")
+        elif typ in (5, 10):  # RATIONAL
+            vals = struct.unpack_from(bo + f"{2*cnt}" + ("I" if typ == 5 else "i"), buf, voff)
+            tags[tag] = [vals[2 * j] / max(vals[2 * j + 1], 1) for j in range(cnt)]
+        else:
+            fmt = _TYPE_FMT.get(typ)
+            if fmt is None:
+                continue
+            vals = struct.unpack_from(bo + str(cnt) + fmt, buf, voff)
+            tags[tag] = list(vals) if cnt > 1 else vals[0]
+    return tags
+
+
+def _sample_dtype(bits: int, fmt: int, bo: str) -> np.dtype:
+    e = "<" if bo == "<" else ">"
+    if fmt == 3:
+        return np.dtype(e + {32: "f4", 64: "f8"}[bits])
+    if fmt == 2:
+        return np.dtype(e + {8: "i1", 16: "i2", 32: "i4"}[bits])
+    return np.dtype(e + {8: "u1", 16: "u2", 32: "u4"}[bits])
+
+
+def parse_geotiff(buf: bytes) -> dict:
+    """Parse one GeoTIFF → {"grid": float64 2-D array, "meta": dict}.
+
+    meta: nodata (float | None), pixel_scale (sx, sy) | None,
+    tiepoint (i, j, k, x, y, z) | None — the raster-space→model-space
+    anchor GeoTIFF uses for the north-west corner."""
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    magic = struct.unpack_from(bo + "H", buf, 2)[0]
+    if magic == 43:
+        raise NotImplementedError("BigTIFF is not supported")
+    if magic != 42:
+        raise ValueError("not a TIFF file (bad magic)")
+    tags = _read_ifd(buf, bo)
+    width = int(tags[256])
+    height = int(tags[257])
+    bits_t = tags.get(258, 8)
+    bits = int(bits_t[0] if isinstance(bits_t, list) else bits_t)
+    comp = int(tags.get(259, 1))
+    spp = int(tags.get(277, 1))
+    fmt_t = tags.get(339, 1)
+    fmt = int(fmt_t[0] if isinstance(fmt_t, list) else fmt_t)
+    if spp != 1:
+        raise NotImplementedError("multi-band GeoTIFF not supported (single band only)")
+    if comp not in (1, 8, 32946):
+        raise NotImplementedError(f"compression {comp} not supported (none/deflate only)")
+    dt = _sample_dtype(bits, fmt, bo)
+
+    def blocks(offsets, counts):
+        for off, cnt in zip(offsets, counts):
+            chunk = buf[off : off + cnt]
+            if comp in (8, 32946):
+                chunk = zlib.decompress(chunk)
+            yield np.frombuffer(chunk, dtype=dt)
+
+    grid = np.empty((height, width), dtype=np.float64)
+    if 322 in tags:  # tiled
+        tw, th = int(tags[322]), int(tags[323])
+        offs = tags[324] if isinstance(tags[324], list) else [tags[324]]
+        cnts = tags[325] if isinstance(tags[325], list) else [tags[325]]
+        tiles_across = (width + tw - 1) // tw
+        for idx, data in enumerate(blocks(offs, cnts)):
+            tr, tc = idx // tiles_across, idx % tiles_across
+            tile = data[: tw * th].reshape(th, tw)
+            r0, c0 = tr * th, tc * tw
+            h = min(th, height - r0)
+            w = min(tw, width - c0)
+            grid[r0 : r0 + h, c0 : c0 + w] = tile[:h, :w]
+    else:  # stripped
+        rps = int(tags.get(278, height))
+        offs = tags[273] if isinstance(tags[273], list) else [tags[273]]
+        cnts = tags[279] if isinstance(tags[279], list) else [tags[279]]
+        r0 = 0
+        for data in blocks(offs, cnts):
+            h = min(rps, height - r0)
+            grid[r0 : r0 + h] = data[: h * width].reshape(h, width)
+            r0 += h
+    nodata = None
+    if 42113 in tags:
+        try:
+            nodata = float(str(tags[42113]).strip())
+        except ValueError:
+            pass
+    return {
+        "grid": grid,
+        "meta": {
+            "width": width,
+            "height": height,
+            "nodata": nodata,
+            "pixel_scale": tuple(tags[33550][:2]) if 33550 in tags else None,
+            "tiepoint": tuple(tags[33922][:6]) if 33922 in tags else None,
+        },
+    }
+
+
+def write_geotiff(
+    grid: np.ndarray,
+    nodata: float | None = None,
+    pixel_scale: tuple | None = None,
+    tiepoint: tuple | None = None,
+    dtype: str = "f4",
+    compress: bool = True,
+) -> bytes:
+    """Serialize one single-band grid → classic little-endian GeoTIFF
+    (one strip per 64 rows, Deflate-compressed by default)."""
+    dt = np.dtype("<" + dtype)
+    data = np.ascontiguousarray(grid, dtype=dt)
+    height, width = data.shape
+    fmt = 3 if dt.kind == "f" else (2 if dt.kind == "i" else 1)
+    bits = dt.itemsize * 8
+    rps = 64
+    strips = []
+    for r0 in range(0, height, rps):
+        raw = data[r0 : r0 + rps].tobytes()
+        strips.append(zlib.compress(raw, 6) if compress else raw)
+
+    entries = []  # (tag, type, count, packed-value or bytes-to-place)
+    extra = bytearray()  # out-of-line values, offsets fixed later
+
+    def entry(tag, typ, values):
+        if not isinstance(values, (list, tuple)):
+            values = [values]
+        cnt = len(values)
+        fmt_ch = _TYPE_FMT[typ]
+        size = _TYPE_SIZES[typ] * cnt
+        packed = struct.pack("<" + str(cnt) + fmt_ch, *values)
+        entries.append([tag, typ, cnt, packed])
+
+    nod_str = None
+    entry(256, 4, width)
+    entry(257, 4, height)
+    entry(258, 3, bits)
+    entry(259, 3, 8 if compress else 1)
+    entry(262, 3, 1)  # BlackIsZero
+    entry(273, 4, [0] * len(strips))  # placeholder strip offsets
+    entry(277, 3, 1)
+    entry(278, 4, rps)
+    entry(279, 4, [len(s) for s in strips])
+    entry(339, 3, fmt)
+    if pixel_scale is not None:
+        entry(33550, 12, [float(pixel_scale[0]), float(pixel_scale[1]), 0.0])
+    if tiepoint is not None:
+        entry(33922, 12, [float(v) for v in tiepoint])
+    if nodata is not None:
+        nod_str = (repr(float(nodata)) + "\x00").encode("ascii")
+        entries.append([42113, 2, len(nod_str), nod_str])
+    entries.sort(key=lambda e: e[0])
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_start = 8 + ifd_size
+    # lay out out-of-line entry values first, then strip data
+    pos = data_start
+    placed = []
+    for tag, typ, cnt, packed in entries:
+        if len(packed) > 4:
+            placed.append((tag, typ, cnt, None, pos, packed))
+            pos += len(packed)
+        else:
+            placed.append((tag, typ, cnt, packed.ljust(4, b"\x00"), None, packed))
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    # patch the strip-offset entry now that positions are known
+    so_packed = struct.pack("<" + str(len(strips)) + "I", *strip_offsets)
+    for i, (tag, typ, cnt, inline, off, packed) in enumerate(placed):
+        if tag == 273:
+            if len(so_packed) > 4:
+                placed[i] = (tag, typ, cnt, None, off, so_packed)
+            else:
+                placed[i] = (tag, typ, cnt, so_packed.ljust(4, b"\x00"), None, so_packed)
+
+    out = bytearray(header)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, inline, off, packed in placed:
+        if inline is not None:
+            out += struct.pack("<HHI", tag, typ, cnt) + inline
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, off)
+    out += struct.pack("<I", 0)  # no next IFD
+    for tag, typ, cnt, inline, off, packed in placed:
+        if inline is None:
+            assert len(out) == off, (len(out), off, tag)
+            out += packed
+    for s in strips:
+        out += s
+    return bytes(out)

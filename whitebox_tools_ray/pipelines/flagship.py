@@ -176,10 +176,18 @@ def run_tiling_pipeline(
         t0 = time.time()
         band_dir = os.path.join(input_path, f"band={b}")
         if os.path.isdir(band_dir):
-            # partition-pruned read: this band's files only
-            ds = rd.read_parquet(
-                band_dir, **({"override_num_blocks": read_blocks} if read_blocks else {})
-            )
+            # partition-pruned read: this band's files only. Default to ONE
+            # block per file: matching override_num_blocks to the file count
+            # keeps read->assign->decode->write FUSED into a single task
+            # (measured: auto-split breaks fusion and the decoded payloads
+            # round-trip through the object store — 2x the band's CPU and
+            # a large page-fault/TLB load at 32 CPUs)
+            if read_blocks is None:
+                n_files = sum(1 for f in os.listdir(band_dir) if f.endswith(".parquet"))
+                blocks = {"override_num_blocks": n_files} if n_files else {}
+            else:
+                blocks = {"override_num_blocks": read_blocks}
+            ds = rd.read_parquet(band_dir, **blocks)
         else:
             ds = rd.read_parquet(
                 input_path,
