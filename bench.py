@@ -227,7 +227,18 @@ def run_scaling(repeats: int | None = None) -> dict:
     if repeats is None:
         repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
+    def _quiesce(target: float = 2.5, timeout: float = 90.0):
+        # back-to-back sessions self-poison: tearing down the previous
+        # run's object-store arena and bench files overlaps the next
+        # run's allocation storm (measured: consecutive identical runs
+        # 10.2 s then 19.4 s). Wait for the 1-min loadavg to drain so
+        # every run sees the same steady-state machine.
+        t0 = time.time()
+        while time.time() - t0 < timeout and _loadavg() > target:
+            time.sleep(5)
+
     def one(ncpu: int) -> dict:
+        _quiesce()
         # tmpfs working dir for the scaling runs: the single local ext4
         # spindle is not the storage model the criterion targets (a real
         # cluster's write bandwidth scales with nodes); one shared disk

@@ -1135,5 +1135,23 @@ def _register_all():
     register("ResizeImage", multimodal.resize_images, "Block-mean resize", "training_data", [], "")
     register("SampleFrames", multimodal.sample_frames, "Video frame sampling", "training_data", [], "")
 
+    # front-door file formats (pure-numpy codecs, Dataset-level sources)
+    from .sources import formats as fio
+
+    register("ReadLas", fio.read_las, "LAS 1.0-1.4 point formats 0-3 -> point Dataset",
+             "io", [P("paths", "FileOrDir")], "lidar/las.rs")
+    register("WriteLas", fio.write_las, "Point Dataset -> .las per block",
+             "io", [P("ds", "Dataset"), P("out_dir", "Directory")], "lidar/las.rs")
+    register("ReadShapefile", fio.read_shapefile, "SHP+DBF -> vector Dataset (parts/xs/ys + attributes)",
+             "io", [P("shp_path", "File")], "vector/shapefile/mod.rs")
+    register("WriteShapefile", fio.write_shapefile, "Records + attributes -> SHP+DBF pair",
+             "io", [P("records", "List"), P("shp_path", "File"), P("shape_type", "Int")],
+             "vector/shapefile/mod.rs")
+    register("ReadGeoTiff", fio.read_geotiff_tiles, "GeoTIFF(s) -> engine tile table + metas",
+             "io", [P("paths", "FileOrDir")], "raster/geotiff/mod.rs")
+    register("WriteGeoTiff", fio.write_geotiff, "Tile table -> one GeoTIFF sheet",
+             "io", [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("out_path", "File")],
+             "raster/geotiff/mod.rs")
+
 
 _register_all()
