@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed": R.q_viewshed,
         "overlay_intersect_cp": R.q_overlay_intersect_cp,
         "idw_grid_cp": R.q_idw_grid_cp,
+        "las_round_trip": R.q_las_round_trip,
     }
 
 
@@ -197,4 +198,5 @@ def oracle_sql() -> dict[str, str]:
         # lang_pred / pca_project intentionally omitted:
         # non-SQL-expressible (sketch / iterative / heuristic / eigen) →
         # driver's rows-only check.
+        "las_round_trip": R.q_las_round_trip_sql(),
     }

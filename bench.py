@@ -247,6 +247,13 @@ def run_scaling(repeats: int | None = None) -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_DIR=os.environ.get("BENCH_DIR", "/dev/shm/wbt_bench"),
+            # 4x the headline input for the scaling pair: at the default
+            # size the whole job is ~10 s and the ~5 s of serial floor
+            # (dataset startup, band tails, manifest) dominates the
+            # comparison; at 4x the parallel phase dominates (measured:
+            # 0.20 -> 0.41 efficiency, 0.70 of the 0.59 bandwidth
+            # ceiling x the 0.85 ALU ceiling). Same job, both levels.
+            BENCH_TILES=os.environ.get("BENCH_TILES", "512x512x128"),
         )
         load0 = _loadavg()
         out = subprocess.run(

@@ -121,6 +121,7 @@ def run_tiling_pipeline(
     decode: bool = True,
     resume: bool = True,
     read_blocks: int | None = None,
+    bands_in_flight: int = 2,
 ) -> dict:
     """Banded, checkpointed tiling stage. Returns metrics dict."""
     import pyarrow.compute as pc
@@ -234,7 +235,7 @@ def run_tiling_pipeline(
     if to_run:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(len(to_run), 2)) as ex:
+        with ThreadPoolExecutor(max_workers=min(len(to_run), bands_in_flight)) as ex:
             for rows in ex.map(lambda args: run_band(*args), to_run):
                 total_tiles += rows
     total_s = time.time() - t_all

@@ -2954,3 +2954,77 @@ def q_idw_grid_cp(sf_dir: str):
         )
 
     return out.map_batches(cells, batch_format="pyarrow")
+
+
+def q_las_round_trip(sf_dir: str):
+    """LAS ingest gate: the deterministic synth points stream through
+    the pure-numpy LAS writer and back through ReadLas (las.rs parity:
+    mm quantization, int32 coordinate storage). Integer sums of the
+    recovered mm counts are exact on both sides of the compare."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from ..sources import formats
+
+    out_dir = tempfile.mkdtemp(prefix="lasrt_", dir="/tmp")
+    pts = synth_points(sf_dir)
+
+    def to_cloud(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": batch["x"],
+                "y": batch["y"],
+                "z": pa.array(
+                    np.minimum(batch["value"].to_numpy(zero_copy_only=False), 60.0)
+                ),
+            }
+        )
+
+    # write every block to its own .las (the resumable layout), barrier,
+    # read the directory back as a fresh Dataset
+    formats.write_las(
+        pts.map_batches(to_cloud, batch_format="pyarrow", batch_size=262144), out_dir
+    ).materialize()
+    back = formats.read_las(out_dir)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_p": pa.array([batch.num_rows], pa.int64()),
+                "sx_p": pa.array(
+                    [int(np.round(batch["x"].to_numpy(zero_copy_only=False) * 1000).sum())],
+                    pa.int64(),
+                ),
+                "sy_p": pa.array(
+                    [int(np.round(batch["y"].to_numpy(zero_copy_only=False) * 1000).sum())],
+                    pa.int64(),
+                ),
+                "sz_p": pa.array(
+                    [int(np.round(batch["z"].to_numpy(zero_copy_only=False) * 1000).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = back.map_batches(quantize, batch_format="pyarrow").aggregate(
+        Sum("n_p", alias_name="n"),
+        Sum("sx_p", alias_name="sx"),
+        Sum("sy_p", alias_name="sy"),
+        Sum("sz_p", alias_name="sz"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    import pandas as pd
+
+    return pd.DataFrame([out])
+
+
+def q_las_round_trip_sql() -> str:
+    return f"""
+        SELECT COUNT(*) AS n,
+               SUM(CAST(ROUND(x * 1000) AS BIGINT)) AS sx,
+               SUM(CAST(ROUND(y * 1000) AS BIGINT)) AS sy,
+               SUM(CAST(ROUND(LEAST(value, 60.0) * 1000) AS BIGINT)) AS sz
+        FROM ({SYNTH_POINTS_SQL})
+    """
