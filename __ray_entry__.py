@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlay_intersect_cp": R.q_overlay_intersect_cp,
         "idw_grid_cp": R.q_idw_grid_cp,
         "las_round_trip": R.q_las_round_trip,
+        "ann_ivf": R.q_ann_ivf,
     }
 
 
@@ -199,4 +200,5 @@ def oracle_sql() -> dict[str, str]:
         # non-SQL-expressible (sketch / iterative / heuristic / eigen) →
         # driver's rows-only check.
         "las_round_trip": R.q_las_round_trip_sql(),
+        "ann_ivf": R.q_ann_ivf_sql(),
     }

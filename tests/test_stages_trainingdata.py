@@ -97,6 +97,22 @@ class TestANN:
         recall = len(exact & approx) / 10
         assert recall >= 0.5, f"LSH recall {recall}"
 
+    def test_ivf_full_probe_exact_and_partial_recall(self, ray_session, embs):
+        from whitebox_tools_ray.stages.ann import brute_force_topk, ivf_topk
+
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs.column("embedding").to_pylist()])
+        q = mat[5]
+        exact = brute_force_topk(rd.from_arrow(embs), q, k=10)
+        # nprobe == n_centroids: IVF must equal brute force exactly
+        full = ivf_topk(rd.from_arrow(embs), q, k=10, n_centroids=6, nprobe=6)
+        assert full["id"].tolist() == exact["id"].tolist()
+        np.testing.assert_allclose(full["cosine"], exact["cosine"], atol=1e-6)
+        # partial probe: decent recall, and never returns a non-corpus id
+        part = ivf_topk(rd.from_arrow(embs), q, k=10, n_centroids=6, nprobe=3)
+        recall = len(set(exact["id"]) & set(part["id"])) / 10
+        assert recall >= 0.5, f"IVF recall {recall}"
+        assert part.iloc[0]["id"] == exact.iloc[0]["id"]  # self-match survives probing
+
 
 class TestKMeans:
     def test_fit_converges_and_labels(self, ray_session, embs):

@@ -1124,6 +1124,7 @@ def _register_all():
     register("EmbeddingNearDup", dedup.embedding_near_dup, "Cosine near-dup pairs", "training_data", [], "")
     register("BruteForceTopK", ann.brute_force_topk, "Exact cosine top-k", "training_data", [], "")
     register("LshTopK", ann.lsh_bucket_topk, "LSH-bucketed approx top-k", "training_data", [], "")
+    register("IvfTopK", ann.ivf_topk, "IVF (coarse-quantizer) approx top-k", "training_data", [], "")
     register("LangId", text.lang_id, "Heuristic language ID", "training_data", [], "")
     register("QualityScore", text.quality_score, "Text quality features", "training_data", [], "")
     register("TokenCount", text.token_count, "Token counting", "training_data", [], "")

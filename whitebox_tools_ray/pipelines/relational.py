@@ -478,12 +478,24 @@ def q_ann_topk(sf_dir: str):
     qn = np.linalg.norm(qv)
 
     def score(batch: pa.Table) -> pa.Table:
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()])
+        # zero-copy list<float> -> (n, dim) matrix via the flat values
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        emb = flat.reshape(batch.num_rows, -1)
         sims = emb @ qv / (np.linalg.norm(emb, axis=1) * qn)
-        return pa.table({"vec_id": batch["vec_id"], "sim": pa.array(sims)})
+        # partial top-k per batch: the global sort sees ~10 rows per
+        # block instead of the whole table (sort cost ~ block count)
+        kk = min(10, len(sims))
+        idx = np.argpartition(-sims, kk - 1)[:kk]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].take(pa.array(idx, pa.int64())),
+                "sim": pa.array(sims[idx]),
+            }
+        )
 
     return (
-        ds.map_batches(score, batch_format="pyarrow")
+        ds.map_batches(score, batch_format="pyarrow", batch_size=262144)
         .sort(["sim", "vec_id"], descending=[True, True])
         .limit(10)
         .select_columns(["vec_id"])
@@ -3028,3 +3040,20 @@ def q_las_round_trip_sql() -> str:
                SUM(CAST(ROUND(LEAST(value, 60.0) * 1000) AS BIGINT)) AS sz
         FROM ({SYNTH_POINTS_SQL})
     """
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN with full probe (nprobe == n_centroids): exercises the
+    coarse-quantizer train/assign/probe plumbing end-to-end while
+    remaining exactly brute force — bit-comparable to the SQL twin."""
+    from ..stages.ann import ivf_topk
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    res = ivf_topk(ds, np.asarray(ANN_QUERY_VEC, dtype=np.float64),
+                   k=10, n_centroids=8, nprobe=8)
+    out = res[["id"]].rename(columns={"id": "vec_id"})
+    return out.reset_index(drop=True)
+
+
+def q_ann_ivf_sql() -> str:
+    return q_ann_topk_sql()
