@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_grid_cp": R.q_idw_grid_cp,
         "las_round_trip": R.q_las_round_trip,
         "ann_ivf": R.q_ann_ivf,
+        "shp_round_trip": R.q_shp_round_trip,
+        "geotiff_round_trip": R.q_geotiff_round_trip,
     }
 
 
@@ -201,4 +203,6 @@ def oracle_sql() -> dict[str, str]:
         # driver's rows-only check.
         "las_round_trip": R.q_las_round_trip_sql(),
         "ann_ivf": R.q_ann_ivf_sql(),
+        "shp_round_trip": R.q_shp_round_trip_sql(),
+        "geotiff_round_trip": R.q_geotiff_round_trip_sql(),
     }

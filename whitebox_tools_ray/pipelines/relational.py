@@ -3057,3 +3057,111 @@ def q_ann_ivf(sf_dir: str):
 
 def q_ann_ivf_sql() -> str:
     return q_ann_topk_sql()
+
+def q_shp_round_trip(sf_dir: str):
+    """Shapefile ingest gate: the deterministic synth points stream
+    through the pure-python .shp/.dbf writer (shapefile/mod.rs parity:
+    little-endian f64 coordinates, dBASE III N-type attributes) and
+    back through read_shapefile. Coordinates are f64 in the format so
+    the round trip is exact; the N 18.6 attribute column preserves
+    l_quantity's 2 decimals. Writer is single-sheet (the reference's
+    write model) — scale path shards one .shp per partition."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources import formats
+
+    out_dir = tempfile.mkdtemp(prefix="shprt_", dir="/tmp")
+    shp = f"{out_dir}/pts.shp"
+    pts = synth_points(sf_dir).to_pandas()  # gate scale: 60k records
+    records = [
+        {"xs": [x], "ys": [y]} for x, y in zip(pts["x"], pts["y"])
+    ]
+    formats.write_shapefile(
+        records, shp, shape_type=1, attributes={"value": list(pts["value"])}
+    )
+    back = formats.read_shapefile(shp)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        xs = np.asarray([v[0] for v in batch["xs"].to_pylist()])
+        ys = np.asarray([v[0] for v in batch["ys"].to_pylist()])
+        vv = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n_p": pa.array([batch.num_rows], pa.int64()),
+                "sx_p": pa.array([int(np.round(xs * 1000).sum())], pa.int64()),
+                "sy_p": pa.array([int(np.round(ys * 1000).sum())], pa.int64()),
+                "sv_p": pa.array([int(np.round(vv * 100).sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = back.map_batches(quantize, batch_format="pyarrow").aggregate(
+        Sum("n_p", alias_name="n"),
+        Sum("sx_p", alias_name="sx"),
+        Sum("sy_p", alias_name="sy"),
+        Sum("sv_p", alias_name="sv"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame([out])
+
+
+def q_shp_round_trip_sql() -> str:
+    return f"""
+        SELECT COUNT(*) AS n,
+               SUM(CAST(ROUND(x * 1000) AS BIGINT)) AS sx,
+               SUM(CAST(ROUND(y * 1000) AS BIGINT)) AS sy,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv
+        FROM ({SYNTH_POINTS_SQL})
+    """
+
+
+def q_geotiff_round_trip(sf_dir: str):
+    """GeoTIFF ingest gate: the 64x64 analytic DEM streams through the
+    pure-python GeoTIFF writer (deflate-compressed strips, ModelPixelScale
+    / ModelTiepoint tags — geotiff/mod.rs parity) and back through
+    read_geotiff_tiles' re-tiling parse. Cell values are integers mod 97
+    so the f64 round trip is bit-exact."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..kernels import codecs
+    from ..sources import formats
+
+    out_dir = tempfile.mkdtemp(prefix="tifrt_", dir="/tmp")
+    path = f"{out_dir}/dem.tif"
+    ds, spec = _analytic_dem_tiles()
+    formats.write_geotiff(ds, spec, path)
+    back, metas = formats.read_geotiff_tiles(path, tile_px=16)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        n = sz = 0
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            g = g[~np.isnan(g)]
+            n += g.size
+            sz += int(np.round(g).sum())
+        return pa.table(
+            {"n_p": pa.array([n], pa.int64()), "sz_p": pa.array([sz], pa.int64())}
+        )
+
+    out = back.map_batches(quantize, batch_format="pyarrow").aggregate(
+        Sum("n_p", alias_name="n"), Sum("sz_p", alias_name="sz")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame([out])
+
+
+def q_geotiff_round_trip_sql() -> str:
+    return """
+        SELECT COUNT(*) AS n,
+               SUM((r.x * 31 + c.x * 17) % 97) AS sz
+        FROM range(64) r(x), range(64) c(x)
+    """
