@@ -1153,6 +1153,14 @@ def _register_all():
     register("WriteGeoTiff", fio.write_geotiff, "Tile table -> one GeoTIFF sheet",
              "io", [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("out_path", "File")],
              "raster/geotiff/mod.rs")
+    register("ReadRasterGrid", fio.read_raster_grid,
+             "Legacy grid raster(s) (Arc ASCII/flt, GRASS, Idrisi, SAGA, "
+             "Surfer 7/ASCII, Whitebox dep/tas) -> engine tile table + metas",
+             "io", [P("paths", "FileOrDir")], "raster/mod.rs:126-182")
+    register("WriteRasterGrid", fio.write_raster_grid,
+             "Tile table -> one legacy grid raster (format by extension)",
+             "io", [P("tiles_ds", "Dataset"), P("spec", "SceneSpec"), P("out_path", "File")],
+             "raster/mod.rs:1030-1097")
 
 
 _register_all()

@@ -207,6 +207,8 @@ def write_geotiff(tiles_ds, spec, out_path: str, nodata: float | None = None,
             t = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
             r0 = int(batch["tile_row"][i].as_py()) * spec.tile_px
             c0 = int(batch["tile_col"][i].as_py()) * spec.tile_px
+            # clip tile-pad overhang (readers pad edge tiles to tile_px)
+            t = t[: max(0, spec.rows - r0), : max(0, spec.columns - c0)]
             grid[r0 : r0 + t.shape[0], c0 : c0 + t.shape[1]] = t
     gs = spec.grid_spec()
     blob = tiff_codec.write_geotiff(
@@ -218,3 +220,94 @@ def write_geotiff(tiles_ds, spec, out_path: str, nodata: float | None = None,
     )
     with open(out_path, "wb") as f:
         f.write(blob)
+
+
+def read_raster_grid(paths, tile_px: int = 128):
+    """Legacy grid raster file(s) (Arc ASCII/binary, GRASS, Idrisi,
+    SAGA, Surfer 7/ASCII, Whitebox .dep/.tas — kernels/grid_codecs.py)
+    → engine tile table. Same shape as ``read_geotiff_tiles``: one
+    parse task per file, each re-tiling its grid into tile_px² tiles;
+    returns (Dataset[tile_row, tile_col, bytes, fmt, file_idx], metas).
+
+    Sibling files (.hdr/.dep/.rdc/.sgrd) are read inside the task via
+    the path — these formats are small single-scene grids, so the task
+    reads from the shared filesystem directly rather than shipping
+    bytes through read_binary_files."""
+    import ray.data as rd
+
+    from ..kernels import grid_codecs
+
+    flist = _as_paths(paths)
+    # headers only driver-side (O(header) per file); the data payload is
+    # parsed inside the per-file task below
+    metas = [grid_codecs.read_grid_meta(p) for p in flist]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": [], "file_idx": []}
+        for i in range(batch.num_rows):
+            path = batch["path"][i].as_py()
+            fidx = flist.index(path) if path in flist else [
+                j for j, p in enumerate(flist) if os.path.basename(p) == os.path.basename(path)
+            ][0]
+            from ..kernels import grid_codecs as gc
+
+            grid, _m = gc.read_grid(path)
+            h, w = grid.shape
+            for tr in range((h + tile_px - 1) // tile_px):
+                for tc in range((w + tile_px - 1) // tile_px):
+                    sub = grid[tr * tile_px : (tr + 1) * tile_px, tc * tile_px : (tc + 1) * tile_px]
+                    if sub.shape != (tile_px, tile_px):
+                        pad = np.full((tile_px, tile_px), np.nan)
+                        pad[: sub.shape[0], : sub.shape[1]] = sub
+                        sub = pad
+                    out["tile_row"].append(tr)
+                    out["tile_col"].append(tc)
+                    out["bytes"].append(codecs.encode_tile(sub, "f32"))
+                    out["fmt"].append("f32")
+                    out["file_idx"].append(fidx)
+        return pa.table(
+            {
+                "tile_row": pa.array(out["tile_row"], pa.int32()),
+                "tile_col": pa.array(out["tile_col"], pa.int32()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "file_idx": pa.array(out["file_idx"], pa.int32()),
+            }
+        )
+
+    # ship only paths; each task opens its own file (+ sibling header)
+    ds = rd.from_items([{"path": p} for p in flist]).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )
+    return ds, metas
+
+
+def write_raster_grid(tiles_ds, spec, out_path: str,
+                      nodata: float | None = None,
+                      fmt: str | None = None) -> None:
+    """Engine tile table → one legacy grid raster (format by extension,
+    write dispatch identical to the reference's Raster::new write mode).
+    Single-sheet export like ``write_geotiff``: the reference's write
+    model is one whole in-memory grid per file (raster/mod.rs:1030)."""
+    from ..kernels import grid_codecs
+
+    nd = nodata if nodata is not None else spec.nodata
+    grid = np.full((spec.rows, spec.columns), nd, dtype=np.float64)
+    for batch in tiles_ds.iter_batches(batch_format="pyarrow"):
+        for i in range(batch.num_rows):
+            t = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            r0 = int(batch["tile_row"][i].as_py()) * spec.tile_px
+            c0 = int(batch["tile_col"][i].as_py()) * spec.tile_px
+            # clip tile-pad overhang (readers pad edge tiles to tile_px)
+            t = t[: max(0, spec.rows - r0), : max(0, spec.columns - c0)]
+            grid[r0 : r0 + t.shape[0], c0 : c0 + t.shape[1]] = t
+    gs = spec.grid_spec()
+    meta = {
+        "rows": spec.rows, "cols": spec.columns,
+        "west": gs.west, "south": gs.south, "east": gs.east,
+        "north": gs.north,
+        "res_x": spec.res, "res_y": spec.res,
+        "nodata": nd, "data_type": "f32",
+    }
+    grid = np.where(np.isnan(grid), nd, grid)
+    grid_codecs.write_grid(out_path, grid, meta, fmt=fmt)
