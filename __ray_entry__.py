@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": R.q_ann_ivf,
         "shp_round_trip": R.q_shp_round_trip,
         "geotiff_round_trip": R.q_geotiff_round_trip,
+        "grid_convert_round_trip": R.q_grid_convert_round_trip,
     }
 
 
@@ -205,4 +206,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": R.q_ann_ivf_sql(),
         "shp_round_trip": R.q_shp_round_trip_sql(),
         "geotiff_round_trip": R.q_geotiff_round_trip_sql(),
+        "grid_convert_round_trip": R.q_grid_convert_round_trip_sql(),
     }

@@ -3165,3 +3165,52 @@ def q_geotiff_round_trip_sql() -> str:
                SUM((r.x * 31 + c.x * 17) % 97) AS sz
         FROM range(64) r(x), range(64) c(x)
     """
+
+
+def q_grid_convert_round_trip(sf_dir: str):
+    """ConvertRasterFormat gate across the legacy codecs: the 64x64
+    analytic DEM is exported as Arc ASCII, converted to Whitebox
+    .dep/.tas, then to SAGA .sdat (three write->read hops through
+    kernels/grid_codecs.py), and re-read as a tile Dataset. Values are
+    integers mod 97 so every hop is exact; compare on the same
+    integer-sum twin as the GeoTIFF gate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..kernels import codecs
+    from ..sources import formats
+
+    out_dir = tempfile.mkdtemp(prefix="gridrt_", dir="/tmp")
+    ds, spec = _analytic_dem_tiles()
+    formats.write_raster_grid(ds, spec, f"{out_dir}/a.asc")
+
+    t1, _ = formats.read_raster_grid(f"{out_dir}/a.asc", tile_px=16)
+    formats.write_raster_grid(t1, spec, f"{out_dir}/b.dep")
+    t2, _ = formats.read_raster_grid(f"{out_dir}/b.dep", tile_px=16)
+    formats.write_raster_grid(t2, spec, f"{out_dir}/c.sdat")
+    back, metas = formats.read_raster_grid(f"{out_dir}/c.sdat", tile_px=16)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        n = sz = 0
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            g = g[~np.isnan(g)]
+            n += g.size
+            sz += int(np.round(g).sum())
+        return pa.table(
+            {"n_p": pa.array([n], pa.int64()), "sz_p": pa.array([sz], pa.int64())}
+        )
+
+    out = back.map_batches(quantize, batch_format="pyarrow").aggregate(
+        Sum("n_p", alias_name="n"), Sum("sz_p", alias_name="sz")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame([out])
+
+
+def q_grid_convert_round_trip_sql() -> str:
+    return q_geotiff_round_trip_sql()
