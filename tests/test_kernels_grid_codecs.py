@@ -136,11 +136,13 @@ class TestCodecs:
         out = codecs.decode_tile(codecs.encode_tile(grid, "png"), "png")
         assert codecs.psnr(grid, out) >= 40.0
 
-    def test_jpeg_stub(self):
-        with pytest.raises(NotImplementedError):
-            codecs.encode_tile(np.zeros((4, 4)), "jpeg")
-        with pytest.raises(NotImplementedError):
-            codecs.decode_tile(b"xx", "jpeg")
+    def test_jpeg_tile_round_trip(self):
+        # jpeg is the lossy tile tier (pure-numpy baseline codec)
+        rng = np.random.default_rng(9)
+        g = rng.uniform(-20, 80, (24, 24))
+        back = codecs.decode_tile(codecs.encode_tile(g, "jpeg"), "jpeg")
+        assert back.shape == g.shape
+        assert np.abs(back - g).max() < (g.max() - g.min()) * 0.06
 
 
 class TestPhash:

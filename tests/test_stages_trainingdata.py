@@ -192,15 +192,28 @@ class TestMultimodal:
         resized = resize_images(rd.from_arrow(t), 8, 8).to_pandas()
         assert (resized["w"] == 8).all() and (resized["h"] == 8).all()
 
-    def test_jpeg_strict_raises(self, ray_session):
+    def test_jpeg_real_and_corrupt_payloads(self, ray_session):
+        from whitebox_tools_ray.kernels import codecs
         from whitebox_tools_ray.stages.multimodal import decode_images
 
+        # corrupt jpeg bytes: strict raises, non-strict marks undecoded
         t = pa.table({"bytes": [b"xxx"], "fmt": ["jpeg"]})
         with pytest.raises(Exception):
             decode_images(rd.from_arrow(t), strict=True).to_pandas()
-        # non-strict marks undecoded
         out = decode_images(rd.from_arrow(t), strict=False).to_pandas()
         assert not out["decoded"].iloc[0]
+        # real tile-jpeg payload decodes (pure-numpy baseline codec)
+        g = np.arange(64, dtype=np.float64).reshape(8, 8)
+        t2 = pa.table(
+            {"bytes": [codecs.encode_tile(g, "jpeg")], "fmt": ["jpeg"]}
+        )
+        out2 = decode_images(rd.from_arrow(t2), strict=True).to_pandas()
+        assert out2["decoded"].iloc[0]
+        assert abs(out2["px_mean"].iloc[0] - g.mean()) < 2.0
+        # webp remains honestly stubbed
+        t3 = pa.table({"bytes": [b"RIFF"], "fmt": ["webp"]})
+        with pytest.raises(Exception):
+            decode_images(rd.from_arrow(t3), strict=True).to_pandas()
 
     def test_frame_sampling_rows(self, ray_session):
         from whitebox_tools_ray.stages.multimodal import sample_frames

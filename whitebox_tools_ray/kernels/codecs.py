@@ -214,11 +214,15 @@ def encode_tile(grid: np.ndarray, fmt: str) -> bytes:
         q = np.round((grid - lo) / scale).astype(np.uint16)
         return struct.pack("<dd", lo, scale) + png_encode(q)
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "JPEG codec is stubbed in this container (no image libraries); "
-            "use fmt='png'/'f32'/'q16'. The pipeline plumbing treats jpeg "
-            "identically — only the byte codec is absent."
-        )
+        # LOSSY: grid scaled into uint8 with a side header; baseline
+        # JFIF via the pure-numpy codec (kernels/jpeg_codec.py)
+        from . import jpeg_codec
+
+        lo = float(np.min(grid))
+        hi = float(np.max(grid))
+        scale = (hi - lo) / 255.0 if hi > lo else 1.0
+        q = np.round((grid - lo) / scale).astype(np.uint8)
+        return struct.pack("<dd", lo, scale) + jpeg_codec.jpeg_encode(q, quality=92)
     raise ValueError(f"unknown tile format {fmt!r}")
 
 
@@ -238,9 +242,11 @@ def decode_tile(data: bytes, fmt: str) -> np.ndarray:
         q = png_decode(data[16:]).astype(np.float64)
         return q * scale + lo
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "JPEG codec is stubbed in this container (no image libraries)"
-        )
+        from . import jpeg_codec
+
+        lo, scale = struct.unpack("<dd", data[:16])
+        q = jpeg_codec.jpeg_decode(data[16:]).astype(np.float64)
+        return q * scale + lo
     raise ValueError(f"unknown tile format {fmt!r}")
 
 

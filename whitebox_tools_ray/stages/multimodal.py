@@ -1,14 +1,17 @@
 """Multimodal (image/audio/video) columns: opaque binary + typed metadata.
 
 The container ships no media libraries, so the BYTE-level codecs here
-are either the engine's own (grayscale PNG / f32 / q16 tiles,
-kernels/codecs.py) or STUBS raising NotImplementedError with the
-library that would provide them — while the Ray-side plumbing (schema,
-actor-pool signature, batch sizing, output layout) is real and tested.
+are the engine's own (grayscale PNG / f32 / q16 tiles and the pure-
+numpy baseline JPEG, kernels/codecs.py + kernels/jpeg_codec.py); the
+remaining video/audio decoders are STUBS raising NotImplementedError
+with the library that would provide them — while the Ray-side plumbing
+(schema, actor-pool signature, batch sizing, output layout) is real
+and tested.
 
 Stages:
 - ``decode_image``  — actor pool: bytes+fmt → (h, w) pixels → features.
-  Real for png/f32/q16; stub for jpeg/webp.
+  Real for png/f32/q16/i8, tile-jpeg ('jpeg': lo/scale header + JFIF)
+  and raw baseline .jpg files ('jfif'); stub for webp.
 - ``resize_image``  — block-mean resize (pure NumPy, real) to a target
   (h, w); re-encodes via a real codec.
 - ``sample_frames`` — video frame sampling plumbing: given
@@ -31,7 +34,20 @@ import pyarrow as pa
 
 from ..kernels import codecs
 
-_REAL_FMTS = {"png", "f32", "q16", "i8"}
+_REAL_FMTS = {"png", "f32", "q16", "i8", "jpeg", "jfif"}
+
+
+def _decode_any(b: bytes, f: str) -> np.ndarray:
+    """Tile codecs + raw baseline JFIF files ('jfif': bare .jpg bytes,
+    no tile header; RGB collapses to luminance for the feature path)."""
+    if f == "jfif":
+        from ..kernels import jpeg_codec
+
+        px = jpeg_codec.jpeg_decode(b).astype(np.float64)
+        if px.ndim == 3:
+            px = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        return px
+    return codecs.decode_tile(b, f)
 
 
 class DecodeImage:
@@ -57,10 +73,16 @@ class DecodeImage:
                 if self.strict:
                     raise NotImplementedError(
                         f"decode for fmt={f!r} needs an image library not present "
-                        "in this container (PIL/cv2); real codecs: png/f32/q16"
+                        "in this container (PIL/cv2); real codecs: "
+                        "png/f32/q16/i8/jpeg/jfif"
                     )
                 continue
-            g = codecs.decode_tile(b, f)
+            try:
+                g = _decode_any(b, f)
+            except Exception:
+                if self.strict:
+                    raise
+                continue  # corrupt payload: leave marked undecoded
             mn[i], mx[i], mean[i], std[i] = g.min(), g.max(), g.mean(), g.std()
             ph[i] = phash.phash64(g)
             ok[i] = True
@@ -99,7 +121,7 @@ class ResizeImage:
         for b, f in zip(blobs, fmts):
             if f not in _REAL_FMTS:
                 raise NotImplementedError(f"resize needs decode for fmt={f!r} (stubbed)")
-            out_b.append(codecs.encode_tile(self._resize(codecs.decode_tile(b, f)), self.out_fmt))
+            out_b.append(codecs.encode_tile(self._resize(_decode_any(b, f)), self.out_fmt))
         t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", pa.array(out_b, pa.binary()))
         t = t.set_column(t.schema.get_field_index("fmt"), "fmt", pa.array([self.out_fmt] * t.num_rows))
         t = t.set_column(t.schema.get_field_index("w"), "w", pa.array([self.out_w] * t.num_rows, pa.int32()))
