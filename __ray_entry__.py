@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shp_round_trip": R.q_shp_round_trip,
         "geotiff_round_trip": R.q_geotiff_round_trip,
         "grid_convert_round_trip": R.q_grid_convert_round_trip,
+        "image_decode": R.q_image_decode,
     }
 
 

@@ -3214,3 +3214,51 @@ def q_grid_convert_round_trip(sf_dir: str):
 
 def q_grid_convert_round_trip_sql() -> str:
     return q_geotiff_round_trip_sql()
+
+
+def q_image_decode(sf_dir: str):
+    """Multimodal image gate (rows-only: JPEG is lossy, so pixel stats
+    have no SQL twin): one deterministic 16x16 uint8 image per
+    embeddings row (outer product of the first 16 dims), encoded with
+    the pure-numpy baseline JPEG codec and decoded back through the
+    DecodeImage actor pool. Asserts in-pipeline that every payload
+    decodes and the mean survives the lossy round trip to ~1 grey
+    level, then returns (vec_id, decoded, px_mean_q) rows."""
+    from ..kernels.jpeg_codec import jpeg_encode
+    from ..stages.multimodal import DecodeImage
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def to_jpeg(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        emb = flat.reshape(batch.num_rows, -1)[:, :16]
+        lo = emb.min(axis=1, keepdims=True)
+        hi = emb.max(axis=1, keepdims=True)
+        u = (emb - lo) / np.maximum(hi - lo, 1e-9)  # (n, 16) in [0,1]
+        blobs = []
+        for i in range(len(ids)):
+            img = np.clip(np.outer(u[i], u[i]) * 255.0, 0, 255).astype(np.uint8)
+            blobs.append(jpeg_encode(img, quality=90))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["jfif"] * len(ids)),
+            }
+        )
+
+    out = (
+        ds.map_batches(to_jpeg, batch_format="pyarrow", batch_size=256)
+        .map_batches(DecodeImage, batch_format="pyarrow", concurrency=(1, 4), batch_size=256)
+        .select_columns(["vec_id", "decoded", "px_mean"])
+        .to_pandas()
+    )
+    assert out["decoded"].all(), "undecoded JPEG payloads in the gate"
+    out["px_mean_q"] = np.round(out["px_mean"]).astype(np.int64)
+    return (
+        out[["vec_id", "decoded", "px_mean_q"]]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
