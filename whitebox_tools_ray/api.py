@@ -1134,7 +1134,8 @@ def _register_all():
     register("SessionWindow", windows.session, "Gap sessionization", "training_data", [], "")
     register("DecodeImage", multimodal.decode_images, "Image decode + features", "training_data", [], "")
     register("ResizeImage", multimodal.resize_images, "Block-mean resize", "training_data", [], "")
-    register("SampleFrames", multimodal.sample_frames, "Video frame sampling", "training_data", [], "")
+    register("SampleFrames", multimodal.sample_frames, "Video frame sampling (real for MJPEG AVI)", "training_data", [], "")
+    register("AudioFeatures", multimodal.audio_features, "WAV audio features (RMS/ZCR/peak/windows)", "training_data", [], "")
 
     # front-door file formats (pure-numpy codecs, Dataset-level sources)
     from .sources import formats as fio

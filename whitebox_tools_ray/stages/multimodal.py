@@ -14,12 +14,14 @@ Stages:
   and raw baseline .jpg files ('jfif'); stub for webp.
 - ``resize_image``  — block-mean resize (pure NumPy, real) to a target
   (h, w); re-encodes via a real codec.
-- ``sample_frames`` — video frame sampling plumbing: given
-  (bytes, fmt='mp4', n_frames meta) emit per-frame rows; the actual
-  frame decode is a deterministic fake (seeded noise keyed by
-  (video_id, frame_idx)) behind ``fake=True`` or a stub otherwise.
-- ``audio_features``— same pattern for audio: stub decode, real
-  windowing/aggregation over a decoded waveform array.
+- ``sample_frames`` — video frame sampling: REAL for MJPEG AVI (RIFF
+  walk + baseline JPEG frames, kernels/riff_codec.py); rows without a
+  ``bytes`` column use the deterministic fake (seeded noise keyed by
+  (video_id, frame_idx)) behind ``fake=True`` or a stub otherwise —
+  inter-frame codecs (H.264 & co) still need ffmpeg/pyav.
+- ``audio_features``— REAL for WAV (PCM 8/16/24/32-bit + IEEE float):
+  per-clip duration/RMS/zero-crossings/peak + windowed RMS aggregate;
+  compressed audio (MP3/AAC) raises naming the missing library.
 
 Batch sizes default SMALL (large binary payloads — ray_guide
 "Memory-aware": batch × concurrency must fit the worker heap).
@@ -128,12 +130,66 @@ class ResizeImage:
         return t.set_column(t.schema.get_field_index("h"), "h", pa.array([self.out_h] * t.num_rows, pa.int32()))
 
 
-class SampleFrames:
-    """Video frame-sampling plumbing: emit one row per sampled frame.
+class AudioFeatures:
+    """bytes (WAV) → per-clip windowed features: duration, RMS,
+    zero-crossing rate, peak, plus per-window RMS aggregates. The WAV
+    parse (PCM 8/16/24/32-bit + IEEE float, RIFF walk) is REAL
+    (kernels/riff_codec.py); compressed audio raises with the missing
+    library named."""
 
-    ``fake=True`` produces deterministic per-frame pixel stats keyed by
-    (video_id, frame_idx) — the real decoder slot is the ``_decode_frame``
-    method (ffmpeg/pyav would plug in there)."""
+    def __init__(self, window_s: float = 0.5):
+        self.window_s = window_s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels import riff_codec
+
+        blobs = batch["bytes"].to_pylist()
+        n = len(blobs)
+        dur = np.full(n, np.nan)
+        rms = np.full(n, np.nan)
+        zcr = np.full(n, np.nan)
+        peak = np.full(n, np.nan)
+        wmax = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        for i, b in enumerate(blobs):
+            try:
+                x, rate = riff_codec.parse_wav(b)
+            except NotImplementedError:
+                raise
+            except Exception:
+                continue
+            if not len(x):
+                continue
+            dur[i] = len(x) / rate
+            rms[i] = float(np.sqrt(np.mean(x * x)))
+            zcr[i] = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+            peak[i] = float(np.abs(x).max())
+            win = max(1, int(self.window_s * rate))
+            nw = len(x) // win
+            if nw:
+                w = x[: nw * win].reshape(nw, win)
+                wmax[i] = float(np.sqrt((w * w).mean(axis=1)).max())
+            else:
+                wmax[i] = rms[i]
+            ok[i] = True
+        return (
+            batch.append_column("duration_s", pa.array(np.round(dur, 6)))
+            .append_column("rms", pa.array(np.round(rms, 6)))
+            .append_column("zcr", pa.array(np.round(zcr, 6)))
+            .append_column("peak", pa.array(np.round(peak, 6)))
+            .append_column("window_rms_max", pa.array(np.round(wmax, 6)))
+            .append_column("decoded", pa.array(ok))
+        )
+
+
+class SampleFrames:
+    """Video frame-sampling: emit one row per sampled frame.
+
+    Three modes: ``fake=True`` produces deterministic per-frame pixel
+    stats keyed by (video_id, frame_idx); rows with a ``bytes`` column
+    holding an MJPEG AVI decode for REAL (RIFF walk + the pure-numpy
+    baseline JPEG codec); anything else raises naming the library
+    (ffmpeg/pyav) that would provide inter-frame codecs."""
 
     def __init__(self, every_n: int = 10, fake: bool = True):
         self.every_n = every_n
@@ -147,8 +203,25 @@ class SampleFrames:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids = batch["video_id"].to_pylist()
-        n_frames = batch["n_frames"].to_numpy(zero_copy_only=False)
         out_v, out_f, out_mean = [], [], []
+        if "bytes" in batch.schema.names:  # real MJPEG AVI path
+            from ..kernels import jpeg_codec, riff_codec
+
+            for vid, blob in zip(vids, batch["bytes"].to_pylist()):
+                frames = riff_codec.parse_avi_mjpeg(blob)
+                for fi in range(0, len(frames), self.every_n):
+                    px = jpeg_codec.jpeg_decode(frames[fi]).astype(np.float64)
+                    out_v.append(vid)
+                    out_f.append(fi)
+                    out_mean.append(float(px.mean()))
+            return pa.table(
+                {
+                    "video_id": pa.array(out_v, pa.string()),
+                    "frame_idx": pa.array(out_f, pa.int64()),
+                    "frame_mean": pa.array(np.round(out_mean, 6)),
+                }
+            )
+        n_frames = batch["n_frames"].to_numpy(zero_copy_only=False)
         for vid, nf in zip(vids, n_frames):
             for fi in range(0, int(nf), self.every_n):
                 frame = self._decode_frame(vid, fi)
@@ -190,5 +263,15 @@ def sample_frames(ds, every_n: int = 10, fake: bool = True, concurrency=(1, 4)):
         fn_constructor_args=(every_n, fake),
         batch_format="pyarrow",
         batch_size=8,
+        concurrency=concurrency,
+    )
+
+
+def audio_features(ds, window_s: float = 0.5, concurrency=(1, 4), batch_size: int = 16):
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_args=(window_s,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
         concurrency=concurrency,
     )
