@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geotiff_round_trip": R.q_geotiff_round_trip,
         "grid_convert_round_trip": R.q_grid_convert_round_trip,
         "image_decode": R.q_image_decode,
+        "wav_round_trip": R.q_wav_round_trip,
     }
 
 
@@ -208,4 +209,5 @@ def oracle_sql() -> dict[str, str]:
         "shp_round_trip": R.q_shp_round_trip_sql(),
         "geotiff_round_trip": R.q_geotiff_round_trip_sql(),
         "grid_convert_round_trip": R.q_grid_convert_round_trip_sql(),
+        "wav_round_trip": R.q_wav_round_trip_sql(),
     }

@@ -3262,3 +3262,51 @@ def q_image_decode(sf_dir: str):
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+
+
+def q_wav_round_trip(sf_dir: str):
+    """WAV ingest gate: one 64-sample deterministic clip per synth
+    point record (sample k of record r: ((r*31 + k*17) % 97)/97 - 0.5),
+    written as 16-bit PCM and parsed back (kernels/riff_codec.py).
+    parse*32768 recovers round(x*32768) exactly (no clipping: |x| <=
+    0.5 -> |q| <= 16384; no rounding ties: m*32768/97 never lands on
+    .5 for m in 0..96), so integer sums match the SQL twin bit-exactly."""
+    from ray.data.aggregate import Sum
+
+    from ..kernels import riff_codec
+
+    pts = synth_points(sf_dir).select_columns(["record_id"])
+
+    def clips(batch: pa.Table) -> pa.Table:
+        rid = batch["record_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.arange(64, dtype=np.int64)
+        x = ((rid[:, None] * 31 + k[None, :] * 17) % 97) / 97.0 - 0.5
+        s = np.zeros(len(rid), dtype=np.int64)
+        for i in range(len(rid)):
+            wav = riff_codec.write_wav(x[i], rate=8000, bits=16)
+            back, _ = riff_codec.parse_wav(wav)
+            s[i] = int(np.round(back * 32768.0).sum())
+        return pa.table(
+            {
+                "n_p": pa.array([len(rid)], pa.int64()),
+                "s_p": pa.array([int(s.sum())], pa.int64()),
+            }
+        )
+
+    out = pts.map_batches(clips, batch_format="pyarrow", batch_size=8192).aggregate(
+        Sum("n_p", alias_name="n_clips"), Sum("s_p", alias_name="s_total")
+    )
+    import pandas as pd
+
+    return pd.DataFrame([out])
+
+
+def q_wav_round_trip_sql() -> str:
+    return f"""
+        SELECT COUNT(*) AS n_clips,
+               (SELECT SUM(CAST(ROUND(
+                    ((p.record_id * 31 + k.range * 17) % 97) / 97.0 * 32768.0
+                    - 16384.0) AS BIGINT))
+                FROM ({SYNTH_POINTS_SQL}) p, range(64) k) AS s_total
+        FROM ({SYNTH_POINTS_SQL})
+    """
