@@ -12,10 +12,11 @@ engine carries its own minimal codecs, NumPy + zlib only:
 - ``q16``  — lossy: float grid affinely quantized to uint16 over
   [min, max], zlib-compressed. Quantization SNR ⪆ 90 dB for smooth
   fields — exercises the PSNR≥40dB acceptance path of BASELINE.json.
-- ``jpeg`` — STUB. JPEG entropy coding is out of scope for this
-  container; decode raises NotImplementedError with a clear message.
-  The Ray-side plumbing (schema, batch shapes, actor signatures) treats
-  it identically to the real codecs.
+- ``jpeg`` — lossy: float grid affinely quantized to uint8 over
+  [min, max] (8-byte lo/scale side header) then baseline JFIF via the
+  pure-numpy T.81 codec (``kernels/jpeg_codec.py``). Real encode AND
+  decode; use for photographic-texture tiles, never for exact-parity
+  goldens.
 
 Semantics note: decoded pixel grids keep the reference's nodata SENTINEL
 convention (compare ``!=``, never Arrow validity masks) — see

@@ -56,6 +56,77 @@ def _sample_dtype(bits: int, fmt: int, bo: str) -> np.dtype:
     return np.dtype(e + {8: "u1", 16: "u2", 32: "u4"}[bits])
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavour LZW (TIFF6 §13): MSB-first variable-width codes
+    starting at 9 bits, ClearCode=256, EOI=257, 'early change' width
+    bumps at next_code == 2^w - 1."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits < width:
+            break
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if not table:
+            raise ValueError("LZW stream must start with a Clear code")
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_code += 1
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry at read time, so it widens at
+        # 2^w - 2 where the (libtiff) encoder widens at 2^w - 1
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF6 §9)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # h+1 literals
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
 def parse_geotiff(buf: bytes) -> dict:
     """Parse one GeoTIFF → {"grid": float64 2-D array, "meta": dict}.
 
@@ -84,15 +155,35 @@ def parse_geotiff(buf: bytes) -> dict:
     fmt = int(fmt_t[0] if isinstance(fmt_t, list) else fmt_t)
     if spp != 1:
         raise NotImplementedError("multi-band GeoTIFF not supported (single band only)")
-    if comp not in (1, 8, 32946):
-        raise NotImplementedError(f"compression {comp} not supported (none/deflate only)")
+    if comp not in (1, 5, 8, 32773, 32946):
+        raise NotImplementedError(
+            f"compression {comp} not supported (none/LZW/deflate/PackBits only)"
+        )
+    predictor = int(tags.get(317, 1))
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported (1/2 only)")
+    if predictor == 2 and fmt == 3:
+        raise NotImplementedError("predictor 2 applies to integer data only")
     dt = _sample_dtype(bits, fmt, bo)
+
+    def _unpredict(rows2d: np.ndarray) -> np.ndarray:
+        # horizontal differencing (tag 317=2): cumulative sum per row in
+        # the sample's unsigned width with wraparound, then re-typed
+        if predictor != 2:
+            return rows2d
+        u = rows2d.view(f"u{rows2d.dtype.itemsize}")
+        acc = np.cumsum(u.astype(np.uint64), axis=1) & ((1 << bits) - 1)
+        return acc.astype(u.dtype).view(rows2d.dtype)
 
     def blocks(offsets, counts):
         for off, cnt in zip(offsets, counts):
             chunk = buf[off : off + cnt]
             if comp in (8, 32946):
                 chunk = zlib.decompress(chunk)
+            elif comp == 5:
+                chunk = _lzw_decode(chunk)
+            elif comp == 32773:
+                chunk = _packbits_decode(chunk)
             yield np.frombuffer(chunk, dtype=dt)
 
     grid = np.empty((height, width), dtype=np.float64)
@@ -103,7 +194,7 @@ def parse_geotiff(buf: bytes) -> dict:
         tiles_across = (width + tw - 1) // tw
         for idx, data in enumerate(blocks(offs, cnts)):
             tr, tc = idx // tiles_across, idx % tiles_across
-            tile = data[: tw * th].reshape(th, tw)
+            tile = _unpredict(data[: tw * th].reshape(th, tw))
             r0, c0 = tr * th, tc * tw
             h = min(th, height - r0)
             w = min(tw, width - c0)
@@ -115,7 +206,7 @@ def parse_geotiff(buf: bytes) -> dict:
         r0 = 0
         for data in blocks(offs, cnts):
             h = min(rps, height - r0)
-            grid[r0 : r0 + h] = data[: h * width].reshape(h, width)
+            grid[r0 : r0 + h] = _unpredict(data[: h * width].reshape(h, width))
             r0 += h
     nodata = None
     if 42113 in tags:
