@@ -215,3 +215,75 @@ class TestFormatSources:
         formats.write_geotiff(ds.drop_columns(["file_idx"]), spec, out_tif, compress=True)
         back = tiff_codec.parse_geotiff(open(out_tif, "rb").read())
         np.testing.assert_allclose(back["grid"], np.float32(grid), rtol=1e-6)
+
+
+class TestLas14Extended:
+    """LAS 1.4 extended point formats 6-10 (read-only): hand-built
+    375-byte header + raw records, including extra bytes via stride."""
+
+    def _build(self, point_format: int, record_len: int, recs: bytes,
+               n: int) -> bytes:
+        import struct
+
+        hdr = bytearray(375)
+        hdr[0:4] = b"LASF"
+        hdr[24] = 1  # version 1.4
+        hdr[25] = 4
+        struct.pack_into("<H", hdr, 94, 375)          # header size
+        struct.pack_into("<I", hdr, 96, 375)          # offset to points
+        hdr[104] = point_format
+        struct.pack_into("<H", hdr, 105, record_len)
+        struct.pack_into("<I", hdr, 107, 0)           # legacy count = 0
+        struct.pack_into("<3d", hdr, 131, 0.01, 0.01, 0.01)
+        struct.pack_into("<3d", hdr, 155, 100.0, 200.0, 0.0)
+        struct.pack_into("<Q", hdr, 247, n)           # 64-bit count
+        return bytes(hdr) + recs
+
+    def test_format6_and_extra_bytes(self):
+        import struct
+
+        recs = b""
+        for i in range(4):
+            recs += struct.pack(
+                "<3i H B B B B h H d",
+                1000 * i, 2000 * i, 300 * i,         # X Y Z
+                i * 7,                                # intensity
+                (3 << 4) | (i % 3 + 1),               # returns: num=3, ret=i%3+1
+                0,                                    # flags
+                5 + i,                                # classification
+                9,                                    # user_data
+                -15000 + i,                           # scan_angle (i16!)
+                42,                                   # pt_src_id
+                1e9 + i,                              # gps_time
+            ) + b"\xee\xee"                           # 2 extra bytes
+        blob = self._build(6, 32, recs, 4)
+        p = las_codec.parse_las(blob)
+        cols = p["columns"]
+        assert p["meta"]["point_format"] == 6 and p["meta"]["n_points"] == 4
+        np.testing.assert_allclose(cols["x"], 100.0 + 0.01 * 1000 * np.arange(4))
+        np.testing.assert_array_equal(cols["return_num"], [1, 2, 3, 1])
+        np.testing.assert_array_equal(cols["num_returns"], [3, 3, 3, 3])
+        np.testing.assert_array_equal(cols["scan_angle"], -15000 + np.arange(4))
+        np.testing.assert_array_equal(cols["classification"], [5, 6, 7, 8])
+        np.testing.assert_allclose(cols["gps_time"], 1e9 + np.arange(4))
+
+    def test_format8_rgb_nir(self):
+        import struct
+
+        recs = struct.pack(
+            "<3i H B B B B h H d 4H",
+            100, 200, 300, 55, 0x21, 0, 2, 0, 900, 7, 5.5,
+            11, 22, 33, 44,  # R G B NIR
+        )
+        blob = self._build(8, 38, recs, 1)
+        cols = las_codec.parse_las(blob)["columns"]
+        assert cols["red"][0] == 11 and cols["blue"][0] == 33
+        assert cols["nir"][0] == 44
+        assert cols["return_num"][0] == 1 and cols["num_returns"][0] == 2
+
+    def test_write_extended_rejected(self):
+        with pytest.raises(NotImplementedError):
+            las_codec.write_las(
+                {"x": np.zeros(1), "y": np.zeros(1), "z": np.zeros(1)},
+                point_format=6,
+            )

@@ -1140,7 +1140,7 @@ def _register_all():
     # front-door file formats (pure-numpy codecs, Dataset-level sources)
     from .sources import formats as fio
 
-    register("ReadLas", fio.read_las, "LAS 1.0-1.4 point formats 0-3 -> point Dataset",
+    register("ReadLas", fio.read_las, "LAS 1.0-1.4 point formats 0-10 -> point Dataset",
              "io", [P("paths", "FileOrDir")], "lidar/las.rs")
     register("WriteLas", fio.write_las, "Point Dataset -> .las per block",
              "io", [P("ds", "Dataset"), P("out_dir", "Directory")], "lidar/las.rs")

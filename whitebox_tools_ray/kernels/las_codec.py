@@ -49,6 +49,28 @@ _POINT_DTYPES: dict[int, np.dtype] = {
         ]
     ),
 }
+# formats 4/5 = 1/3 + waveform packets; the wave bytes are skipped by
+# the record stride, so they parse with the 1/3 field layouts
+_POINT_DTYPES[4] = _POINT_DTYPES[1]
+_POINT_DTYPES[5] = _POINT_DTYPES[3]
+
+# LAS 1.4 extended formats (6-10): 30-byte base, 4+4-bit return counts,
+# i16 scan angle, f64 gps time always present
+_PF6_BASE = [
+    ("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"),
+    ("intensity", "<u2"), ("returns", "u1"), ("flags", "u1"),
+    ("classification", "u1"), ("user_data", "u1"), ("scan_angle", "<i2"),
+    ("pt_src_id", "<u2"), ("gps_time", "<f8"),
+]
+_POINT_DTYPES[6] = np.dtype(_PF6_BASE)
+_POINT_DTYPES[7] = np.dtype(
+    _PF6_BASE + [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+)
+_POINT_DTYPES[8] = np.dtype(
+    _PF6_BASE + [("red", "<u2"), ("green", "<u2"), ("blue", "<u2"), ("nir", "<u2")]
+)
+_POINT_DTYPES[9] = _POINT_DTYPES[6]   # + waveform (skipped by stride)
+_POINT_DTYPES[10] = _POINT_DTYPES[8]  # + waveform (skipped by stride)
 
 
 def parse_las(buf: bytes) -> dict:
@@ -74,10 +96,8 @@ def parse_las(buf: bytes) -> dict:
         n64 = struct.unpack_from("<Q", buf, 247)[0]
         if n64:
             n_points = n64
-        # 1.4 extended formats 6-10 share the 0-3 leading layout only
-        # partially; restrict to the classic formats this codec declares
     if point_format not in _POINT_DTYPES:
-        raise NotImplementedError(f"LAS point format {point_format} not supported (0-3 only)")
+        raise NotImplementedError(f"LAS point format {point_format} not supported (0-10 only)")
     sx, sy, sz = struct.unpack_from("<3d", buf, 131)
     ox, oy, oz = struct.unpack_from("<3d", buf, 155)
 
@@ -90,24 +110,31 @@ def parse_las(buf: bytes) -> dict:
     )
     raw = np.frombuffer(buf, dtype=stride, count=n_points, offset=offset_to_points)
 
-    flags = raw["flags"]
     out = {
         "x": raw["X"].astype(np.float64) * sx + ox,
         "y": raw["Y"].astype(np.float64) * sy + oy,
         "z": raw["Z"].astype(np.float64) * sz + oz,
         "intensity": raw["intensity"].astype(np.int32),
-        "return_num": (flags & 0x07).astype(np.int8),
-        "num_returns": ((flags >> 3) & 0x07).astype(np.int8),
         "classification": raw["classification"].astype(np.int32),
         "scan_angle": raw["scan_angle"].astype(np.int32),
         "user_data": raw["user_data"].astype(np.int32),
         "pt_src_id": raw["pt_src_id"].astype(np.int32),
     }
+    if point_format >= 6:  # 1.4 extended: 4+4-bit return counts
+        returns = raw["returns"]
+        out["return_num"] = (returns & 0x0F).astype(np.int8)
+        out["num_returns"] = ((returns >> 4) & 0x0F).astype(np.int8)
+    else:
+        flags = raw["flags"]
+        out["return_num"] = (flags & 0x07).astype(np.int8)
+        out["num_returns"] = ((flags >> 3) & 0x07).astype(np.int8)
     if "gps_time" in base.names:
         out["gps_time"] = raw["gps_time"].astype(np.float64)
     if "red" in base.names:
         for c in ("red", "green", "blue"):
             out[c] = raw[c].astype(np.int32)
+    if "nir" in base.names:
+        out["nir"] = raw["nir"].astype(np.int32)
     meta = {
         "version": (ver_major, ver_minor),
         "point_format": point_format,
@@ -129,8 +156,11 @@ def write_las(
     ``columns`` must carry x/y/z (float64); the remaining fields default
     to zero when absent. Coordinates are stored as
     round((v - offset) / scale) int32, the spec's quantization."""
-    if point_format not in _POINT_DTYPES:
-        raise NotImplementedError(f"point format {point_format} not supported")
+    if point_format not in (0, 1, 2, 3):
+        raise NotImplementedError(
+            f"write_las emits classic LAS 1.2 records (formats 0-3); "
+            f"format {point_format} is read-only"
+        )
     x = np.asarray(columns["x"], dtype=np.float64)
     y = np.asarray(columns["y"], dtype=np.float64)
     z = np.asarray(columns["z"], dtype=np.float64)
