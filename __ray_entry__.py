@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_convert_round_trip": R.q_grid_convert_round_trip,
         "image_decode": R.q_image_decode,
         "wav_round_trip": R.q_wav_round_trip,
+        "stream_dist_outlet": R.q_stream_dist_outlet,
     }
 
 
@@ -210,4 +211,5 @@ def oracle_sql() -> dict[str, str]:
         "geotiff_round_trip": R.q_geotiff_round_trip_sql(),
         "grid_convert_round_trip": R.q_grid_convert_round_trip_sql(),
         "wav_round_trip": R.q_wav_round_trip_sql(),
+        "stream_dist_outlet": R.q_stream_dist_outlet_sql(),
     }

@@ -3310,3 +3310,89 @@ def q_wav_round_trip_sql() -> str:
                 FROM ({SYNTH_POINTS_SQL}) p, range(64) k) AS s_total
         FROM ({SYNTH_POINTS_SQL})
     """
+
+
+def q_stream_dist_outlet(sf_dir: str):
+    """DistanceToOutlet (stream_network_analysis/dist_to_outlet.rs) on
+    the analytic DEM: D8 pointer -> Dataset-native BSP accumulation ->
+    ExtractStreams (acc >= 20 cells) -> flowpath length to the terminal
+    (on stream cells the flowpath stays in-network, so downslope
+    flowpath length IS the distance to outlet). Oracle: the d8_accum
+    recursive path count composed with the downslope walk CTE."""
+    from ..stages.flow import d8_pointer_masked, flow_accumulation_ds
+    from ..stages.hydro2 import downslope_flowpath_length
+    from ..stages.streams import extract_streams_ds
+
+    ds, spec = _analytic_dem_tiles()
+    ptr = d8_pointer_masked(ds, spec)
+    acc = flow_accumulation_ds(ptr, spec, num_workers=2)
+    streams = extract_streams_ds(acc, spec, threshold=20.0)
+    dfl = downslope_flowpath_length(ds, spec, num_workers=2)
+
+    sc = _tiles_to_cells(streams, spec, "stream").to_pandas()
+    dc = _tiles_to_cells(dfl, spec, "dist").to_pandas()
+    m = sc.merge(dc, on=["row", "col"])
+    m = m[m["stream"] == 1.0][["row", "col", "dist"]]
+    m["dist"] = np.round(m["dist"], 4)
+    return m.sort_values(["row", "col"]).reset_index(drop=True)
+
+
+def q_stream_dist_outlet_sql() -> str:
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r = "CASE d " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c = "CASE d " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    diag = math.sqrt(2.0) * res
+    step_len = "CASE wd " + " ".join(
+        f"WHEN {i} THEN {diag!r}" if dr != 0 and dc != 0 else f"WHEN {i} THEN {float(res)!r}"
+        for i, (dr, dc) in enumerate(ring)
+    ) + " ELSE 0.0 END"
+    move_r_w = "CASE wd " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c_w = "CASE wd " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col) AS (
+        SELECT row, col, row, col FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col,
+               w.row + ({move_r}), w.col + ({move_c})
+        FROM walk w JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+        WHERE dirs.d >= 0
+    ),
+    acc AS (SELECT row, col, COUNT(*) AS acc FROM walk GROUP BY row, col),
+    walk2(src_row, src_col, row, col, wd, dist) AS (
+        SELECT row, col, row, col, d, CAST(0.0 AS DOUBLE) FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col, w.nrow, w.ncol, d2.d, w.ndist
+        FROM (SELECT src_row, src_col,
+                     row + ({move_r_w}) AS nrow, col + ({move_c_w}) AS ncol,
+                     dist + ({step_len}) AS ndist
+              FROM walk2 WHERE wd >= 0) w
+        JOIN dirs d2 ON d2.row = w.nrow AND d2.col = w.ncol
+    ),
+    dist AS (SELECT src_row AS row, src_col AS col, dist
+             FROM walk2 WHERE wd < 0)
+    SELECT a.row, a.col, ROUND(d.dist, 4) AS dist
+    FROM acc a JOIN dist d ON a.row = d.row AND a.col = d.col
+    WHERE a.acc >= 20
+    ORDER BY a.row, a.col
+    """
