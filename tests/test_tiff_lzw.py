@@ -216,3 +216,112 @@ class TestParseLzwTiff:
         buf = _build_tiff(grid, comp=1, predictor=2)
         parsed = T.parse_geotiff(buf)
         np.testing.assert_array_equal(parsed["grid"], grid.astype(np.float64))
+
+
+def _build_rgb_tiff(pix: np.ndarray, comp: int, predictor: int = 1,
+                    spp: int = 3, rows_per_strip: int = 4) -> bytes:
+    """Minimal little-endian chunky 8-bit RGB(A) stripped TIFF."""
+    h, w, _ = pix.shape
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        rows = pix[r0 : r0 + rows_per_strip].astype(np.uint8)
+        if predictor == 2:
+            d = rows.astype(np.int16)
+            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+            rows = (d & 0xFF).astype(np.uint8)
+        raw = rows.tobytes()
+        strips.append(lzw_encode(raw) if comp == 5 else raw)
+    n_strips = len(strips)
+
+    tags = []
+    def add(tag, typ, count, val):
+        tags.append((tag, typ, count, val))
+
+    n_tags_planned = 11
+    ifd_size = 2 + n_tags_planned * 12 + 4
+    ext = bytearray()
+    ext_base = 8 + ifd_size
+
+    def ext_put(data: bytes) -> int:
+        off = ext_base + len(ext)
+        ext.extend(data)
+        return off
+
+    add(256, 3, 1, w)
+    add(257, 3, 1, h)
+    # BitsPerSample: count=spp, needs external array of u16
+    bits_off = ext_put(struct.pack(f"<{spp}H", *([8] * spp)))
+    add(258, 3, spp, bits_off)
+    add(259, 3, 1, comp)
+    add(262, 3, 1, 2)  # RGB photometric
+    add(277, 3, 1, spp)
+    add(278, 3, 1, rows_per_strip)
+    add(284, 3, 1, 1)  # chunky
+    add(317, 3, 1, predictor)
+    cnts = [len(s) for s in strips]
+    if n_strips == 1:
+        data_base = ext_base + len(ext)
+        add(273, 4, 1, data_base)  # count-1 LONG: value is inline
+        add(279, 4, 1, cnts[0])
+    else:
+        cnt_off = ext_put(struct.pack(f"<{n_strips}I", *cnts))
+        off_arr_pos = ext_put(b"\x00" * (4 * n_strips))
+        data_base = ext_base + len(ext)
+        pos = data_base
+        offsets = []
+        for s in strips:
+            offsets.append(pos)
+            pos += len(s)
+        ext[off_arr_pos - ext_base : off_arr_pos - ext_base + 4 * n_strips] = \
+            struct.pack(f"<{n_strips}I", *offsets)
+        add(273, 4, n_strips, off_arr_pos)
+        add(279, 4, n_strips, cnt_off)
+
+    tags.sort(key=lambda t: t[0])
+    assert len(tags) == n_tags_planned
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(tags))
+    for tag, typ, count, val in tags:
+        out += struct.pack("<HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            out += struct.pack("<HH", val, 0)
+        else:
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+class TestRgbTiff:
+    @pytest.mark.parametrize("comp,predictor", [(1, 1), (5, 1), (5, 2)])
+    def test_rgb_packed_parity(self, comp, predictor):
+        rng = np.random.default_rng(6)
+        pix = np.cumsum(rng.integers(0, 3, (10, 12, 3)), axis=1).astype(np.uint8)
+        buf = _build_rgb_tiff(pix, comp=comp, predictor=predictor)
+        parsed = T.parse_geotiff(buf)
+        assert parsed["meta"]["samples_per_pixel"] == 3
+        r = pix[..., 0].astype(np.int64)
+        g = pix[..., 1].astype(np.int64)
+        b = pix[..., 2].astype(np.int64)
+        expect = (255 << 24) | (b << 16) | (g << 8) | r
+        np.testing.assert_array_equal(parsed["grid"], expect.astype(np.float64))
+
+    def test_rgba_alpha_channel(self):
+        pix = np.zeros((4, 4, 4), dtype=np.uint8)
+        pix[..., 0] = 7
+        pix[..., 3] = 128
+        buf = _build_rgb_tiff(pix, comp=1, spp=4)
+        parsed = T.parse_geotiff(buf)
+        expect = (128 << 24) | 7
+        assert (parsed["grid"] == float(expect)).all()
+
+    def test_planar_rejected(self):
+        pix = np.zeros((4, 4, 3), dtype=np.uint8)
+        buf = bytearray(_build_rgb_tiff(pix, comp=1))
+        # flip PlanarConfiguration (tag 284) value to 2
+        i = buf.find(struct.pack("<HHI", 284, 3, 1))
+        buf[i + 8] = 2
+        with pytest.raises(NotImplementedError):
+            T.parse_geotiff(bytes(buf))

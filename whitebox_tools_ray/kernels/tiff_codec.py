@@ -153,8 +153,12 @@ def parse_geotiff(buf: bytes) -> dict:
     spp = int(tags.get(277, 1))
     fmt_t = tags.get(339, 1)
     fmt = int(fmt_t[0] if isinstance(fmt_t, list) else fmt_t)
-    if spp != 1:
-        raise NotImplementedError("multi-band GeoTIFF not supported (single band only)")
+    planar = int(tags.get(284, 1))
+    if spp not in (1, 3, 4) or (spp > 1 and (planar != 1 or bits != 8)):
+        raise NotImplementedError(
+            "GeoTIFF bands: single-band any depth, or chunky 8-bit RGB/RGBA "
+            f"(got spp={spp}, planar={planar}, bits={bits})"
+        )
     if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"compression {comp} not supported (none/LZW/deflate/PackBits only)"
@@ -168,12 +172,27 @@ def parse_geotiff(buf: bytes) -> dict:
 
     def _unpredict(rows2d: np.ndarray) -> np.ndarray:
         # horizontal differencing (tag 317=2): cumulative sum per row in
-        # the sample's unsigned width with wraparound, then re-typed
+        # the sample's unsigned width with wraparound, then re-typed.
+        # Multi-sample pixels difference per channel (stride = spp).
         if predictor != 2:
             return rows2d
         u = rows2d.view(f"u{rows2d.dtype.itemsize}")
+        if spp > 1:
+            h = u.shape[0]
+            ch = u.reshape(h, -1, spp)
+            acc = np.cumsum(ch.astype(np.uint64), axis=1) & ((1 << bits) - 1)
+            return acc.astype(u.dtype).reshape(h, -1).view(rows2d.dtype)
         acc = np.cumsum(u.astype(np.uint64), axis=1) & ((1 << bits) - 1)
         return acc.astype(u.dtype).view(rows2d.dtype)
+
+    def _pack_rgba(rows3d: np.ndarray) -> np.ndarray:
+        # reference parity (geotiff/mod.rs:1299-1355): in-memory RGB(A)
+        # value = a<<24 | b<<16 | g<<8 | r, stored in the f64 grid
+        r = rows3d[..., 0].astype(np.int64)
+        g = rows3d[..., 1].astype(np.int64)
+        b = rows3d[..., 2].astype(np.int64)
+        a = rows3d[..., 3].astype(np.int64) if rows3d.shape[-1] == 4 else np.full_like(r, 255)
+        return ((a << 24) | (b << 16) | (g << 8) | r).astype(np.float64)
 
     def blocks(offsets, counts):
         for off, cnt in zip(offsets, counts):
@@ -194,7 +213,9 @@ def parse_geotiff(buf: bytes) -> dict:
         tiles_across = (width + tw - 1) // tw
         for idx, data in enumerate(blocks(offs, cnts)):
             tr, tc = idx // tiles_across, idx % tiles_across
-            tile = _unpredict(data[: tw * th].reshape(th, tw))
+            tile = _unpredict(data[: tw * th * spp].reshape(th, tw * spp))
+            if spp > 1:
+                tile = _pack_rgba(tile.reshape(th, tw, spp))
             r0, c0 = tr * th, tc * tw
             h = min(th, height - r0)
             w = min(tw, width - c0)
@@ -206,7 +227,10 @@ def parse_geotiff(buf: bytes) -> dict:
         r0 = 0
         for data in blocks(offs, cnts):
             h = min(rps, height - r0)
-            grid[r0 : r0 + h] = _unpredict(data[: h * width].reshape(h, width))
+            rows = _unpredict(data[: h * width * spp].reshape(h, width * spp))
+            if spp > 1:
+                rows = _pack_rgba(rows.reshape(h, width, spp))
+            grid[r0 : r0 + h] = rows
             r0 += h
     nodata = None
     if 42113 in tags:
@@ -219,6 +243,7 @@ def parse_geotiff(buf: bytes) -> dict:
         "meta": {
             "width": width,
             "height": height,
+            "samples_per_pixel": spp,
             "nodata": nodata,
             "pixel_scale": tuple(tags[33550][:2]) if 33550 in tags else None,
             "tiepoint": tuple(tags[33922][:6]) if 33922 in tags else None,
