@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode": R.q_image_decode,
         "wav_round_trip": R.q_wav_round_trip,
         "stream_dist_outlet": R.q_stream_dist_outlet,
+        "median_filter": R.q_median_filter,
+        "composite_split": R.q_composite_split,
     }
 
 
@@ -212,4 +214,6 @@ def oracle_sql() -> dict[str, str]:
         "grid_convert_round_trip": R.q_grid_convert_round_trip_sql(),
         "wav_round_trip": R.q_wav_round_trip_sql(),
         "stream_dist_outlet": R.q_stream_dist_outlet_sql(),
+        "median_filter": R.q_median_filter_sql(),
+        "composite_split": R.q_composite_split_sql(),
     }

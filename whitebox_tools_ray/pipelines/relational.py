@@ -3396,3 +3396,100 @@ def q_stream_dist_outlet_sql() -> str:
     WHERE a.acc >= 20
     ORDER BY a.row, a.col
     """
+
+
+def q_median_filter(sf_dir: str):
+    """MedianFilter (image_analysis/median_filter.rs semantics, radius 1)
+    on the analytic DEM — the rank path of the focal window engine.
+    Out-of-grid neighbours are excluded (same convention as
+    q_window_total); even-count edge windows interpolate the middle
+    pair identically in numpy and DuckDB."""
+    from ..stages.focal import focal_op, make_window_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, make_window_kernel("median", 1), 1, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "med")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["med"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({"row": batch["row"], "col": batch["col"], "med": pa.array(v)})
+
+    return cells.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_median_filter_sql() -> str:
+    zc = "CAST(((g.row + ({dr})) * 31 + (g.col + ({dc})) * 17) % 97 AS DOUBLE)"
+    vals = []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+            vals.append(f"CASE WHEN {cond} THEN {zc.format(dr=dr, dc=dc)} ELSE NULL END")
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+    vals AS (SELECT g.row, g.col, t.v
+             FROM g, UNNEST([{', '.join(vals)}]) AS t(v))
+    SELECT row, col, ROUND(CAST(MEDIAN(v) AS DOUBLE), 6) AS med
+    FROM vals
+    GROUP BY row, col
+    ORDER BY row, col
+    """
+
+
+def q_composite_split(sf_dir: str):
+    """CreateColourComposite -> SplitColourComposite round trip
+    (raster_ops.py; create_colour_composite.rs packing a<<24|b<<16|
+    g<<8|r) over lineitem-derived channel values, vs a bit-ops twin."""
+    from ..stages.raster_ops import create_colour_composite, split_colour_composite
+
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def channels(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "record_id": pa.array(ok * 10 + ln, pa.int64()),
+                "r": pa.array(((ok * 7 + ln) % 256).astype(np.float64)),
+                "g": pa.array((pk % 256).astype(np.float64)),
+                "b": pa.array((sk % 256).astype(np.float64)),
+            }
+        )
+
+    ds = ds.map_batches(channels, batch_format="pyarrow")
+    packed = create_colour_composite(ds)
+    out = split_colour_composite(packed)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "record_id": batch["record_id"],
+                "composite": pa.array(
+                    batch["composite"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                "r_out": batch["r_out"],
+                "g_out": batch["g_out"],
+                "b_out": batch["b_out"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_composite_split_sql() -> str:
+    return """
+        SELECT l_orderkey * 10 + l_linenumber AS record_id,
+               CAST(4278190080
+                    + ((l_suppkey % 256) * 65536)
+                    + ((l_partkey % 256) * 256)
+                    + ((l_orderkey * 7 + l_linenumber) % 256) AS BIGINT)
+                 AS composite,
+               CAST((l_orderkey * 7 + l_linenumber) % 256 AS DOUBLE) AS r_out,
+               CAST(l_partkey % 256 AS DOUBLE) AS g_out,
+               CAST(l_suppkey % 256 AS DOUBLE) AS b_out
+        FROM lineitem
+    """
