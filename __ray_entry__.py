@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_dist_outlet": R.q_stream_dist_outlet,
         "median_filter": R.q_median_filter,
         "composite_split": R.q_composite_split,
+        "sobel_filter": R.q_sobel_filter,
+        "laplacian_filter": R.q_laplacian_filter,
+        "integral_image": R.q_integral_image,
     }
 
 
@@ -216,4 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dist_outlet": R.q_stream_dist_outlet_sql(),
         "median_filter": R.q_median_filter_sql(),
         "composite_split": R.q_composite_split_sql(),
+        "sobel_filter": R.q_sobel_filter_sql(),
+        "laplacian_filter": R.q_laplacian_filter_sql(),
+        "integral_image": R.q_integral_image_sql(),
     }

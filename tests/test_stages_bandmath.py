@@ -133,6 +133,32 @@ class TestRasterOps:
             r0, c0 = (tid // 3) * 8, (tid % 3) * 8
             np.testing.assert_allclose(g, whole[r0 : r0 + 8, c0 : c0 + 8], rtol=1e-12)
 
+    def test_integral_image_ds_matches_whole(self, ray_session):
+        import pyarrow as pa
+
+        from whitebox_tools_ray.stages.raster_ops import integral_image_ds
+
+        spec = tsrc.SceneSpec(tiles_x=3, tiles_y=2, tile_px=8)
+        rng = np.random.RandomState(1)
+        full = rng.uniform(-5, 10, (16, 24))
+        rows = []
+        for tid in range(6):
+            tr, tc = tid // 3, tid % 3
+            rows.append(
+                {
+                    "tile_row": tr,
+                    "tile_col": tc,
+                    "bytes": codecs.encode_tile(full[tr * 8 : tr * 8 + 8, tc * 8 : tc * 8 + 8], "f64"),
+                    "fmt": "f64",
+                }
+            )
+        out = integral_image_ds(rd.from_items(rows), spec).to_pandas()
+        whole = np.cumsum(np.cumsum(full, axis=0), axis=1)
+        for _, rec in out.iterrows():
+            r0, c0 = int(rec["tile_row"]) * 8, int(rec["tile_col"]) * 8
+            g = codecs.decode_tile(bytes(rec["bytes"]), rec["fmt"])
+            np.testing.assert_allclose(g, whole[r0 : r0 + 8, c0 : c0 + 8], rtol=1e-12)
+
     def test_composite_roundtrip(self, ray_session):
         import pyarrow as pa
 

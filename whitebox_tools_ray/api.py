@@ -164,7 +164,7 @@ def _register_all():
              [], "data_tools/set_nodata_value.rs")
     register("RasterCellAssignment", ro.raster_cell_assignment, "Fill with row/col/x/y", "gis_analysis",
              [], "gis_analysis/raster_cell_assignment.rs")
-    register("IntegralImage", ro.integral_image_tiled, "Exact tiled summed-area table", "image_analysis",
+    register("IntegralImage", ro.integral_image_ds, "Exact tiled summed-area table (Dataset-native edge-vector exchange)", "image_analysis",
              [], "image_analysis/integral_image.rs")
     fo = __import__("whitebox_tools_ray.stages.focal", fromlist=["x"])
     register("DevFromMeanElev", lambda ds, spec, radius=3: fo.window_stat_op(ds, spec, "dev_from_mean", radius),

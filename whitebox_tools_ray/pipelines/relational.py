@@ -3493,3 +3493,108 @@ def q_composite_split_sql() -> str:
                CAST(l_suppkey % 256 AS DOUBLE) AS b_out
         FROM lineitem
     """
+
+
+def q_sobel_filter(sf_dir: str):
+    """SobelFilter (image_analysis/sobel_filter.rs semantics: 3×3 Sobel
+    gx/gy stencils, magnitude = hypot, nodata neighbours take the centre
+    value) on the analytic DEM via the focal halo engine."""
+    from ..stages.focal import focal_op, sobel_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, sobel_kernel, 1, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "sobel")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["sobel"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({"row": batch["row"], "col": batch["col"], "sobel": pa.array(v)})
+
+    return cells.map_batches(rnd, batch_format="pyarrow")
+
+
+def _stencil3_sql(weights, out_expr: str, out_name: str) -> str:
+    """Shared SQL twin of focal._stencil3: out-of-grid neighbours take
+    the centre value; gx/gy are weighted neighbour sums."""
+    zfun = (
+        "CAST((CASE WHEN {r} BETWEEN 0 AND 63 AND {c} BETWEEN 0 AND 63"
+        " THEN ({r}) * 31 + ({c}) * 17 ELSE g.row * 31 + g.col * 17 END) % 97 AS DOUBLE)"
+    )
+
+    def z(dr, dc):
+        return zfun.format(r=f"(g.row + ({dr}))", c=f"(g.col + ({dc}))")
+
+    exprs = {}
+    for name, w in weights.items():
+        terms = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                wgt = w[dy + 1][dx + 1]
+                if wgt == 0:
+                    continue
+                terms.append(f"({wgt!r}) * ({z(dy, dx)})")
+        exprs[name] = " + ".join(terms)
+    sel = ", ".join(f"({e}) AS {n}" for n, e in exprs.items())
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+         d AS (SELECT g.row, g.col, {sel} FROM g)
+    SELECT row, col, {out_expr} AS {out_name}
+    FROM d
+    """
+
+
+def q_sobel_filter_sql() -> str:
+    return _stencil3_sql(
+        {
+            "gx": [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]],
+            "gy": [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]],
+        },
+        "ROUND(SQRT(gx * gx + gy * gy), 6)",
+        "sobel",
+    )
+
+
+def q_laplacian_filter(sf_dir: str):
+    """LaplacianFilter (image_analysis/laplacian_filter.rs, 3×3 cross
+    stencil) on the analytic DEM — integer-exact on both sides."""
+    from ..stages.focal import focal_op, laplacian_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, laplacian_kernel, 1, out_fmt="f64")
+    return _tiles_to_cells(out, spec, "lap")
+
+
+def q_laplacian_filter_sql() -> str:
+    return _stencil3_sql(
+        {"lap": [[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]]},
+        "lap",
+        "lap",
+    )
+
+
+def q_integral_image(sf_dir: str):
+    """IntegralImage (image_analysis/integral_image.rs) through the
+    Dataset-native edge-vector-exchange form (raster_ops.integral_image_ds)
+    — exact scene-wide summed-area table, integer-exact vs the SQL
+    nested-window twin."""
+    from ..stages.raster_ops import integral_image_ds
+
+    ds, spec = _analytic_dem_tiles()
+    out = integral_image_ds(ds, spec)
+    return _tiles_to_cells(out, spec, "sat")
+
+
+def q_integral_image_sql() -> str:
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col,
+                      CAST((r.r * 31 + c.c * 17) % 97 AS DOUBLE) AS z
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+         w1 AS (SELECT row, col,
+                       SUM(z) OVER (PARTITION BY row ORDER BY col) AS rowcum
+                FROM g)
+    SELECT row, col,
+           SUM(rowcum) OVER (PARTITION BY col ORDER BY row) AS sat
+    FROM w1
+    """

@@ -134,6 +134,90 @@ def integral_image_tiled(tiles: dict[int, np.ndarray], spec) -> dict[int, np.nda
     return out
 
 
+def integral_image_ds(tiles_ds, spec):
+    """Dataset-native IntegralImage (image_analysis/integral_image.rs) —
+    exact scene-wide summed-area table over the tile table.
+
+    Scale shape (the "IT-lite" pattern of SURVEY.md §2.6): pass 1 ships
+    only per-tile EDGE VECTORS to the driver — the right column / bottom
+    row of each tile's local prefix-sum plus its total, O(n_tiles ·
+    tile_px) floats, a 2/tile_px fraction of the scene (1/512 at 1024²
+    tiles) — the driver runs the classic prefix-combine over the TILE
+    grid (one row-prefix, one column-prefix, one 2-D total prefix);
+    pass 2 broadcasts the per-tile (left_sum, up_sum, up_left_total)
+    offsets once via ``ray.put`` and every tile recomputes its local
+    SAT and adds its three offsets. No tile body ever leaves its task
+    and no tile-to-tile shuffle happens at all."""
+    import ray
+
+    tpx = spec.tile_px
+
+    def edges(batch: pa.Table) -> pa.Table:
+        tids, rights, bottoms, totals = [], [], [], []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            s = np.cumsum(np.cumsum(g.astype(np.float64), axis=0), axis=1)
+            tid = int(batch["tile_row"][i].as_py()) * spec.tiles_x + int(batch["tile_col"][i].as_py())
+            tids.append(tid)
+            rights.append(s[:, -1].tolist())
+            bottoms.append(s[-1, :].tolist())
+            totals.append(float(s[-1, -1]))
+        return pa.table(
+            {
+                "tid": pa.array(tids, pa.int64()),
+                "right_col": pa.array(rights, pa.list_(pa.float64())),
+                "bottom_row": pa.array(bottoms, pa.list_(pa.float64())),
+                "total": pa.array(totals, pa.float64()),
+            }
+        )
+
+    et = tiles_ds.map_batches(edges, batch_format="pyarrow").to_pandas()  # O(tiles·tile_px) small
+    right = {int(t.tid): np.asarray(t.right_col, dtype=np.float64) for t in et.itertuples()}
+    bottom = {int(t.tid): np.asarray(t.bottom_row, dtype=np.float64) for t in et.itertuples()}
+    tot_grid = np.zeros((spec.tiles_y, spec.tiles_x))
+    for t in et.itertuples():
+        tot_grid[int(t.tid) // spec.tiles_x, int(t.tid) % spec.tiles_x] = float(t.total)
+    sat_tot = np.cumsum(np.cumsum(tot_grid, axis=0), axis=1)
+
+    offsets: dict[int, list] = {}
+    for tr in range(spec.tiles_y):
+        acc = np.zeros(tpx)
+        for tc in range(spec.tiles_x):
+            tid = tr * spec.tiles_x + tc
+            offsets[tid] = [acc.copy(), None, 0.0]
+            if tid in right:
+                acc = acc + right[tid]
+    for tc in range(spec.tiles_x):
+        acc = np.zeros(tpx)
+        for tr in range(spec.tiles_y):
+            tid = tr * spec.tiles_x + tc
+            offsets[tid][1] = acc.copy()
+            if tid in bottom:
+                acc = acc + bottom[tid]
+    for tid in offsets:
+        tr, tc = tid // spec.tiles_x, tid % spec.tiles_x
+        if tr > 0 and tc > 0:
+            offsets[tid][2] = float(sat_tot[tr - 1, tc - 1])
+    ref = ray.put(offsets)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        offs = ray.get(ref)
+        blobs = []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            s = np.cumsum(np.cumsum(g.astype(np.float64), axis=0), axis=1)
+            tid = int(batch["tile_row"][i].as_py()) * spec.tiles_x + int(batch["tile_col"][i].as_py())
+            left, up, ul = offs[tid]
+            s += left[: s.shape[0], None]
+            s += up[None, : s.shape[1]]
+            s += ul
+            blobs.append(codecs.encode_tile(s, "f64"))
+        t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", pa.array(blobs, pa.binary()))
+        return t.set_column(t.schema.get_field_index("fmt"), "fmt", pa.array(["f64"] * t.num_rows))
+
+    return tiles_ds.map_batches(apply, batch_format="pyarrow", batch_size=16)
+
+
 def create_colour_composite(ds, r_col="r", g_col="g", b_col="b", out_col="composite"):
     """Pack 0-255 channels into the reference's (255<<24|b<<16|g<<8|r)
     float encoding (raster/mod.rs:604-611)."""
