@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sobel_filter": R.q_sobel_filter,
         "laplacian_filter": R.q_laplacian_filter,
         "integral_image": R.q_integral_image,
+        "hist_equalization": R.q_hist_equalization,
+        "num_inflowing": R.q_num_inflowing,
     }
 
 
@@ -222,4 +224,6 @@ def oracle_sql() -> dict[str, str]:
         "sobel_filter": R.q_sobel_filter_sql(),
         "laplacian_filter": R.q_laplacian_filter_sql(),
         "integral_image": R.q_integral_image_sql(),
+        "hist_equalization": R.q_hist_equalization_sql(),
+        "num_inflowing": R.q_num_inflowing_sql(),
     }

@@ -3598,3 +3598,100 @@ def q_integral_image_sql() -> str:
            SUM(rowcum) OVER (PARTITION BY col ORDER BY row) AS sat
     FROM w1
     """
+
+
+def q_hist_equalization(sf_dir: str):
+    """HistogramEqualization (image_analysis/histogram_equalization.rs:
+    252-296 semantics: global num_tones histogram -> CDF LUT -> remap)
+    on the analytic DEM. The SQL twin reproduces BOTH binnings exactly:
+    np.histogram's left-inclusive edge binning for the counts and the
+    remap's trunc((v-lo)/span*(tones-1)) for the lookup."""
+    from ..stages.stretch import histogram_equalization
+
+    ds, spec = _analytic_dem_tiles()
+    out = histogram_equalization(ds, num_tones=1024, out_min=0.0, out_max=1023.0, out_fmt="f64")
+    # no rounding: cdf/4096*1023 is the same IEEE-f64 expression on both
+    # sides (bit-identical), and ROUND(…,6) would hit half-even-vs-half-away
+    # ties at x.xxxxxx5
+    return _tiles_to_cells(out, spec, "heq")
+
+
+def q_hist_equalization_sql() -> str:
+    # z in 0..96 integer; lo=0, hi=96, span=96, tones=1024, 4096 cells.
+    # hist bin: np.histogram(linspace(0,96,1025)) left-inclusive ->
+    #   floor(z/96*1024), top value 96 -> bin 1023.
+    # remap bin: trunc(z/96*1023) (nonnegative -> floor).
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col,
+                      CAST((r.r * 31 + c.c * 17) % 97 AS DOUBLE) AS z
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+         hb AS (SELECT CASE WHEN z >= 96 THEN 1023
+                            ELSE CAST(FLOOR(z / 96.0 * 1024) AS BIGINT) END AS bin
+                FROM g),
+         h AS (SELECT bin, COUNT(*) AS n FROM hb GROUP BY bin),
+         allbins AS (SELECT unnest(generate_series(0, 1023)) AS bin),
+         cdf AS (SELECT a.bin,
+                        SUM(COALESCE(h.n, 0)) OVER (ORDER BY a.bin) AS c
+                 FROM allbins a LEFT JOIN h ON h.bin = a.bin),
+         lut AS (SELECT bin, CAST(c AS DOUBLE) / 4096.0 * 1023.0 AS v FROM cdf),
+         rb AS (SELECT row, col,
+                       LEAST(GREATEST(CAST(FLOOR(z / 96.0 * 1023) AS BIGINT), 0), 1023) AS bin
+                FROM g)
+    SELECT rb.row, rb.col, lut.v AS heq
+    FROM rb JOIN lut ON lut.bin = rb.bin
+    """
+
+
+def q_num_inflowing(sf_dir: str):
+    """NumInflowingNeighbours (hydro_analysis/num_inflowing_neighbours.rs
+    / d8_flow_accum.rs:343-397): D8 pointer on the analytic DEM, then the
+    inflow count through the focal halo engine, vs a ring-join SQL twin."""
+    from ..stages.flow import _num_inflowing_kernel
+    from ..stages.focal import d8_pointer_kernel, focal_op
+
+    ds, spec = _analytic_dem_tiles()
+    ptr = focal_op(ds, spec, d8_pointer_kernel, 1, out_fmt="f64")
+    out = focal_op(ptr, spec, _num_inflowing_kernel, 1, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "n_inflow")
+
+    def as_int(batch: pa.Table) -> pa.Table:
+        v = batch["n_inflow"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "n_inflow": pa.array(v, pa.int64())})
+
+    return cells.map_batches(as_int, batch_format="pyarrow")
+
+
+def q_num_inflowing_sql() -> str:
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    ring_vals = ", ".join(f"({i}, {dr}, {dc})" for i, (dr, dc) in enumerate(ring))
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    ring(i, dr, dc) AS (VALUES {ring_vals}),
+    hits AS (SELECT dirs.row, dirs.col, COUNT(nb.row) AS n
+             FROM dirs CROSS JOIN ring
+             LEFT JOIN dirs nb
+               ON nb.row = dirs.row + ring.dr AND nb.col = dirs.col + ring.dc
+              AND nb.d = (ring.i + 4) % 8
+             GROUP BY dirs.row, dirs.col)
+    SELECT row, col, CAST(n AS BIGINT) AS n_inflow FROM hits
+    """

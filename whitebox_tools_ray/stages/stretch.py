@@ -86,7 +86,8 @@ def _remap_tiles(tiles_ds, fn, out_fmt: str = "f32"):
     return tiles_ds.map_batches(remap, batch_format="pyarrow", batch_size=16)
 
 
-def histogram_equalization(tiles_ds, num_tones: int = 1024, out_min: float = 0.0, out_max: float = 1023.0):
+def histogram_equalization(tiles_ds, num_tones: int = 1024, out_min: float = 0.0, out_max: float = 1023.0,
+                           out_fmt: str = "f32"):
     """HistogramEqualization (histogram_equalization.rs:252-296): global
     num_tones histogram → CDF LUT → remap. Requires two passes over the
     tile stream (min/max, histogram) then the remap pass."""
@@ -101,7 +102,7 @@ def histogram_equalization(tiles_ds, num_tones: int = 1024, out_min: float = 0.0
         b = np.clip(((g - lo) / span * (num_tones - 1)).astype(np.int64), 0, num_tones - 1)
         return lut[b]
 
-    return _remap_tiles(tiles_ds, fn)
+    return _remap_tiles(tiles_ds, fn, out_fmt=out_fmt)
 
 
 def percentage_stretch(tiles_ds, clip_percent: float = 1.0, num_tones: int = 1024, out_min=0.0, out_max=255.0):
