@@ -50,6 +50,38 @@ class TestLasCodec:
         if fmt in (2, 3):
             np.testing.assert_array_equal(got["red"], cols["red"])
 
+    @pytest.mark.parametrize("fmt", [6, 7, 8])
+    def test_extended_round_trip(self, fmt):
+        """LAS 1.4 extended formats write as 375-byte-header files with
+        u64 counts, 4+4-bit return packing and i16 scan angles."""
+        cols = self._cloud()
+        rng = np.random.default_rng(9)
+        cols["return_num"] = rng.integers(1, 16, 5000)
+        cols["num_returns"] = rng.integers(1, 16, 5000)
+        cols["scan_angle"] = rng.integers(-30000, 30000, 5000)
+        if fmt in (7, 8):
+            cols["red"] = cols["intensity"]
+            cols["green"] = cols["intensity"] // 2
+            cols["blue"] = cols["intensity"] // 3
+        if fmt == 8:
+            cols["nir"] = cols["intensity"] // 4
+        blob = las_codec.write_las(cols, point_format=fmt)
+        assert blob[24] == 1 and blob[25] == 4  # LAS 1.4
+        parsed = las_codec.parse_las(blob)
+        assert parsed["meta"]["point_format"] == fmt
+        assert parsed["meta"]["n_points"] == 5000
+        got = parsed["columns"]
+        np.testing.assert_allclose(got["x"], cols["x"], atol=5e-4)
+        np.testing.assert_allclose(got["z"], cols["z"], atol=5e-4)
+        np.testing.assert_array_equal(got["return_num"], cols["return_num"])
+        np.testing.assert_array_equal(got["num_returns"], cols["num_returns"])
+        np.testing.assert_array_equal(got["scan_angle"], cols["scan_angle"])
+        np.testing.assert_allclose(got["gps_time"], cols["gps_time"])
+        if fmt in (7, 8):
+            np.testing.assert_array_equal(got["red"], cols["red"])
+        if fmt == 8:
+            np.testing.assert_array_equal(got["nir"], cols["nir"])
+
     def test_extra_bytes_stride(self):
         """Files with extra per-point bytes parse via the record stride."""
         cols = self._cloud(100)
@@ -281,9 +313,10 @@ class TestLas14Extended:
         assert cols["nir"][0] == 44
         assert cols["return_num"][0] == 1 and cols["num_returns"][0] == 2
 
-    def test_write_extended_rejected(self):
+    def test_write_waveform_rejected(self):
+        """Formats 9/10 stay read-only: no waveform packets to serialize."""
         with pytest.raises(NotImplementedError):
             las_codec.write_las(
                 {"x": np.zeros(1), "y": np.zeros(1), "z": np.zeros(1)},
-                point_format=6,
+                point_format=9,
             )

@@ -1,8 +1,9 @@
-"""Minimal LAS 1.0-1.4 codec (uncompressed point formats 0-3), written
-from the public ASPRS LAS specification; field semantics match the
-reference reader (src/lidar/las.rs, src/lidar/header.rs,
-src/lidar/point_data.rs) — scaled int32 coordinates, 3-bit return
-number / number-of-returns packing, classification byte.
+"""Minimal LAS 1.0-1.4 codec (uncompressed; reads point formats 0-10,
+writes 0-3 as LAS 1.2 and 6-8 as LAS 1.4), written from the public
+ASPRS LAS specification; field semantics match the reference reader
+(src/lidar/las.rs, src/lidar/header.rs, src/lidar/point_data.rs) —
+scaled int32 coordinates, 3-bit (4-bit extended) return number /
+number-of-returns packing, classification byte.
 
 Pure numpy: the whole point block parses as one structured-array view
 (zero Python loops), so a 200 MB LAS file decodes in ~100 ms. LAZ
@@ -151,15 +152,19 @@ def write_las(
     scale: tuple = (0.001, 0.001, 0.001),
     offset: tuple | None = None,
 ) -> bytes:
-    """Serialize numpy columns → one LAS 1.2 file (uncompressed).
+    """Serialize numpy columns → one uncompressed LAS file.
 
+    Formats 0-3 emit classic LAS 1.2 (227-byte header); formats 6-8
+    emit LAS 1.4 (375-byte header, u64 point count, 4+4-bit return
+    packing, i16 scan angle). Formats 4/5/9/10 (waveform) stay
+    read-only — the engine carries no waveform packets to serialize.
     ``columns`` must carry x/y/z (float64); the remaining fields default
     to zero when absent. Coordinates are stored as
     round((v - offset) / scale) int32, the spec's quantization."""
-    if point_format not in (0, 1, 2, 3):
+    if point_format not in (0, 1, 2, 3, 6, 7, 8):
         raise NotImplementedError(
-            f"write_las emits classic LAS 1.2 records (formats 0-3); "
-            f"format {point_format} is read-only"
+            f"write_las emits formats 0-3 (LAS 1.2) and 6-8 (LAS 1.4); "
+            f"format {point_format} is read-only (waveform packets)"
         )
     x = np.asarray(columns["x"], dtype=np.float64)
     y = np.asarray(columns["y"], dtype=np.float64)
@@ -184,9 +189,15 @@ def write_las(
         return np.asarray(v) if v is not None else np.full(n, default)
 
     rec["intensity"] = col("intensity")
-    rn = np.clip(col("return_num", 1), 0, 7).astype(np.uint8)
-    nr = np.clip(col("num_returns", 1), 0, 7).astype(np.uint8)
-    rec["flags"] = rn | (nr << 3)
+    extended = point_format >= 6
+    ret_cap = 15 if extended else 7
+    rn = np.clip(col("return_num", 1), 0, ret_cap).astype(np.uint8)
+    nr = np.clip(col("num_returns", 1), 0, ret_cap).astype(np.uint8)
+    if extended:
+        rec["returns"] = rn | (nr << 4)
+        rec["flags"] = 0
+    else:
+        rec["flags"] = rn | (nr << 3)
     rec["classification"] = col("classification")
     rec["scan_angle"] = col("scan_angle")
     rec["user_data"] = col("user_data")
@@ -196,22 +207,30 @@ def write_las(
     if "red" in base.names:
         for c in ("red", "green", "blue"):
             rec[c] = col(c)
+    if "nir" in base.names:
+        rec["nir"] = col("nir")
 
-    header_size = 227  # LAS 1.2
+    header_size = 375 if extended else 227  # LAS 1.4 / LAS 1.2
     header = bytearray(header_size)
     header[0:4] = b"LASF"
     header[24] = 1
-    header[25] = 2
+    header[25] = 4 if extended else 2
     struct.pack_into("<28s", header, 26, b"whitebox_tools_ray las codec")
     struct.pack_into("<H", header, 94, header_size)
     struct.pack_into("<I", header, 96, header_size)  # points follow header
     struct.pack_into("<I", header, 100, 0)  # no VLRs
     header[104] = point_format
     struct.pack_into("<H", header, 105, base.itemsize)
-    struct.pack_into("<I", header, 107, n)
-    # returns-by-count histogram (5 legacy slots)
-    for i in range(5):
-        struct.pack_into("<I", header, 111 + 4 * i, int((rn == i + 1).sum()))
+    if extended:
+        # legacy count/histogram stay 0 for formats 6+ (LAS 1.4 §2.3)
+        struct.pack_into("<Q", header, 247, n)
+        for i in range(15):
+            struct.pack_into("<Q", header, 255 + 8 * i, int((rn == i + 1).sum()))
+    else:
+        struct.pack_into("<I", header, 107, n)
+        # returns-by-count histogram (5 legacy slots)
+        for i in range(5):
+            struct.pack_into("<I", header, 111 + 4 * i, int((rn == i + 1).sum()))
     struct.pack_into("<3d", header, 131, sx, sy, sz)
     struct.pack_into("<3d", header, 155, ox, oy, oz)
     if n:
