@@ -320,3 +320,31 @@ class TestLas14Extended:
                 {"x": np.zeros(1), "y": np.zeros(1), "z": np.zeros(1)},
                 point_format=9,
             )
+
+
+class TestGeoTiffRgbWrite:
+    def _composite(self, h=70, w=50, seed=5):
+        rng = np.random.default_rng(seed)
+        r = rng.integers(0, 256, (h, w), dtype=np.int64)
+        g = rng.integers(0, 256, (h, w), dtype=np.int64)
+        b = rng.integers(0, 256, (h, w), dtype=np.int64)
+        a = rng.integers(0, 256, (h, w), dtype=np.int64)
+        return ((a << 24) | (b << 16) | (g << 8) | r).astype(np.float64)
+
+    def test_rgba_round_trip(self):
+        comp = self._composite()
+        blob = tiff_codec.write_geotiff(comp, dtype="rgba8", pixel_scale=(30.0, 30.0))
+        out = tiff_codec.parse_geotiff(blob)
+        assert out["meta"]["samples_per_pixel"] == 4
+        np.testing.assert_array_equal(out["grid"], comp)
+        assert out["meta"]["pixel_scale"] == (30.0, 30.0)
+
+    def test_rgb_round_trip_opaque_alpha(self):
+        comp = self._composite()
+        blob = tiff_codec.write_geotiff(comp, dtype="rgb8", compress=False)
+        out = tiff_codec.parse_geotiff(blob)
+        assert out["meta"]["samples_per_pixel"] == 3
+        # rgb8 drops the alpha channel; the reader packs a=255
+        expect = (np.float64(0xFF000000) +
+                  (comp.astype(np.int64) & 0x00FFFFFF).astype(np.float64))
+        np.testing.assert_array_equal(out["grid"], expect)

@@ -259,14 +259,30 @@ def write_geotiff(
     dtype: str = "f4",
     compress: bool = True,
 ) -> bytes:
-    """Serialize one single-band grid → classic little-endian GeoTIFF
-    (one strip per 64 rows, Deflate-compressed by default)."""
-    dt = np.dtype("<" + dtype)
-    data = np.ascontiguousarray(grid, dtype=dt)
-    height, width = data.shape
-    fmt = 3 if dt.kind == "f" else (2 if dt.kind == "i" else 1)
-    bits = dt.itemsize * 8
+    """Serialize one grid → classic little-endian GeoTIFF (one strip per
+    64 rows, Deflate-compressed by default).
+
+    ``dtype`` "u1/u2/u4/i1/i2/i4/f4/f8" writes a single band;
+    "rgb8"/"rgba8" writes chunky 8-bit RGB(A) from the packed-composite
+    f64 grid (a<<24|b<<16|g<<8|r — the reference's in-memory RGB encoding,
+    geotiff/mod.rs:1299-1355), the inverse of what parse_geotiff returns
+    for multi-band files."""
+    height, width = grid.shape
     rps = 64
+    if dtype in ("rgb8", "rgba8"):
+        spp = 3 if dtype == "rgb8" else 4
+        v = np.ascontiguousarray(grid).astype(np.int64)
+        chans = [(v & 0xFF), ((v >> 8) & 0xFF), ((v >> 16) & 0xFF)]
+        if spp == 4:
+            chans.append((v >> 24) & 0xFF)
+        data = np.stack(chans, axis=-1).astype(np.uint8).reshape(height, width * spp)
+        fmt, bits = 1, 8
+    else:
+        spp = 1
+        dt = np.dtype("<" + dtype)
+        data = np.ascontiguousarray(grid, dtype=dt)
+        fmt = 3 if dt.kind == "f" else (2 if dt.kind == "i" else 1)
+        bits = dt.itemsize * 8
     strips = []
     for r0 in range(0, height, rps):
         raw = data[r0 : r0 + rps].tobytes()
@@ -287,14 +303,16 @@ def write_geotiff(
     nod_str = None
     entry(256, 4, width)
     entry(257, 4, height)
-    entry(258, 3, bits)
+    entry(258, 3, [bits] * spp)
     entry(259, 3, 8 if compress else 1)
-    entry(262, 3, 1)  # BlackIsZero
+    entry(262, 3, 2 if spp > 1 else 1)  # RGB / BlackIsZero
     entry(273, 4, [0] * len(strips))  # placeholder strip offsets
-    entry(277, 3, 1)
+    entry(277, 3, spp)
     entry(278, 4, rps)
     entry(279, 4, [len(s) for s in strips])
-    entry(339, 3, fmt)
+    if spp == 4:
+        entry(338, 3, 2)  # ExtraSamples: unassociated alpha
+    entry(339, 3, [fmt] * spp)
     if pixel_scale is not None:
         entry(33550, 12, [float(pixel_scale[0]), float(pixel_scale[1]), 0.0])
     if tiepoint is not None:

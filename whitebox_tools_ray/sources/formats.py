@@ -195,12 +195,13 @@ def read_geotiff_tiles(paths, tile_px: int = 128):
 
 
 def write_geotiff(tiles_ds, spec, out_path: str, nodata: float | None = None,
-                  compress: bool = True) -> None:
+                  compress: bool = True, dtype: str = "f4") -> None:
     """Engine tile table → one GeoTIFF. The tile table streams through a
     groupby-free path: tiles land in a preallocated grid driver-side ONLY
     for single-sheet export (the reference's write model is one whole
     in-memory raster per file, geotiff/mod.rs); sheet size is capped by
-    the caller choosing scene extents."""
+    the caller choosing scene extents. ``dtype="rgb8"/"rgba8"`` writes a
+    chunky multi-band file from packed-composite tiles."""
     grid = np.full((spec.rows, spec.columns), np.nan)
     for batch in tiles_ds.iter_batches(batch_format="pyarrow"):
         for i in range(batch.num_rows):
@@ -216,6 +217,7 @@ def write_geotiff(tiles_ds, spec, out_path: str, nodata: float | None = None,
         nodata=nodata if nodata is not None else spec.nodata,
         pixel_scale=(spec.res, spec.res),
         tiepoint=(0.0, 0.0, 0.0, gs.west, gs.north, 0.0),
+        dtype=dtype,
         compress=compress,
     )
     with open(out_path, "wb") as f:
