@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integral_image": R.q_integral_image,
         "hist_equalization": R.q_hist_equalization,
         "num_inflowing": R.q_num_inflowing,
+        "shreve_magnitude": R.q_shreve_magnitude,
     }
 
 
@@ -226,4 +227,5 @@ def oracle_sql() -> dict[str, str]:
         "integral_image": R.q_integral_image_sql(),
         "hist_equalization": R.q_hist_equalization_sql(),
         "num_inflowing": R.q_num_inflowing_sql(),
+        "shreve_magnitude": R.q_shreve_magnitude_sql(),
     }

@@ -3315,7 +3315,7 @@ def q_wav_round_trip_sql() -> str:
 def q_stream_dist_outlet(sf_dir: str):
     """DistanceToOutlet (stream_network_analysis/dist_to_outlet.rs) on
     the analytic DEM: D8 pointer -> Dataset-native BSP accumulation ->
-    ExtractStreams (acc >= 20 cells) -> flowpath length to the terminal
+    ExtractStreams (acc >= 5 cells; the mod-97 DEM tops out at acc=13, so a higher cut would make the gate vacuous) -> flowpath length to the terminal
     (on stream cells the flowpath stays in-network, so downslope
     flowpath length IS the distance to outlet). Oracle: the d8_accum
     recursive path count composed with the downslope walk CTE."""
@@ -3326,7 +3326,7 @@ def q_stream_dist_outlet(sf_dir: str):
     ds, spec = _analytic_dem_tiles()
     ptr = d8_pointer_masked(ds, spec)
     acc = flow_accumulation_ds(ptr, spec, num_workers=2)
-    streams = extract_streams_ds(acc, spec, threshold=20.0)
+    streams = extract_streams_ds(acc, spec, threshold=5.0)
     dfl = downslope_flowpath_length(ds, spec, num_workers=2)
 
     sc = _tiles_to_cells(streams, spec, "stream").to_pandas()
@@ -3393,7 +3393,7 @@ def q_stream_dist_outlet_sql() -> str:
              FROM walk2 WHERE wd < 0)
     SELECT a.row, a.col, ROUND(d.dist, 4) AS dist
     FROM acc a JOIN dist d ON a.row = d.row AND a.col = d.col
-    WHERE a.acc >= 20
+    WHERE a.acc >= 5
     ORDER BY a.row, a.col
     """
 
@@ -3694,4 +3694,102 @@ def q_num_inflowing_sql() -> str:
               AND nb.d = (ring.i + 4) % 8
              GROUP BY dirs.row, dirs.col)
     SELECT row, col, CAST(n AS BIGINT) AS n_inflow FROM hits
+    """
+
+
+def q_shreve_magnitude(sf_dir: str):
+    """ShreveStreamMagnitude (stream_network_analysis/shreve_magnitude.rs)
+    on the analytic DEM, driving the full Dataset-native link chain:
+    pointer -> BSP accumulation -> ExtractStreams (acc >= 5) -> ``stream_links_ds``
+    (distributed run labelling, O(links) driver table) -> per-link
+    Shreve magnitude painted back onto the stream cells. Oracle: per
+    stream cell, magnitude == count of channel heads whose D8 flowpath
+    passes through the cell (heads = stream cells with no inflowing
+    stream neighbour), which the recursive walk CTE enumerates."""
+    from ..stages.flow import d8_pointer_masked, flow_accumulation_ds
+    from ..stages.streams import extract_streams_ds, shreve_magnitude, stream_links_ds
+
+    ds, spec = _analytic_dem_tiles()
+    ptr = d8_pointer_masked(ds, spec)
+    acc = flow_accumulation_ds(ptr, spec, num_workers=2)
+    streams = extract_streams_ds(acc, spec, threshold=5.0)
+    painted, links = stream_links_ds(streams, ptr, spec)
+    mag = shreve_magnitude(links)
+    max_lid = max(mag) if mag else 0
+    lut = np.zeros(max_lid + 1, dtype=np.int64)
+    for lid, m in mag.items():
+        lut[lid] = m
+
+    cells = _tiles_to_cells(painted, spec, "link_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lid = batch["link_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lid > 0
+        return pa.table(
+            {
+                "row": batch["row"].filter(pa.array(keep)),
+                "col": batch["col"].filter(pa.array(keep)),
+                "mag": pa.array(lut[lid[keep]], pa.int64()),
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_shreve_magnitude_sql() -> str:
+    """Walk CTE (same pointer rule as q_d8_accum) -> streams (acc>=5)
+    -> heads (stream cells with no inflowing stream neighbour) -> per
+    stream cell count of heads upstream of it (inclusive)."""
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r = "CASE d " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c = "CASE d " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    ring_vals = ", ".join(f"({i}, {dr}, {dc})" for i, (dr, dc) in enumerate(ring))
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col) AS (
+        SELECT row, col, row, col FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col,
+               w.row + ({move_r}), w.col + ({move_c})
+        FROM walk w JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+        WHERE dirs.d >= 0
+    ),
+    acc AS (SELECT row, col, COUNT(*) AS acc FROM walk GROUP BY row, col),
+    strm AS (SELECT row, col FROM acc WHERE acc >= 5),
+    ring(i, dr, dc) AS (VALUES {ring_vals}),
+    heads AS (
+        SELECT s.row, s.col FROM strm s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ring
+            JOIN strm nb ON nb.row = s.row + ring.dr AND nb.col = s.col + ring.dc
+            JOIN dirs nd ON nd.row = nb.row AND nd.col = nb.col
+            WHERE nd.d = (ring.i + 4) % 8
+        )
+    )
+    SELECT s.row, s.col, CAST(COUNT(*) AS BIGINT) AS mag
+    FROM strm s
+    JOIN walk w ON w.row = s.row AND w.col = s.col
+    JOIN heads h ON h.row = w.src_row AND h.col = w.src_col
+    GROUP BY s.row, s.col
+    ORDER BY s.row, s.col
     """
