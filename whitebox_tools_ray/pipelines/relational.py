@@ -3793,3 +3793,123 @@ def q_shreve_magnitude_sql() -> str:
     GROUP BY s.row, s.col
     ORDER BY s.row, s.col
     """
+
+
+def q_raster_to_points(sf_dir: str):
+    """RasterToVectorPoints (data_tools/raster_to_vector_points.rs):
+    non-zero non-nodata cells -> points with scan-order FID (row-major,
+    1-based — the distributed sort-based order index in
+    ``stages/ordering.py``). The gate maps the world x/y back to
+    row/col (exact inverse at cell centres) so the compare is integer;
+    oracle: ROW_NUMBER() over the scan key on the analytic DEM."""
+    from ..stages.raster_vector import raster_to_vector_points
+
+    ds, spec = _analytic_dem_tiles()
+    gs = spec.grid_spec()
+    pts = raster_to_vector_points(ds, spec)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        col = np.round((x - gs.west - gs.res_x / 2.0) / gs.res_x).astype(np.int64)
+        row = np.round((gs.north - gs.res_y / 2.0 - y) / gs.res_y).astype(np.int64)
+        v = np.round(batch["VALUE"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                "fid": batch["FID"].cast(pa.int64()),
+                "row": pa.array(row, pa.int64()),
+                "col": pa.array(col, pa.int64()),
+                "value": pa.array(v, pa.int64()),
+            }
+        )
+
+    return pts.map_batches(finish, batch_format="pyarrow")
+
+
+def q_raster_to_points_sql() -> str:
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+    v AS (SELECT row, col, (row * 31 + col * 17) % 97 AS z FROM g)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY row * 64 + col) AS BIGINT) AS fid,
+           row, col, CAST(z AS BIGINT) AS value
+    FROM v WHERE z <> 0
+    ORDER BY fid
+    """
+
+
+# gate quad for q_clip_raster_poly, in continuous (u, v) grid coords
+# (u = (x - west)/res, v = (north - y)/res; cell (r, c) centre = (c+.5, r+.5)).
+# v_max = 55.9 floors to ending_row 55 EXCLUSIVE — the reference's bbox
+# off-by-one (clip_raster_to_polygon.rs:261-280) visibly excludes the
+# row-55 centres that are geometrically inside, and the twin replicates it.
+_CLIP_GATE_UV = [(10.2, 8.3), (52.7, 14.1), (58.3, 49.8), (15.6, 55.9)]
+
+
+def q_clip_raster_poly(sf_dir: str):
+    """ClipRasterToPolygon (data_tools/clip_raster_to_polygon.rs) on the
+    analytic DEM with a convex quad whose edges avoid all cell centres:
+    the actor-pool mask stage (stages/clip_raster.py) vs a half-plane
+    SQL twin restricted to the reference's exclusive-end bbox window."""
+    from ..stages.clip_raster import clip_raster_to_polygon
+    from ..sources.vectors import make_polygon_record
+
+    ds, spec = _analytic_dem_tiles()
+    gs = spec.grid_spec()
+    ring = [(gs.west + u * spec.res, gs.north - v * spec.res) for u, v in _CLIP_GATE_UV]
+    rec = make_polygon_record(1, [ring], "gate_quad", 1)
+    poly = pa.Table.from_pylist([rec])
+    out = clip_raster_to_polygon(ds, poly, spec)
+    cells = _tiles_to_cells(out, spec, "z")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        keep = z != gs.nodata
+        return pa.table(
+            {
+                "row": batch["row"].filter(pa.array(keep)),
+                "col": batch["col"].filter(pa.array(keep)),
+                "value": pa.array(np.round(z[keep]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_clip_raster_poly_sql() -> str:
+    import math
+
+    uv = _CLIP_GATE_UV
+    n = len(uv)
+    # centroid decides the inside sign of each half-plane
+    cu = sum(u for u, _ in uv) / n
+    cv = sum(v for _, v in uv) / n
+    conds = []
+    for i in range(n):
+        pu, pv = uv[i]
+        qu, qv = uv[(i + 1) % n]
+        sign = (qu - pu) * (cv - pv) - (qv - pv) * (cu - pu)
+        op = ">" if sign > 0 else "<"
+        conds.append(
+            f"(({qu!r} - {pu!r}) * (v.vc - {pv!r}) - ({qv!r} - {pv!r}) * (v.uc - {pu!r})) {op} 0"
+        )
+    r0 = math.floor(min(v for _, v in uv))
+    r1 = math.floor(max(v for _, v in uv))  # EXCLUSIVE (reference off-by-one)
+    c0 = math.floor(min(u for u, _ in uv))
+    c1 = math.floor(max(u for u, _ in uv))  # EXCLUSIVE
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+    v AS (SELECT row, col,
+                 CAST(col AS DOUBLE) + 0.5 AS uc,
+                 CAST(row AS DOUBLE) + 0.5 AS vc,
+                 (row * 31 + col * 17) % 97 AS z
+          FROM g)
+    SELECT row, col, CAST(z AS BIGINT) AS value
+    FROM v
+    WHERE row >= {r0} AND row < {r1} AND col >= {c0} AND col < {c1}
+      AND {' AND '.join(conds)}
+    ORDER BY row, col
+    """

@@ -133,10 +133,20 @@ def hash_join_bucketed(
         # as object); the null-pad union below needs real Arrow types, so
         # coerce such inputs through a zero-shuffle arrow round-trip
         s = ds.schema()
-        if all(isinstance(t, pa.DataType) for t in s.types):
+        if s is not None and all(isinstance(t, pa.DataType) for t in s.types):
             return ds, s
         ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-        return ds, ds.schema()
+        s = ds.schema()
+        if s is None:
+            # an all-empty input whose blocks carry no schema: the join
+            # cannot infer its output columns — fail with a diagnosis
+            # instead of an AttributeError deep in the column zip
+            raise ValueError(
+                "hash_join_bucketed: input dataset is empty with no schema; "
+                "materialize a typed empty table (pa.table with explicit "
+                "types) upstream if an empty side is expected"
+            )
+        return ds, s
 
     left_ds, lschema = _arrow_side(left_ds)
     right_ds, rschema = _arrow_side(right_ds)
