@@ -3913,3 +3913,143 @@ def q_clip_raster_poly_sql() -> str:
       AND {' AND '.join(conds)}
     ORDER BY row, col
     """
+
+
+def _round_cells(cells, name: str, nd: int = 6):
+    def rnd(batch: pa.Table) -> pa.Table:
+        v = np.round(batch[name].to_numpy(zero_copy_only=False), nd)
+        return pa.table({"row": batch["row"], "col": batch["col"], name: pa.array(v)})
+
+    return cells.map_batches(rnd, batch_format="pyarrow")
+
+
+_DEM_Z = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+_WIN_G = """g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)"""
+
+
+def _win_agg_sql(radius: int) -> str:
+    """CTE fragment: per-cell window aggregates n/s1/s2/lo/hi over the
+    in-grid (2r+1)² neighbourhood (out-of-grid = nodata = excluded,
+    matching the focal pad)."""
+    zn = _DEM_Z.format(r="g.row + off.dr", c="g.col + off.dc")
+    return f"""{_WIN_G},
+    off AS (SELECT a.o AS dr, b.o AS dc
+            FROM (SELECT unnest(generate_series(-{radius}, {radius})) AS o) a,
+                 (SELECT unnest(generate_series(-{radius}, {radius})) AS o) b),
+    agg AS (SELECT g.row, g.col,
+                   COUNT(*) AS n,
+                   SUM({zn}) AS s1,
+                   SUM(({zn}) * ({zn})) AS s2,
+                   MIN({zn}) AS lo,
+                   MAX({zn}) AS hi
+            FROM g CROSS JOIN off
+            WHERE g.row + off.dr BETWEEN 0 AND 63
+              AND g.col + off.dc BETWEEN 0 AND 63
+            GROUP BY g.row, g.col)"""
+
+
+def q_ruggedness_tri(sf_dir: str):
+    """RuggednessIndex (terrain_analysis/ruggedness_index.rs — Riley
+    TRI): RMS of elevation differences to the 8 in-grid neighbours,
+    always /8 (out-of-grid contributes 0). Integer window sums are
+    exact on both sides, so the compare is effectively bit-exact."""
+    from ..stages.focal import focal_op, ruggedness_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, ruggedness_kernel, halo=1, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "tri"), "tri")
+
+
+def q_ruggedness_tri_sql() -> str:
+    z0 = _DEM_Z.format(r="g.row", c="g.col")
+    terms = []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            zn = _DEM_Z.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+            cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+            terms.append(f"CASE WHEN {cond} THEN (({zn}) - z.z0) * (({zn}) - z.z0) ELSE 0 END")
+    return f"""
+    WITH {_WIN_G},
+    z AS (SELECT g.row, g.col, {z0} AS z0 FROM g)
+    SELECT g.row, g.col, ROUND(SQRT(({' + '.join(terms)}) / 8.0), 6) AS tri
+    FROM g JOIN z ON z.row = g.row AND z.col = g.col
+    ORDER BY g.row, g.col
+    """
+
+
+def q_dev_from_mean(sf_dir: str):
+    """DevFromMeanElev (terrain_analysis/dev_from_mean_elev.rs, radius
+    3): (z − μ)/σ over the 7×7 window, σ the population std of the
+    in-grid cells (summed-area tables in the kernel; plain SUMs in the
+    twin — identical integer sums, identical IEEE ops)."""
+    from ..stages.focal import dev_from_mean_kernel, focal_op
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, dev_from_mean_kernel(3), halo=3, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "dev"), "dev")
+
+
+def q_dev_from_mean_sql() -> str:
+    z0 = _DEM_Z.format(r="agg.row", c="agg.col")
+    return f"""
+    WITH {_win_agg_sql(3)}
+    SELECT row, col,
+           ROUND(CASE WHEN SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) > 0
+                      THEN ({z0} - s1 / n)
+                           / SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0))
+                      ELSE 0 END, 6) AS dev
+    FROM agg ORDER BY row, col
+    """
+
+
+def q_percent_elev_range(sf_dir: str):
+    """PercentElevRange (terrain_analysis/percent_elev_range.rs, radius
+    3): z0 / (window max − window min) × 100; 0 where the range
+    degenerates."""
+    from ..stages.focal import focal_op, percent_elev_range_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, percent_elev_range_kernel(3), halo=3, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "per"), "per")
+
+
+def q_percent_elev_range_sql() -> str:
+    z0 = _DEM_Z.format(r="agg.row", c="agg.col")
+    return f"""
+    WITH {_win_agg_sql(3)}
+    SELECT row, col,
+           ROUND(CASE WHEN hi - lo > 0 THEN {z0} / (hi - lo) * 100.0 ELSE 0 END, 6) AS per
+    FROM agg ORDER BY row, col
+    """
+
+
+def q_rel_topo_position(sf_dir: str):
+    """RelativeTopographicPosition
+    (terrain_analysis/relative_topographic_position.rs:26-34, radius 3):
+    (z−μ)/(μ−min) below the mean, (z−μ)/(max−μ) at/above, clipped to
+    [−1, 1]."""
+    from ..stages.focal import focal_op, relative_topographic_position_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, relative_topographic_position_kernel(3), halo=3, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "rtp"), "rtp")
+
+
+def q_rel_topo_position_sql() -> str:
+    z0 = _DEM_Z.format(r="agg.row", c="agg.col")
+    return f"""
+    WITH {_win_agg_sql(3)}
+    SELECT row, col,
+           ROUND(GREATEST(-1.0, LEAST(1.0,
+               CASE WHEN {z0} < s1 / n
+                    THEN CASE WHEN s1 / n - lo > 0
+                              THEN ({z0} - s1 / n) / (s1 / n - lo) ELSE 0 END
+                    ELSE CASE WHEN hi - s1 / n > 0
+                              THEN ({z0} - s1 / n) / (hi - s1 / n) ELSE 0 END
+               END)), 6) AS rtp
+    FROM agg ORDER BY row, col
+    """
