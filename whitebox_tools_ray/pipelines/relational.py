@@ -4053,3 +4053,62 @@ def q_rel_topo_position_sql() -> str:
                END)), 6) AS rtp
     FROM agg ORDER BY row, col
     """
+
+
+def q_point_density(sf_dir: str):
+    """LidarPointDensity (lidar_analysis/lidar_point_density.rs cell
+    form) over the synthetic point layer at 50-unit resolution —
+    partial per-batch counts + one tiny groupby (stages/lidar.py)."""
+    from ..stages.lidar import point_density
+
+    out = point_density(synth_points(sf_dir), 50.0)
+    return round_cols(out, {"density": 9})
+
+
+def q_point_density_sql() -> str:
+    return f"""
+    SELECT CAST(FLOOR(x / 50.0) AS BIGINT) AS cell_x,
+           CAST(FLOOR(y / 50.0) AS BIGINT) AS cell_y,
+           ROUND(COUNT(*) / 2500.0, 9) AS density
+    FROM ({SYNTH_POINTS_SQL})
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def q_block_min_grid(sf_dir: str):
+    """LidarBlockMinimum (lidar_analysis/block_minimum.rs): per-cell MIN
+    of in-cell point values on a 20×20/50-unit grid — the pure
+    groupby-aggregate gridding path (stages/gridding.py block_gridding).
+    Out-of-grid points (y == 0 rolls to row 20) are dropped on both
+    sides."""
+    from ..kernels.grid import GridSpec
+    from ..stages.gridding import block_gridding
+
+    gs = GridSpec(west=0.0, north=1000.0, res_x=50.0, res_y=50.0, rows=20, columns=20)
+    out = block_gridding(synth_points(sf_dir), gs, "min")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "row": pa.array(cell // 20, pa.int64()),
+                "col": pa.array(cell % 20, pa.int64()),
+                "value": pa.array(
+                    np.round(batch["VALUE"].to_numpy(zero_copy_only=False).astype(np.float64), 6)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_block_min_grid_sql() -> str:
+    return f"""
+    WITH p AS (SELECT CAST(FLOOR((1000.0 - y) / 50.0) AS BIGINT) AS row,
+                      CAST(FLOOR(x / 50.0) AS BIGINT) AS col,
+                      value
+               FROM ({SYNTH_POINTS_SQL}))
+    SELECT row, col, ROUND(MIN(value), 6) AS value
+    FROM p WHERE row BETWEEN 0 AND 19 AND col BETWEEN 0 AND 19
+    GROUP BY row, col ORDER BY row, col
+    """
