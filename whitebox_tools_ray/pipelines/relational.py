@@ -267,14 +267,17 @@ Q_MINMAX_STRETCH_SQL = """
 # --- spatial queries over the synthetic point layer ---
 
 
-def q_cell_binning(sf_dir: str, level: int = 9):
-    """Quad-cell binning counts (hex/H3-binning analog, SQL-oracle-able)."""
+def q_cell_binning(sf_dir: str, level: int = 18):
+    """Quad-cell binning counts (hex/H3-binning analog, SQL-oracle-able).
+
+    Level 18 → 64-unit cells → ~256 distinct cells over the point frame
+    (level 9 put every point in ONE 32 768-unit cell — a vacuous gate)."""
     from ..stages.zonal import cell_binning
 
     return cell_binning(synth_points(sf_dir), "x", "y", kind="quad", level=level)
 
 
-def q_cell_binning_sql(level: int = 9) -> str:
+def q_cell_binning_sql(level: int = 18) -> str:
     from ..kernels.cells import quad_cell_sql
 
     return f"""
@@ -1340,43 +1343,57 @@ Q_DISSOLVE_ZONES_SQL = """
 
 
 def q_polygonize_grid(sf_dir: str):
-    """Polygonize (polygonize.rs): a (C+1)x(C+1) line grid (C = region
-    count) → C*C unit-100 faces."""
+    """Polygonize (polygonize.rs): an irregular (C+1)x(C+1) line grid
+    (C = region count; spacing_k = 10 + 3k) -> C*C rectangular faces.
+    Emits ONE ROW PER FACE (area, perimeter) so the compare checks the
+    whole face set, not just a checksum (the earlier single-row form
+    could not distinguish 25 wrong faces with a lucky total)."""
     from ..sources.vectors import POLY_SCHEMA
     from ..stages import overlay as ov
 
     c = read(sf_dir, "region", columns=["r_regionkey"]).count()
+    pos = [0.0]
+    for k in range(c):
+        pos.append(pos[-1] + 10.0 + 3.0 * k)
+    lo, hi = pos[0], pos[-1]
     rows = []
     rid = 1
-    for i in range(c + 1):
+    for p_ in pos:
         rows.append(
-            {"record_id": rid, "parts": [0], "xs": [0.0, 10.0 * c], "ys": [10.0 * i, 10.0 * i],
-             "x_min": 0.0, "x_max": 10.0 * c, "y_min": 10.0 * i, "y_max": 10.0 * i,
-             "name": "h", "zone": 0}
+            {"record_id": rid, "parts": [0], "xs": [lo, hi], "ys": [p_, p_],
+             "x_min": lo, "x_max": hi, "y_min": p_, "y_max": p_, "name": "h", "zone": 0}
         )
         rid += 1
         rows.append(
-            {"record_id": rid, "parts": [0], "xs": [10.0 * i, 10.0 * i], "ys": [0.0, 10.0 * c],
-             "x_min": 10.0 * i, "x_max": 10.0 * i, "y_min": 0.0, "y_max": 10.0 * c,
-             "name": "v", "zone": 0}
+            {"record_id": rid, "parts": [0], "xs": [p_, p_], "ys": [lo, hi],
+             "x_min": p_, "x_max": p_, "y_min": lo, "y_max": hi, "name": "v", "zone": 0}
         )
         rid += 1
     tbl = pa.Table.from_pylist(rows, schema=POLY_SCHEMA)
     out = ov.polygonize(tbl)
-    import pyarrow.compute as pc
 
-    return pd.DataFrame(
-        {
-            "n_faces": [len(out)],
-            "total_area": [float(pc.sum(out["area"]).as_py())],
-        }
-    )
+    def face_rows(batch: pa.Table) -> pa.Table:
+        area = np.round(batch["area"].to_numpy(zero_copy_only=False), 6)
+        per = np.zeros(batch.num_rows)
+        xs = batch["xs"].to_pylist()
+        ys = batch["ys"].to_pylist()
+        for i in range(batch.num_rows):
+            x = np.asarray(xs[i]); y = np.asarray(ys[i])
+            per[i] = float(np.sum(np.hypot(np.diff(x), np.diff(y))))
+        return pa.table({"area": pa.array(area), "perim": pa.array(np.round(per, 6))})
+
+    import ray.data as rd
+
+    return rd.from_arrow(out).map_batches(face_rows, batch_format="pyarrow")
 
 
 Q_POLYGONIZE_GRID_SQL = """
-    SELECT CAST(c * c AS BIGINT) AS n_faces,
-           CAST(c * c * 100 AS DOUBLE) AS total_area
-    FROM (SELECT COUNT(*) AS c FROM region)
+    WITH k AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM region),
+    sp AS (SELECT i, 10.0 + 3.0 * i AS d FROM k)
+    SELECT ROUND(a.d * b.d, 6) AS area,
+           ROUND(2.0 * (a.d + b.d), 6) AS perim
+    FROM sp a, sp b
+    ORDER BY area, perim
 """
 
 
