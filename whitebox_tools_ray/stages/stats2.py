@@ -165,31 +165,33 @@ def trend_surface(ds, x: str, y: str, z: str, order: int = 1):
     return coefs, predict
 
 
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    """(rows, dim) float64 view of a list<float> column — flatten the
+    Arrow child buffer instead of a per-row to_pylist loop."""
+    arr = batch[emb_col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
 def pca(ds, emb_col: str = "embedding", n_components: int = 4):
     """PrincipalComponentAnalysis: covariance via batch partials + eigen
     decomposition driver-side; returns (components, explained_ratio,
     project stage)."""
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
-        m = np.stack([np.asarray(e, dtype=np.float64) for e in batch[emb_col].to_pylist()])
-        d = m.shape[1]
-        out = {"n": [len(m)]}
-        s = m.sum(axis=0)
-        ss = (m.T @ m).ravel()
-        out.update({f"s{k}": [float(v)] for k, v in enumerate(s)})
-        out.update({f"ss{k}": [float(v)] for k, v in enumerate(ss)})
-        return pa.table(out)
+        m = _emb_matrix(batch, emb_col)
+        # one row per batch: [n, sum(d), sum-of-outer(d*d)] packed flat —
+        # a 16k-way named-Sum aggregate here measured 79 s on 500 rows;
+        # summing a handful of packed partials driver-side is instant
+        pack = np.concatenate(([float(len(m))], m.sum(axis=0), (m.T @ m).ravel()))
+        return pa.table({"pack": pa.array([pack.tolist()], pa.list_(pa.float64()))})
 
-    first = ds.limit(1).to_pandas()
-    d = len(first[emb_col].iloc[0])
-    names = ["n"] + [f"s{k}" for k in range(d)] + [f"ss{k}" for k in range(d * d)]
-    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
-        *(Sum(c, alias_name=c) for c in names)
-    )
-    n = float(agg["n"])
-    mean = np.array([agg[f"s{k}"] for k in range(d)]) / n
-    ss = np.array([agg[f"ss{k}"] for k in range(d * d)]).reshape(d, d)
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tot = np.sum(np.stack(parts["pack"].to_numpy()), axis=0)
+    # 1 + d + d*d = len(tot)  →  d
+    d = int(round((-1.0 + np.sqrt(4.0 * len(tot) - 3.0)) / 2.0))
+    n = float(tot[0])
+    mean = tot[1 : 1 + d] / n
+    ss = tot[1 + d :].reshape(d, d)
     cov = ss / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:n_components]
@@ -206,7 +208,7 @@ def pca(ds, emb_col: str = "embedding", n_components: int = 4):
                 self.mean, self.comps = ray.get(ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                m = np.stack([np.asarray(e, dtype=np.float64) for e in batch[emb_col].to_pylist()])
+                m = _emb_matrix(batch, emb_col)
                 p = (m - self.mean) @ self.comps.T
                 return batch.append_column(out_col, pa.array(list(p)))
 
