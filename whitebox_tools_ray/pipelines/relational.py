@@ -4129,3 +4129,91 @@ def q_block_min_grid_sql() -> str:
     FROM p WHERE row BETWEEN 0 AND 19 AND col BETWEEN 0 AND 19
     GROUP BY row, col ORDER BY row, col
     """
+
+
+def q_elev_above_stream(sf_dir: str):
+    """ElevationAboveStream (hydro_analysis/elevation_above_stream.rs):
+    z − z(first stream cell on the downslope D8 walk, self included);
+    cells that never reach a stream (pit-drained) are NODATA — the
+    reference seeds pits with nodata and propagates it upstream
+    (elevation_above_stream.rs:318-323) — and are absent from both
+    sides of the compare. Dataset-native terminal
+    resolution against the stream target grid
+    (stages/hydro2.py elevation_above_stream_ds). Oracle: stepped walk
+    CTE + MIN(step) first-hit join. Integer DEM ⇒ exact compare."""
+    from ..stages.flow import d8_pointer_masked, flow_accumulation_ds
+    from ..stages.hydro2 import elevation_above_stream_ds
+    from ..stages.streams import extract_streams_ds
+
+    ds, spec = _analytic_dem_tiles()
+    ptr = d8_pointer_masked(ds, spec)
+    acc = flow_accumulation_ds(ptr, spec, num_workers=2)
+    streams = extract_streams_ds(acc, spec, threshold=5.0)
+    out = elevation_above_stream_ds(ds, streams, spec, num_workers=2)
+    cells = _tiles_to_cells(out, spec, "eas")
+    nd = spec.nodata
+
+    def finish(batch: pa.Table) -> pa.Table:
+        raw = batch["eas"].to_numpy(zero_copy_only=False)
+        keep = raw != nd
+        v = np.round(raw[keep]).astype(np.int64)
+        return pa.table(
+            {
+                "row": batch["row"].filter(pa.array(keep)),
+                "col": batch["col"].filter(pa.array(keep)),
+                "eas": pa.array(v, pa.int64()),
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_elev_above_stream_sql() -> str:
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r = "CASE d " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c = "CASE d " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col, step) AS (
+        SELECT row, col, row, col, 0 FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col,
+               w.row + ({move_r}), w.col + ({move_c}), w.step + 1
+        FROM walk w JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+        WHERE dirs.d >= 0
+    ),
+    acc AS (SELECT row, col, COUNT(*) AS acc
+            FROM (SELECT src_row, src_col, row, col FROM walk) GROUP BY row, col),
+    strm AS (SELECT row, col FROM acc WHERE acc >= 5),
+    hit AS (SELECT w.src_row, w.src_col, MIN(w.step) AS ms
+            FROM walk w JOIN strm s ON s.row = w.row AND s.col = w.col
+            GROUP BY w.src_row, w.src_col),
+    tgt AS (SELECT w.src_row AS row, w.src_col AS col,
+                   CAST((w.row * 31 + w.col * 17) % 97 AS BIGINT) AS zt
+            FROM walk w JOIN hit h
+              ON h.src_row = w.src_row AND h.src_col = w.src_col AND h.ms = w.step)
+    SELECT g.row, g.col,
+           CAST((g.row * 31 + g.col * 17) % 97 AS BIGINT) - t.zt AS eas
+    FROM g JOIN tgt t ON t.row = g.row AND t.col = g.col
+    ORDER BY g.row, g.col
+    """

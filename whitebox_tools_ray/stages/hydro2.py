@@ -1025,7 +1025,13 @@ def elevation_above_stream_ds(dem_ds, streams_ds, spec, num_workers: int = 4):
     """ElevationAboveStream (elevation_above_stream.rs), Dataset-native:
     z − z(first stream cell downstream) — terminal resolution against
     the stream target grid, one broadcast z-probe at the (few) target
-    gids, subtraction via the keyed tile zip."""
+    gids, subtraction via the keyed tile zip.
+
+    Cells whose walk ends at a non-stream terminal (an interior pit or
+    the grid edge) are NODATA — the reference seeds pit cells with
+    nodata and propagates it upstream (elevation_above_stream.rs:318-323,
+    351-355); the terminal gid is therefore only a valid subtraction
+    target when the terminal is itself a stream cell."""
     import ray
     import ray.data as rd
 
@@ -1067,18 +1073,25 @@ def elevation_above_stream_ds(dem_ds, streams_ds, spec, num_workers: int = 4):
         return pa.table({"gid": pa.array(hits_g, pa.int64()), "z": pa.array(hits_z, pa.float64())})
 
     pz = dem_ds.map_batches(probe, batch_format="pyarrow").to_pandas()
-    lut_g = pz["gid"].to_numpy()
+    # stream membership at the same gids: a terminal that is NOT a
+    # stream cell (pit / edge outlet) is not a subtraction target
+    ps = streams_ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    stream_gids = set(ps[ps["z"] == 1.0]["gid"].tolist())
+    keep = pz["gid"].isin(stream_gids)
+    lut_g = pz["gid"].to_numpy()[keep]
     order = np.argsort(lut_g)
     lut_g = lut_g[order]
-    lut_z = pz["z"].to_numpy()[order]
+    lut_z = pz["z"].to_numpy()[keep][order]
+    nodata = spec.nodata
 
     def fn(z, gid):
-        if len(lut_g) == 0:
-            return np.zeros_like(z)
         g = gid.astype(np.int64)
+        if len(lut_g) == 0:
+            return np.full_like(z, nodata)
         idx = np.clip(np.searchsorted(lut_g, g), 0, len(lut_g) - 1)
-        tgt = np.where((g >= 0) & (lut_g[idx] == g), lut_z[idx], z)
-        return z - tgt
+        found = (g >= 0) & (lut_g[idx] == g)
+        out = np.where(found, z - lut_z[idx], nodata)
+        return np.where(z != nodata, out, nodata)
 
     return band_math.overlay_fn(dem_ds, gid_ds, spec, fn)
 
