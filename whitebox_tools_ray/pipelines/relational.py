@@ -4217,3 +4217,85 @@ def q_elev_above_stream_sql() -> str:
     FROM g JOIN tgt t ON t.row = g.row AND t.col = g.col
     ORDER BY g.row, g.col
     """
+
+
+def q_downslope_index(sf_dir: str):
+    """DownslopeIndex (hydro_analysis/downslope_index.rs, Hjerdt 2004,
+    drop=15, degrees): angle = atan2(drop, L) at the first downslope
+    cell ≥ drop below; walks ending at a pit fall back to
+    atan2(max(z0−z_end, 0), max(L_end, res)) — the BSP cursor-walk
+    engine (stages/hydro2.py _WalkShard) vs a stepped-walk CTE. Step
+    lengths accumulate in identical path order on both sides, so the
+    6-dp compare is effectively bit-exact."""
+    from ..stages.hydro2 import downslope_index
+
+    ds, spec = _analytic_dem_tiles()
+    out = downslope_index(ds, spec, drop=15.0, num_workers=2)
+    return _round_cells(_tiles_to_cells(out, spec, "dsi"), "dsi")
+
+
+def q_downslope_index_sql() -> str:
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    diag = 90.0 * math.sqrt(2.0)
+    drop = 15.0
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r = "CASE d " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c = "CASE d " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    step_len = "CASE dirs.d " + " ".join(
+        f"WHEN {i} THEN {diag!r}" if dr != 0 and dc != 0 else f"WHEN {i} THEN {float(res)!r}"
+        for i, (dr, dc) in enumerate(ring)
+    ) + " ELSE 0.0 END"
+    zwalk = "CAST(((w2.row * 31 + w2.col * 17) % 97) AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col, step, dist) AS (
+        SELECT row, col, row, col, 0, CAST(0.0 AS DOUBLE) FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col,
+               w.row + ({move_r}), w.col + ({move_c}),
+               w.step + 1, w.dist + ({step_len})
+        FROM walk w JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+        WHERE dirs.d >= 0
+          -- stop extending once the drop target is met at this cell
+          AND NOT (w.step >= 1 AND CAST(((w.row * 31 + w.col * 17) % 97) AS DOUBLE)
+                   <= CAST(((w.src_row * 31 + w.src_col * 17) % 97) AS DOUBLE) - {drop!r})
+    ),
+    hit AS (SELECT w2.src_row, w2.src_col, MIN(w2.dist) AS l
+            FROM walk w2
+            WHERE w2.step >= 1
+              AND {zwalk} <= CAST(((w2.src_row * 31 + w2.src_col * 17) % 97) AS DOUBLE) - {drop!r}
+            GROUP BY w2.src_row, w2.src_col),
+    fin AS (SELECT w2.src_row, w2.src_col, w2.dist AS l_end, {zwalk} AS z_end
+            FROM walk w2 JOIN dirs ON dirs.row = w2.row AND dirs.col = w2.col
+            WHERE dirs.d < 0)
+    SELECT g.row, g.col,
+           ROUND(CASE WHEN h.l IS NOT NULL
+                      THEN DEGREES(ATAN2({drop!r}, h.l))
+                      ELSE DEGREES(ATAN2(
+                          GREATEST(CAST(((g.row * 31 + g.col * 17) % 97) AS DOUBLE) - f.z_end, 0.0),
+                          GREATEST(f.l_end, {res!r})))
+                 END, 6) AS dsi
+    FROM g
+    LEFT JOIN hit h ON h.src_row = g.row AND h.src_col = g.col
+    LEFT JOIN fin f ON f.src_row = g.row AND f.src_col = g.col
+    ORDER BY g.row, g.col
+    """

@@ -840,9 +840,18 @@ class _WalkShard:
                 if p is None:
                     out.append((otid, orow, ocol, z0, tid, r, c, dist))
                     break
+                # arrival check FIRST (dist>0 ⇒ we stepped to get here) —
+                # at the loop top so it also covers cursors handed off
+                # from another shard, whose landing cell would otherwise
+                # skip it (caught by the downslope_index oracle gate:
+                # tile-boundary cells read the next cell's angle)
+                zt = self.z[tid][r, c]
+                if dist > 0 and zt != self.nodata and zt <= z0 - self.drop:
+                    results.append((otid, orow, ocol,
+                                    np.degrees(np.arctan2(self.drop, dist))))
+                    break
                 d = int(p[r, c])
                 if d < 0:  # pit / edge terminal: use slope so far
-                    zt = self.z[tid][r, c]
                     ang = np.degrees(np.arctan2(max(z0 - zt, 0.0), max(dist, self.res)))
                     results.append((otid, orow, ocol, ang))
                     break
@@ -858,18 +867,13 @@ class _WalkShard:
                         if tid not in self.ptr:
                             out.append((otid, orow, ocol, z0, tid, r, c, dist))
                             break
-                        # fall through: continue walking in our own tile
+                        # fall through: loop top re-checks arrival
                     else:
                         ang = np.degrees(np.arctan2(self.drop, max(dist, self.res)))
                         results.append((otid, orow, ocol, ang))
                         break
                 else:
                     r, c = nr, nc
-                zt = self.z[tid][r, c]
-                if zt != self.nodata and zt <= z0 - self.drop:
-                    results.append((otid, orow, ocol,
-                                    np.degrees(np.arctan2(self.drop, dist))))
-                    break
         return out, results
 
     def start(self):
