@@ -4299,3 +4299,68 @@ def q_downslope_index_sql() -> str:
     LEFT JOIN fin f ON f.src_row = g.row AND f.src_col = g.col
     ORDER BY g.row, g.col
     """
+
+
+def q_avg_flowpath_slope(sf_dir: str):
+    """AverageFlowpathSlope (hydro_analysis/average_flowpath_slope.rs
+    composition used by the engine): (z − z_terminal) / L with L the
+    D8 flowpath length to the terminal — ElevAbovePit and the BSP
+    downslope-length layer zipped per tile (stages/hydro2.py:114).
+    Terminal cells (L = 0) read 0. The twin walks the same path, so
+    the step-length sum accumulates in identical order."""
+    from ..stages.hydro2 import average_flowpath_slope
+
+    ds, spec = _analytic_dem_tiles()
+    out = average_flowpath_slope(ds, spec, num_workers=2)
+    return _round_cells(_tiles_to_cells(out, spec, "afs"), "afs", 9)
+
+
+def q_avg_flowpath_slope_sql() -> str:
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    diag = 90.0 * math.sqrt(2.0)
+    zc = "CAST(((({r}) * 31 + ({c}) * 17) % 97) AS DOUBLE)"
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = zc.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = zc.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r = "CASE dirs.d " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c = "CASE dirs.d " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    step_len = "CASE dirs.d " + " ".join(
+        f"WHEN {i} THEN {diag!r}" if dr != 0 and dc != 0 else f"WHEN {i} THEN {float(res)!r}"
+        for i, (dr, dc) in enumerate(ring)
+    ) + " ELSE 0.0 END"
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col, dist) AS (
+        SELECT row, col, row, col, CAST(0.0 AS DOUBLE) FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col,
+               w.row + ({move_r}), w.col + ({move_c}), w.dist + ({step_len})
+        FROM walk w JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+        WHERE dirs.d >= 0
+    ),
+    term AS (SELECT w.src_row AS row, w.src_col AS col, w.dist,
+                    CAST(((w.row * 31 + w.col * 17) % 97) AS DOUBLE) AS zt
+             FROM walk w JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+             WHERE dirs.d < 0)
+    SELECT t.row, t.col,
+           ROUND(CASE WHEN t.dist > 0
+                      THEN (CAST(((t.row * 31 + t.col * 17) % 97) AS DOUBLE) - t.zt) / t.dist
+                      ELSE 0 END, 9) AS afs
+    FROM term t ORDER BY t.row, t.col
+    """
