@@ -122,7 +122,7 @@ def average_flowpath_slope(dem_ds, spec, num_workers: int = 4):
         with np.errstate(all="ignore"):
             return np.where(ln > 0, dz / ln, 0.0)
 
-    return band_math.overlay_fn(eap, length, spec, fn)
+    return band_math.overlay_fn(eap, length, spec, fn, out_fmt="f64")
 
 
 def flow_length_diff(dem_ds, spec, num_workers: int = 4):

@@ -493,4 +493,4 @@ def elev_above_pit(dem_ds, spec, num_workers: int = 4):
         pit = np.where(lut_g[idx] == g, lut_z[idx], z)
         return z - pit
 
-    return band_math.overlay_fn(dem_ds, gid_ds, spec, fn)
+    return band_math.overlay_fn(dem_ds, gid_ds, spec, fn, out_fmt="f64")
