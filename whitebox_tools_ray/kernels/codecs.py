@@ -260,3 +260,37 @@ def psnr(ref: np.ndarray, test: np.ndarray) -> float:
         return float("inf")
     peak = float(np.max(ref) - np.min(ref)) or 1.0
     return 10.0 * np.log10(peak * peak / mse)
+
+
+def tile_row_table(tr: int, tc: int, blob: bytes, fmt: str, **extra):
+    """One-row tile table in the canonical block shape: Arrow, int32
+    keys. Every stage that emits per-tile rows goes through this so
+    Ray's schema dedup / operator fusion sees ONE schema across the
+    whole pipeline (mixed int32/int64 keys and pandas blocks defeat
+    both and spam `unify_schemas` warnings on every reduce)."""
+    import pyarrow as pa
+
+    cols = {
+        "tile_row": pa.array([int(tr)], pa.int32()),
+        "tile_col": pa.array([int(tc)], pa.int32()),
+        "bytes": pa.array([blob], pa.binary()),
+        "fmt": pa.array([fmt], pa.string()),
+    }
+    for k, v in extra.items():
+        cols[k] = pa.array([v])
+    return pa.table(cols)
+
+
+def tile_table(trs, tcs, blobs, fmts, **extra):
+    """Multi-row variant of :func:`tile_row_table` (same canon)."""
+    import pyarrow as pa
+
+    cols = {
+        "tile_row": pa.array(np.asarray(trs, dtype=np.int32), pa.int32()),
+        "tile_col": pa.array(np.asarray(tcs, dtype=np.int32), pa.int32()),
+        "bytes": pa.array(list(blobs), pa.binary()),
+        "fmt": pa.array(list(fmts), pa.string()),
+    }
+    for k, v in extra.items():
+        cols[k] = pa.array(v)
+    return pa.table(cols)

@@ -34,6 +34,23 @@ _STACK_OPS = {
     "min_absolute": lambda s: np.take_along_axis(s, np.abs(s).argmin(axis=0)[None], 0)[0],
 }
 
+def _tag_layer(i):
+    """Tag a tile table with a layer index; casts keys to the canonical
+    int32 so unions of mixed-dtype layer inputs keep ONE schema."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tile_row": batch["tile_row"].cast(pa.int32()),
+                "tile_col": batch["tile_col"].cast(pa.int32()),
+                "bytes": batch["bytes"],
+                "fmt": batch["fmt"],
+                "__layer": pa.array(np.full(batch.num_rows, i, dtype=np.int64)),
+            }
+        )
+
+    return fn
+
 
 def overlay(layer_dss: list, spec, op: str = "max", weights: list[float] | None = None):
     """N-ary per-cell overlay of aligned tile Datasets.
@@ -50,16 +67,9 @@ def overlay(layer_dss: list, spec, op: str = "max", weights: list[float] | None 
         raise ValueError(f"unknown overlay op {op!r}")
     nodata = spec.nodata
 
-    def tag(i):
-        def fn(batch: pa.Table) -> pa.Table:
-            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
-            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
-
-        return fn
-
-    tagged = layer_dss[0].map_batches(tag(0), batch_format="pyarrow")
+    tagged = layer_dss[0].map_batches(_tag_layer(0), batch_format="pyarrow")
     for i, ds in enumerate(layer_dss[1:], 1):
-        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+        tagged = tagged.union(ds.map_batches(_tag_layer(i), batch_format="pyarrow"))
 
     n_layers = len(layer_dss)
     w = np.asarray(weights, dtype=np.float64) if weights is not None else None
@@ -75,13 +85,9 @@ def overlay(layer_dss: list, spec, op: str = "max", weights: list[float] | None 
         else:
             out = _STACK_OPS[op](stack)
         out[bad] = nodata
-        return pd.DataFrame(
-            {
-                "tile_row": [int(g["tile_row"].iloc[0])],
-                "tile_col": [int(g["tile_col"].iloc[0])],
-                "bytes": [codecs.encode_tile(out, "f32")],
-                "fmt": ["f32"],
-            }
+        return codecs.tile_row_table(
+            g["tile_row"].iloc[0], g["tile_col"].iloc[0],
+            codecs.encode_tile(out, "f32"), "f32",
         )
 
     return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
@@ -96,15 +102,8 @@ def normalized_difference(ds_a, ds_b, spec, clip: float = 0.0):
     capped B at driver memory and is gone (VERDICT r1)."""
     nodata = spec.nodata
 
-    def tag(i):
-        def fn(batch: pa.Table) -> pa.Table:
-            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
-            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
-
-        return fn
-
-    tagged = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
-        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    tagged = ds_a.map_batches(_tag_layer(0), batch_format="pyarrow").union(
+        ds_b.map_batches(_tag_layer(1), batch_format="pyarrow")
     )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -117,13 +116,9 @@ def normalized_difference(ds_a, ds_b, spec, clip: float = 0.0):
         nd[(a == nodata) | (b == nodata)] = nodata
         if clip > 0:
             nd = np.clip(nd, -clip, clip)
-        return pd.DataFrame(
-            {
-                "tile_row": [int(g["tile_row"].iloc[0])],
-                "tile_col": [int(g["tile_col"].iloc[0])],
-                "bytes": [codecs.encode_tile(nd, "f32")],
-                "fmt": ["f32"],
-            }
+        return codecs.tile_row_table(
+            g["tile_row"].iloc[0], g["tile_col"].iloc[0],
+            codecs.encode_tile(nd, "f32"), "f32",
         )
 
     return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
@@ -134,28 +129,17 @@ def count_if(layer_dss: list, spec, value: float):
     ``value``. Same zip-by-tile-key shape as overlay."""
     nodata = spec.nodata
 
-    def tag(i):
-        def fn(batch: pa.Table) -> pa.Table:
-            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
-            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
-
-        return fn
-
-    tagged = layer_dss[0].map_batches(tag(0), batch_format="pyarrow")
+    tagged = layer_dss[0].map_batches(_tag_layer(0), batch_format="pyarrow")
     for i, ds in enumerate(layer_dss[1:], 1):
-        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+        tagged = tagged.union(ds.map_batches(_tag_layer(i), batch_format="pyarrow"))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         stack = np.stack([codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])])
         out = (stack == value).sum(axis=0).astype(np.float64)
         out[(stack == nodata).any(axis=0)] = nodata
-        return pd.DataFrame(
-            {
-                "tile_row": [int(g["tile_row"].iloc[0])],
-                "tile_col": [int(g["tile_col"].iloc[0])],
-                "bytes": [codecs.encode_tile(out, "f32")],
-                "fmt": ["f32"],
-            }
+        return codecs.tile_row_table(
+            g["tile_row"].iloc[0], g["tile_col"].iloc[0],
+            codecs.encode_tile(out, "f32"), "f32",
         )
 
     return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
@@ -167,15 +151,8 @@ def overlay_fn(ds_a, ds_b, spec, fn, out_fmt: str = "f32"):
     stream). Nodata in either input propagates."""
     nodata = spec.nodata
 
-    def tag(i):
-        def f(batch: pa.Table) -> pa.Table:
-            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
-            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
-
-        return f
-
-    tagged = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
-        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    tagged = ds_a.map_batches(_tag_layer(0), batch_format="pyarrow").union(
+        ds_b.map_batches(_tag_layer(1), batch_format="pyarrow")
     )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -185,13 +162,9 @@ def overlay_fn(ds_a, ds_b, spec, fn, out_fmt: str = "f32"):
         bad = (a == nodata) | (b == nodata)
         out = fn(a, b)
         out = np.where(bad, nodata, out)
-        return pd.DataFrame(
-            {
-                "tile_row": [int(g["tile_row"].iloc[0])],
-                "tile_col": [int(g["tile_col"].iloc[0])],
-                "bytes": [codecs.encode_tile(out, out_fmt)],
-                "fmt": [out_fmt],
-            }
+        return codecs.tile_row_table(
+            g["tile_row"].iloc[0], g["tile_col"].iloc[0],
+            codecs.encode_tile(out, out_fmt), out_fmt,
         )
 
     return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
@@ -210,16 +183,9 @@ def compare_overlay(layer_dss: list, cmp_ds, spec, op: str = "eq", out_fmt: str 
     nodata = spec.nodata
     n_layers = len(layer_dss)
 
-    def tag(i):
-        def fn(batch: pa.Table) -> pa.Table:
-            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
-            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
-
-        return fn
-
-    tagged = cmp_ds.map_batches(tag(-1), batch_format="pyarrow")
+    tagged = cmp_ds.map_batches(_tag_layer(-1), batch_format="pyarrow")
     for i, ds in enumerate(layer_dss):
-        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+        tagged = tagged.union(ds.map_batches(_tag_layer(i), batch_format="pyarrow"))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("__layer")
@@ -229,13 +195,9 @@ def compare_overlay(layer_dss: list, cmp_ds, spec, op: str = "eq", out_fmt: str 
         bad = (stack == nodata).any(axis=0) | (cmp_g == nodata)
         out = cmp_fn(stack, cmp_g[None]).sum(axis=0) / float(n_layers) * 100.0
         out[bad] = nodata
-        return pd.DataFrame(
-            {
-                "tile_row": [int(g["tile_row"].iloc[0])],
-                "tile_col": [int(g["tile_col"].iloc[0])],
-                "bytes": [codecs.encode_tile(out, out_fmt)],
-                "fmt": [out_fmt],
-            }
+        return codecs.tile_row_table(
+            g["tile_row"].iloc[0], g["tile_col"].iloc[0],
+            codecs.encode_tile(out, out_fmt), out_fmt,
         )
 
     return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
@@ -246,16 +208,9 @@ def pick_from_list(layer_dss: list, pos_ds, spec, out_fmt: str = "f32"):
     per cell, which stack layer's value to output (1-based)."""
     nodata = spec.nodata
 
-    def tag(i):
-        def fn(batch: pa.Table) -> pa.Table:
-            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
-            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
-
-        return fn
-
-    tagged = pos_ds.map_batches(tag(-1), batch_format="pyarrow")
+    tagged = pos_ds.map_batches(_tag_layer(-1), batch_format="pyarrow")
     for i, ds in enumerate(layer_dss):
-        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+        tagged = tagged.union(ds.map_batches(_tag_layer(i), batch_format="pyarrow"))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("__layer")
@@ -266,13 +221,9 @@ def pick_from_list(layer_dss: list, pos_ds, spec, out_fmt: str = "f32"):
         out = np.take_along_axis(stack, idx[None], 0)[0]
         bad = (pos == nodata) | (pos.astype(np.int64) - 1 < 0) | (pos.astype(np.int64) > stack.shape[0])
         out = np.where(bad, nodata, out)
-        return pd.DataFrame(
-            {
-                "tile_row": [int(g["tile_row"].iloc[0])],
-                "tile_col": [int(g["tile_col"].iloc[0])],
-                "bytes": [codecs.encode_tile(out, out_fmt)],
-                "fmt": [out_fmt],
-            }
+        return codecs.tile_row_table(
+            g["tile_row"].iloc[0], g["tile_col"].iloc[0],
+            codecs.encode_tile(out, out_fmt), out_fmt,
         )
 
     return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")
@@ -292,16 +243,9 @@ def weighted_overlay(layer_dss: list, spec, weights: list[float],
     ranges = [_pixel_minmax(ds) for ds in layer_dss]
     nodata = spec.nodata
 
-    def tag(i):
-        def fn(batch: pa.Table) -> pa.Table:
-            t = batch.select(["tile_row", "tile_col", "bytes", "fmt"])
-            return t.append_column("__layer", pa.array(np.full(t.num_rows, i, dtype=np.int64)))
-
-        return fn
-
-    tagged = layer_dss[0].map_batches(tag(0), batch_format="pyarrow")
+    tagged = layer_dss[0].map_batches(_tag_layer(0), batch_format="pyarrow")
     for i, ds in enumerate(layer_dss[1:], 1):
-        tagged = tagged.union(ds.map_batches(tag(i), batch_format="pyarrow"))
+        tagged = tagged.union(ds.map_batches(_tag_layer(i), batch_format="pyarrow"))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("__layer")
@@ -318,13 +262,9 @@ def weighted_overlay(layer_dss: list, spec, weights: list[float],
             out = term if out is None else out + term
             bad = b if bad is None else (bad | b)
         out[bad] = nodata
-        return pd.DataFrame(
-            {
-                "tile_row": [int(g["tile_row"].iloc[0])],
-                "tile_col": [int(g["tile_col"].iloc[0])],
-                "bytes": [codecs.encode_tile(out, out_fmt)],
-                "fmt": [out_fmt],
-            }
+        return codecs.tile_row_table(
+            g["tile_row"].iloc[0], g["tile_col"].iloc[0],
+            codecs.encode_tile(out, out_fmt), out_fmt,
         )
 
     return tagged.groupby(["tile_row", "tile_col"]).map_groups(combine, batch_format="pandas")

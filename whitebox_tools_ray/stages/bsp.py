@@ -225,8 +225,8 @@ def _combine_store(spec, names: list[str], layers: dict, n_stores: int):
         for res in ray.get([stores[si].get.remote(ks) for si, ks in per_store.items()]):
             packs.update(res)
         cols = {
-            "tile_row": pa.array(tr, pa.int64()),
-            "tile_col": pa.array(tc, pa.int64()),
+            "tile_row": pa.array(tr.astype(np.int32), pa.int32()),
+            "tile_col": pa.array(tc.astype(np.int32), pa.int32()),
             names[0]: batch["bytes"],
             names[0] + "_fmt": batch["fmt"],
         }
@@ -291,13 +291,20 @@ def combine_tile_layers(spec, mode: str = "auto", **layers):
     for t in tagged[1:]:
         u = u.union(t)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame):
         tkey = int(g["tkey"].iloc[0])
-        row = {"tile_row": [tkey // spec.tiles_x], "tile_col": [tkey % spec.tiles_x]}
+        cols = {
+            "tile_row": pa.array([tkey // spec.tiles_x], pa.int32()),
+            "tile_col": pa.array([tkey % spec.tiles_x], pa.int32()),
+        }
         for name in names:
             sel = g[g["role"] == name]
-            row[name] = [bytes(sel["data"].iloc[0])] if len(sel) else [b""]
-            row[name + "_fmt"] = [sel["fmt"].iloc[0]] if len(sel) else [""]
-        return pd.DataFrame(row)
+            cols[name] = pa.array(
+                [bytes(sel["data"].iloc[0]) if len(sel) else b""], pa.binary()
+            )
+            cols[name + "_fmt"] = pa.array(
+                [sel["fmt"].iloc[0] if len(sel) else ""], pa.string()
+            )
+        return pa.table(cols)
 
     return u.groupby("tkey").map_groups(merge, batch_format="pandas")

@@ -162,7 +162,7 @@ def euclidean_distance_ds(tiles_ds, spec, target_nonzero: bool = True,
             rows_out["tile_col"].append(int(tc))
             rows_out["bytes"].append(codecs.encode_tile(o, out_fmt))
             rows_out["fmt"].append(out_fmt)
-        return pd.DataFrame(rows_out)
+        return codecs.tile_table(rows_out["tile_row"], rows_out["tile_col"], rows_out["bytes"], rows_out["fmt"])
 
     return mid.groupby("tile_row").map_groups(row_pass, batch_format="pandas")
 
@@ -255,7 +255,7 @@ def euclidean_allocation_ds(tiles_ds, spec, out_fmt: str = "f32"):
             rows_out["tile_col"].append(int(tc))
             rows_out["bytes"].append(codecs.encode_tile(o, out_fmt))
             rows_out["fmt"].append(out_fmt)
-        return pd.DataFrame(rows_out)
+        return codecs.tile_table(rows_out["tile_row"], rows_out["tile_col"], rows_out["bytes"], rows_out["fmt"])
 
     return mid.groupby("tile_row").map_groups(row_pass, batch_format="pandas")
 

@@ -374,13 +374,8 @@ def depth_in_sink_ds(dem_ds, spec, zero_background: bool = False,
         d = fil - dem
         out = np.where(d > 1e-9, d, bg)
         out[dem == nodata] = nodata
-        return pd.DataFrame(
-            {
-                "tile_row": [int(row["tile_row"])],
-                "tile_col": [int(row["tile_col"])],
-                "bytes": [codecs.encode_tile(out, "f32")],
-                "fmt": ["f32"],
-            }
+        return codecs.tile_row_table(
+            row["tile_row"], row["tile_col"], codecs.encode_tile(out, "f32"), "f32"
         )
 
     return combined.map_batches(
@@ -577,7 +572,7 @@ def breach_depressions_ds(dem_ds, spec, epsilon: float = 1e-5,
                 codecs.encode_tile(z[r0 : r0 + tpx, c0 : c0 + tpx], "f32")
             )
             out["fmt"].append("f32")
-        return pd.DataFrame(out)
+        return codecs.tile_table(out["tile_row"], out["tile_col"], out["bytes"], out["fmt"])
 
     keyed = dem_ds.map_batches(
         lambda b: b.append_column("__one", pa.array(np.zeros(b.num_rows, np.int8))),

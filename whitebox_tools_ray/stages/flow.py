@@ -33,6 +33,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import numpy as np
+import pyarrow as pa
 
 from ..kernels import codecs
 from .focal import DX8, DY8, _shifted, focal_op
@@ -268,12 +269,12 @@ def pointer_with_indegree(pointer_ds, spec):
             di = pad[1 + DY8[i] : 1 + DY8[i] + tpx, 1 + DX8[i] : 1 + DX8[i] + tpx]
             count += (di == INFLOW_OF[i]).astype(np.int8)
         ind = np.where(d != -2.0, count, -1).astype(np.float64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "tile_row": [tkey // tiles_x],
-                "tile_col": [tkey % tiles_x],
-                "ptr": [codecs.encode_tile(d, "i8")],
-                "ind": [codecs.encode_tile(ind, "i8")],
+                "tile_row": pa.array([tkey // tiles_x], pa.int32()),
+                "tile_col": pa.array([tkey % tiles_x], pa.int32()),
+                "ptr": pa.array([codecs.encode_tile(d, "i8")], pa.binary()),
+                "ind": pa.array([codecs.encode_tile(ind, "i8")], pa.binary()),
             }
         )
 

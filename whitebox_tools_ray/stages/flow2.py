@@ -194,13 +194,13 @@ def fractions_and_indeg_rows(dem_ds, spec, method: str, exponent: float = 1.1,
             ind += (nb_frac > 0).astype(np.int8)
         z = pad[halo : halo + tpx, halo : halo + tpx]
         valid = (z != nodata).astype(np.int8)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "tile_row": [trow],
-                "tile_col": [tcol],
-                "frac": [frac.astype(np.float32).tobytes()],
-                "ind": [ind.tobytes()],
-                "valid": [valid.tobytes()],
+                "tile_row": pa.array([trow], pa.int32()),
+                "tile_col": pa.array([tcol], pa.int32()),
+                "frac": pa.array([frac.astype(np.float32).tobytes()], pa.binary()),
+                "ind": pa.array([ind.tobytes()], pa.binary()),
+                "valid": pa.array([valid.tobytes()], pa.binary()),
             }
         )
 

@@ -205,8 +205,8 @@ def _focal_op_store(tiles_ds, spec, kernel, halo, out_fmt, n_stores: int):
             out_b.append(codecs.encode_tile(out, out_fmt))
         return pa.table(
             {
-                "tile_row": pa.array(out_tr, batch["tile_row"].type),
-                "tile_col": pa.array(out_tc, batch["tile_col"].type),
+                "tile_row": pa.array(out_tr, pa.int32()),
+                "tile_col": pa.array(out_tc, pa.int32()),
                 "bytes": pa.array(out_b, pa.binary()),
                 "fmt": pa.array([out_fmt] * len(out_b), pa.string()),
             }
@@ -257,13 +257,8 @@ def focal_op(
     def per_tile(g: pd.DataFrame) -> pd.DataFrame:
         tkey, pad = _assemble_padded(g, halo, tpx, nodata)
         out = kernel(pad, nodata, spec)
-        return pd.DataFrame(
-            {
-                "tile_row": [tkey // tiles_x],
-                "tile_col": [tkey % tiles_x],
-                "bytes": [codecs.encode_tile(out, out_fmt)],
-                "fmt": [out_fmt],
-            }
+        return codecs.tile_row_table(
+            tkey // tiles_x, tkey % tiles_x, codecs.encode_tile(out, out_fmt), out_fmt
         )
 
     return margins.groupby("tkey").map_groups(per_tile, batch_format="pandas")

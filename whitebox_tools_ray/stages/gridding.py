@@ -151,8 +151,8 @@ class _GriddingActor:
         return pa.table(
             {
                 "tile_id": batch["tile_id"],
-                "tile_row": pa.array(tids // self.spec.tiles_x, pa.int64()),
-                "tile_col": pa.array(tids % self.spec.tiles_x, pa.int64()),
+                "tile_row": pa.array((tids // self.spec.tiles_x).astype("int32"), pa.int32()),
+                "tile_col": pa.array((tids % self.spec.tiles_x).astype("int32"), pa.int32()),
                 "bytes": pa.array(blobs, pa.binary()),
                 "fmt": pa.array([self.out_fmt] * len(blobs), pa.string()),
             }
@@ -273,13 +273,13 @@ def idw_gridding_ds(
         out = _interp_points_tile(pts["px"].to_numpy(), pts["py"].to_numpy(),
                                   pts["pz"].to_numpy(), tid, spec,
                                   gs, method, radius, power)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "tile_id": [tid],
-                "tile_row": [tid // tiles_x],
-                "tile_col": [tid % tiles_x],
-                "bytes": [codecs.encode_tile(out, out_fmt)],
-                "fmt": [out_fmt],
+                "tile_id": pa.array([tid], pa.int64()),
+                "tile_row": pa.array([tid // tiles_x], pa.int32()),
+                "tile_col": pa.array([tid % tiles_x], pa.int32()),
+                "bytes": pa.array([codecs.encode_tile(out, out_fmt)], pa.binary()),
+                "fmt": pa.array([out_fmt], pa.string()),
             }
         )
 
@@ -370,8 +370,8 @@ def tin_gridding(
             return pa.table(
                 {
                     "tile_id": batch["tile_id"],
-                    "tile_row": pa.array(tids // spec.tiles_x, pa.int64()),
-                    "tile_col": pa.array(tids % spec.tiles_x, pa.int64()),
+                    "tile_row": pa.array((tids // spec.tiles_x).astype("int32"), pa.int32()),
+                    "tile_col": pa.array((tids % spec.tiles_x).astype("int32"), pa.int32()),
                     "bytes": pa.array(blobs, pa.binary()),
                     "fmt": pa.array(["f32"] * len(blobs), pa.string()),
                 }

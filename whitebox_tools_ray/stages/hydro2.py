@@ -334,9 +334,9 @@ def flood_order(dem_ds, spec, num_workers: int = 4):
         grid = np.full(tpx * tpx, spec.nodata)
         m = g[g["idx"] >= 0]
         grid[m["idx"].to_numpy(dtype=np.int64)] = m["rank"].to_numpy(dtype=np.float64)
-        return pd.DataFrame(
-            {"tile_row": [tk // spec.tiles_x], "tile_col": [tk % spec.tiles_x],
-             "bytes": [codecs.encode_tile(grid.reshape(tpx, tpx), "f32")], "fmt": ["f32"]}
+        return codecs.tile_row_table(
+            tk // spec.tiles_x, tk % spec.tiles_x,
+            codecs.encode_tile(grid.reshape(tpx, tpx), "f32"), "f32"
         )
 
     return (

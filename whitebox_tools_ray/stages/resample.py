@@ -149,8 +149,8 @@ class _ResampleActor:
         return pa.table(
             {
                 "tile_id": pa.array(tids, pa.int64()),
-                "tile_row": pa.array(trs, pa.int64()),
-                "tile_col": pa.array(tcs, pa.int64()),
+                "tile_row": pa.array(trs, pa.int32()),
+                "tile_col": pa.array(tcs, pa.int32()),
                 "bytes": pa.array(blobs, pa.binary()),
                 "fmt": pa.array(["f32"] * len(blobs), pa.string()),
             }
