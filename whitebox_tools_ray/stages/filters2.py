@@ -109,9 +109,10 @@ def log_weights(sigma: float) -> np.ndarray:
     return g - g.mean()
 
 
-def gaussian_filter(tiles_ds, spec, sigma: float = 0.75):
+def gaussian_filter(tiles_ds, spec, sigma: float = 0.75, out_fmt: str = "f32"):
     w = gaussian_weights(sigma)
-    return focal_op(tiles_ds, spec, make_convolution_kernel(w, normalize=True), w.shape[0] // 2)
+    return focal_op(tiles_ds, spec, make_convolution_kernel(w, normalize=True), w.shape[0] // 2,
+                    out_fmt=out_fmt)
 
 
 def diff_of_gaussian_filter(tiles_ds, spec, sigma1: float = 2.0, sigma2: float = 4.0):
