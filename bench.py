@@ -39,6 +39,19 @@ def run_bench() -> dict:
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "16777216")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "16777216")
 
+    # Documented host requirement (BASELINE.md round-3): plasma + tmpfs
+    # pages must be THP-backed or the object store pays ~10 M single-page
+    # faults per run behind one shmem lock (measured 2-3x headline
+    # collapse with shmem_enabled=never). Best-effort self-heal; a
+    # non-root run just keeps whatever the host has.
+    try:
+        p = "/sys/kernel/mm/transparent_hugepage/shmem_enabled"
+        if os.path.exists(p) and "[never]" in open(p).read():
+            with open(p, "w") as f:
+                f.write("advise")
+    except OSError:
+        pass
+
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not ray.is_initialized():
