@@ -4604,3 +4604,38 @@ def q_gaussian_filter_sql(sigma: float = 0.75) -> str:
     GROUP BY g.row, g.col
     ORDER BY g.row, g.col
     """
+
+
+def q_fill_depressions(sf_dir: str):
+    """FillDepressions (hydro_analysis/fill_depressions.rs) through the
+    Dataset-native hierarchical BSP fill (stages/fill.fill_depressions_ds)
+    on the analytic DEM — 1088 of 4096 cells rise. The SQL twin is the
+    minimax-path-to-edge fixed point the stage docstring states:
+    F(c) = min over edge-seeded walks of the running max z, enumerated
+    as a recursive (cell, level) closure (≤ cells × distinct-z states)."""
+    from ..stages.fill import fill_depressions_ds
+
+    ds, spec = _analytic_dem_tiles()
+    out = fill_depressions_ds(ds, spec, num_workers=2)
+    return _round_cells(_tiles_to_cells(out, spec, "fill"), "fill", 6)
+
+
+def q_fill_depressions_sql() -> str:
+    return """
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col,
+                 CAST(((r.r * 31 + c.c * 17) % 97) AS DOUBLE) AS z
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    walk(row, col, lvl) AS (
+        SELECT row, col, z FROM g WHERE row IN (0, 63) OR col IN (0, 63)
+        UNION
+        SELECT n.row, n.col, GREATEST(w.lvl, n.z)
+        FROM walk w
+        JOIN g n ON n.row BETWEEN w.row - 1 AND w.row + 1
+                AND n.col BETWEEN w.col - 1 AND w.col + 1
+                AND NOT (n.row = w.row AND n.col = w.col)
+    )
+    SELECT row, col, ROUND(MIN(lvl), 6) AS fill
+    FROM walk GROUP BY row, col ORDER BY row, col
+    """
