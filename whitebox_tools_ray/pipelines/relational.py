@@ -4639,3 +4639,118 @@ def q_fill_depressions_sql() -> str:
     SELECT row, col, ROUND(MIN(lvl), 6) AS fill
     FROM walk GROUP BY row, col ORDER BY row, col
     """
+
+
+def q_opening(sf_dir: str, radius: int = 1):
+    """Opening (image_analysis/opening.rs): erosion→dilation as two
+    chained focal halo passes on the analytic DEM (exercises the
+    multi-pass focal pipeline; integer z ≤ 96 → f32 exact). SQL twin:
+    nested in-bounds window MIN then MAX."""
+    from ..stages.filters2 import opening
+
+    ds, spec = _analytic_dem_tiles()
+    out = opening(ds, spec, radius=radius)
+    return _round_cells(_tiles_to_cells(out, spec, "opened"), "opened", 6)
+
+
+def q_opening_sql(radius: int = 1) -> str:
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col,
+                      CAST(((r.r * 31 + c.c * 17) % 97) AS DOUBLE) AS z
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+    e AS (SELECT a.row, a.col, MIN(b.z) AS v
+          FROM g a JOIN g b
+            ON b.row BETWEEN a.row - {radius} AND a.row + {radius}
+           AND b.col BETWEEN a.col - {radius} AND a.col + {radius}
+          GROUP BY a.row, a.col)
+    SELECT a.row, a.col, ROUND(MAX(b.v), 6) AS opened
+    FROM e a JOIN e b
+      ON b.row BETWEEN a.row - {radius} AND a.row + {radius}
+     AND b.col BETWEEN a.col - {radius} AND a.col + {radius}
+    GROUP BY a.row, a.col ORDER BY a.row, a.col
+    """
+
+
+def _analytic_dem_tiles_16():
+    """16×16 analytic DEM (same z = (31r+17c) mod 97) as 2×2 tiles of
+    8 px — small enough for path-unrolled SQL oracles (FD8)."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+
+    spec = SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+    rows = []
+    for tr in range(2):
+        for tc in range(2):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 8, tr * 8 + 8, dtype=np.int64),
+                np.arange(tc * 8, tc * 8 + 8, dtype=np.int64),
+                indexing="ij",
+            )
+            g = ((rr * 31 + cc * 17) % 97).astype(np.float64)
+            rows.append(
+                {
+                    "tile_row": tr,
+                    "tile_col": tc,
+                    "bytes": codecs.encode_tile(g, "f64"),
+                    "fmt": "f64",
+                }
+            )
+    return rd.from_items(rows), spec
+
+
+def q_fd8_accum(sf_dir: str):
+    """FD8FlowAccumulation (hydro_analysis/fd8_flow_accum.rs) at
+    exponent 1.0 on the 16×16 analytic DEM through the multi-flow BSP
+    engine (fractions stored f32, exactly as the engine ships them
+    between shards). The SQL twin quantizes its fractions through the
+    same REAL cast and unrolls the topological recurrence
+    acc = 1 + Σ frac·acc(inflow) to past the longest flowpath."""
+    from ..stages.flow2 import fd8_flow_accumulation
+
+    ds, spec = _analytic_dem_tiles_16()
+    out = fd8_flow_accumulation(ds, spec, exponent=1.0, num_workers=2)
+    return _round_cells(_tiles_to_cells(out, spec, "acc"), "acc", 6)
+
+
+def q_fd8_accum_sql(depth: int = 16) -> str:
+    import math
+
+    res = 90.0
+    dirs = ", ".join(
+        f"({dy}, {dx}, {res * math.sqrt(2.0) if dy and dx else res!r})"
+        for dy, dx in zip((-1, 0, 1, 1, 1, 0, -1, -1), (1, 1, 1, 0, -1, -1, -1, 0))
+    )
+    ctes = []
+    prev = "a0"
+    for k in range(1, depth + 1):
+        cur = f"a{k}"
+        ctes.append(
+            f"""{cur} AS (
+      SELECT g.row, g.col, 1.0 + COALESCE(SUM(ed.frac * p.acc), 0.0) AS acc
+      FROM g LEFT JOIN ed ON ed.vr = g.row AND ed.vc = g.col
+             LEFT JOIN {prev} p ON p.row = ed.ur AND p.col = ed.uc
+      GROUP BY g.row, g.col)"""
+        )
+        prev = cur
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col,
+                      CAST(((r.r * 31 + c.c * 17) % 97) AS DOUBLE) AS z
+               FROM (SELECT unnest(generate_series(0, 15)) AS r) r,
+                    (SELECT unnest(generate_series(0, 15)) AS c) c),
+    d(dr, dc, dist) AS (VALUES {dirs}),
+    w AS (SELECT u.row ur, u.col uc, u.row + d.dr vr, u.col + d.dc vc,
+                 (u.z - v.z) / d.dist AS w
+          FROM g u JOIN d ON TRUE
+          JOIN g v ON v.row = u.row + d.dr AND v.col = u.col + d.dc
+          WHERE u.z > v.z),
+    tot AS (SELECT ur, uc, SUM(w) AS t FROM w GROUP BY ur, uc),
+    ed AS (SELECT w.ur, w.uc, w.vr, w.vc,
+                  CAST(CAST(w.w / tot.t AS REAL) AS DOUBLE) AS frac
+           FROM w JOIN tot ON tot.ur = w.ur AND tot.uc = w.uc),
+    a0 AS (SELECT row, col, 1.0 AS acc FROM g),
+    {", ".join(ctes)}
+    SELECT row, col, ROUND(acc, 6) AS acc FROM {prev} ORDER BY row, col
+    """

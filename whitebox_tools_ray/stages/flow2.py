@@ -377,7 +377,9 @@ class MultiFlowShardDS:
                 g = (g > 0).astype(np.float64)
             g[~self.valid[tid]] = self.nodata_out
             out[tid] = g
-        ShardBase._dump_tiles(self._base, path, out, "f32")
+        # f64: accumulation layers feed oracle gates and downstream
+        # composes; f32 quantization (~1e-5 at acc~256) fails both
+        ShardBase._dump_tiles(self._base, path, out, "f64")
 
 
 def run_multiflow(rows_ds, spec, mode: str, num_workers: int = 4, out_dir: str | None = None):
