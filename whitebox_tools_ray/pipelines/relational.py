@@ -4754,3 +4754,80 @@ def q_fd8_accum_sql(depth: int = 16) -> str:
     {", ".join(ctes)}
     SELECT row, col, ROUND(acc, 6) AS acc FROM {prev} ORDER BY row, col
     """
+
+
+def q_dinf_accum(sf_dir: str):
+    """DInfFlowAccumulation (hydro_analysis/dinf_flow_accum.rs, Tarboton
+    1997) on the 16×16 analytic DEM through the multi-flow BSP engine.
+    The SQL twin reproduces the full facet selection (s1/s2 slopes,
+    atan2 angle with the s1≤0 override, clip to π/4, first-max facet
+    tie-break) and the two-way angular split, quantizes fractions
+    through the engine's REAL cast, then unrolls the topological
+    recurrence."""
+    from ..stages.flow2 import dinf_flow_accumulation
+
+    ds, spec = _analytic_dem_tiles_16()
+    out = dinf_flow_accumulation(ds, spec, num_workers=2)
+    return _round_cells(_tiles_to_cells(out, spec, "acc"), "acc", 6)
+
+
+def q_dinf_accum_sql(depth: int = 16) -> str:
+    res = 90.0
+    a4 = float(np.arctan2(res, res))
+    diag = float(np.hypot(res, res))
+    # ring: 0=NE 1=E 2=SE 3=S 4=SW 5=W 6=NW 7=N; facets (cardinal, diagonal)
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    facets = [(1, 0), (7, 0), (7, 6), (5, 6), (5, 4), (3, 4), (3, 2), (1, 2)]
+    fc = ", ".join(
+        f"({fi}, {ring[ci][0]}, {ring[ci][1]}, {ring[di][0]}, {ring[di][1]})"
+        for fi, (ci, di) in enumerate(facets)
+    )
+    ctes = []
+    prev = "a0"
+    for k in range(1, depth + 1):
+        cur = f"a{k}"
+        ctes.append(
+            f"""{cur} AS (
+      SELECT g.row, g.col, 1.0 + COALESCE(SUM(ed.frac * p.acc), 0.0) AS acc
+      FROM g LEFT JOIN ed ON ed.vr = g.row AND ed.vc = g.col
+             LEFT JOIN {prev} p ON p.row = ed.ur AND p.col = ed.uc
+      GROUP BY g.row, g.col)"""
+        )
+        prev = cur
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col,
+                      CAST(((r.r * 31 + c.c * 17) % 97) AS DOUBLE) AS z
+               FROM (SELECT unnest(generate_series(0, 15)) AS r) r,
+                    (SELECT unnest(generate_series(0, 15)) AS c) c),
+    fc(fi, cdr, cdc, ddr, ddc) AS (VALUES {fc}),
+    sl AS (SELECT u.row AS ur, u.col AS uc, fc.fi, fc.cdr, fc.cdc, fc.ddr, fc.ddc,
+                  (u.z - COALESCE(zc.z, u.z)) / {res!r} AS s1,
+                  (COALESCE(zc.z, u.z) - COALESCE(zd.z, COALESCE(zc.z, u.z))) / {res!r} AS s2,
+                  u.z - COALESCE(zd.z, COALESCE(zc.z, u.z)) AS dzd
+           FROM g u JOIN fc ON TRUE
+           LEFT JOIN g zc ON zc.row = u.row + fc.cdr AND zc.col = u.col + fc.cdc
+           LEFT JOIN g zd ON zd.row = u.row + fc.ddr AND zd.col = u.col + fc.ddc),
+    rr AS (SELECT *, CASE WHEN s1 <= 0
+                          THEN (CASE WHEN s2 > 0 THEN {a4!r} ELSE 0.0 END)
+                          ELSE LEAST(GREATEST(ATAN2(s2, s1), 0.0), {a4!r}) END AS r
+           FROM sl),
+    sv AS (SELECT *, CASE WHEN r = 0.0 THEN s1
+                          WHEN r = {a4!r} THEN dzd / {diag!r}
+                          ELSE SQRT(GREATEST(s1 * s1 + s2 * s2, 0.0)) END AS sfac
+           FROM rr),
+    b1 AS (SELECT * FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY ur, uc
+                                            ORDER BY sfac DESC, fi ASC) AS rk
+               FROM sv)
+           WHERE rk = 1 AND sfac > 0),
+    ed0 AS (
+        SELECT ur, uc, ur + ddr AS vr, uc + ddc AS vc, r / {a4!r} AS frac FROM b1
+        UNION ALL
+        SELECT ur, uc, ur + cdr AS vr, uc + cdc AS vc, 1.0 - r / {a4!r} AS frac FROM b1
+    ),
+    ed AS (SELECT ur, uc, vr, vc, CAST(CAST(frac AS REAL) AS DOUBLE) AS frac
+           FROM ed0 WHERE vr BETWEEN 0 AND 15 AND vc BETWEEN 0 AND 15),
+    a0 AS (SELECT row, col, 1.0 AS acc FROM g),
+    {", ".join(ctes)}
+    SELECT row, col, ROUND(acc, 6) AS acc FROM {prev} ORDER BY row, col
+    """
