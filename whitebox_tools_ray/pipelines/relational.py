@@ -4831,3 +4831,159 @@ def q_dinf_accum_sql(depth: int = 16) -> str:
     {", ".join(ctes)}
     SELECT row, col, ROUND(acc, 6) AS acc FROM {prev} ORDER BY row, col
     """
+
+
+def q_cost_distance(sf_dir: str):
+    """CostDistance (gis_analysis/cost_distance.rs) through the BSP shard
+    engine (stages/cost.cost_distance_ds): 64×64 scene, cost varies by
+    ROW only (1 + (3r mod 7)) with the whole top row as source — the
+    optimal path from any cell is the straight vertical walk (every path
+    crosses each row boundary at least once, a cardinal crossing is the
+    cheapest way to cross it, and lateral moves only add cost), so the
+    accumulated cost is the exact prefix sum
+    Σ_{k=1..row} (cost(k-1)+cost(k))/2 the SQL twin computes."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+    from ..stages.cost import cost_distance_ds
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16, res=1.0)
+    cost_rows, src_rows = [], []
+    for tr in range(4):
+        for tc in range(4):
+            rr = np.arange(tr * 16, tr * 16 + 16, dtype=np.int64)[:, None]
+            cost = np.broadcast_to(
+                (1 + (rr * 3) % 7).astype(np.float64), (16, 16)
+            ).copy()
+            src = np.zeros((16, 16))
+            if tr == 0:
+                src[0, :] = 1.0
+            key = {"tile_row": tr, "tile_col": tc}
+            cost_rows.append({**key, "bytes": codecs.encode_tile(cost, "f64"), "fmt": "f64"})
+            src_rows.append({**key, "bytes": codecs.encode_tile(src, "f32"), "fmt": "f32"})
+    out = cost_distance_ds(
+        rd.from_items(cost_rows), rd.from_items(src_rows), spec,
+        num_workers=2, out_fmt="f64",
+    )
+    return _round_cells(_tiles_to_cells(out, spec, "cd"), "cd", 6)
+
+
+Q_COST_DISTANCE_SQL = """
+    WITH rows_ AS (SELECT unnest(generate_series(0, 63)) AS r),
+    c AS (SELECT r, CAST(1 + (r * 3) % 7 AS DOUBLE) AS v FROM rows_),
+    steps AS (SELECT r, CASE WHEN r = 0 THEN 0.0
+                             ELSE (v + LAG(v) OVER (ORDER BY r)) / 2.0 END AS step
+              FROM c),
+    acc AS (SELECT r, SUM(step) OVER (ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+            FROM steps)
+    SELECT g.r AS row, g2.c AS col, ROUND(acc.a, 6) AS cd
+    FROM rows_ g, (SELECT unnest(generate_series(0, 63)) AS c) g2
+    JOIN acc ON acc.r = g.r
+    ORDER BY row, col
+"""
+
+
+def q_clump(sf_dir: str):
+    """Clump (gis_analysis/clump.rs:246-281) through the Dataset-native
+    connected-components engine (stages/cc.clump_ds): 32×32 grid of
+    v = ((31r+17c) mod 97) mod 4, 8-connectivity, all values clump.
+    Dense ids are 1 + rank of the component's minimum row-major cell
+    (the reference's scan discovery order); the SQL twin is a recursive
+    min-label closure over the same-value 8-neighbour graph."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+    from ..stages.cc import clump_ds
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=8)
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 8, tr * 8 + 8, dtype=np.int64),
+                np.arange(tc * 8, tc * 8 + 8, dtype=np.int64),
+                indexing="ij",
+            )
+            g = (((rr * 31 + cc * 17) % 97) % 4).astype(np.float64)
+            rows.append({"tile_row": tr, "tile_col": tc,
+                         "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
+    out, _n = clump_ds(rd.from_items(rows), spec, diag=True, zero_background=False)
+    return _round_cells(_tiles_to_cells(out, spec, "clump"), "clump", 6)
+
+
+Q_CLUMP_SQL = """
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col,
+                 ((r.r * 31 + c.c * 17) % 97) % 4 AS v,
+                 r.r * 32 + c.c AS gid
+          FROM (SELECT unnest(generate_series(0, 31)) AS r) r,
+               (SELECT unnest(generate_series(0, 31)) AS c) c),
+    comp(row, col, lbl) AS (
+        SELECT row, col, gid FROM g
+        UNION
+        SELECT n.row, n.col, w.lbl
+        FROM comp w
+        JOIN g wc ON wc.row = w.row AND wc.col = w.col
+        JOIN g n ON n.row BETWEEN w.row - 1 AND w.row + 1
+                AND n.col BETWEEN w.col - 1 AND w.col + 1
+                AND NOT (n.row = w.row AND n.col = w.col)
+                AND n.v = wc.v
+        WHERE w.lbl < n.gid
+    ),
+    m AS (SELECT row, col, MIN(lbl) AS ml FROM comp GROUP BY row, col)
+    SELECT row, col, CAST(DENSE_RANK() OVER (ORDER BY ml) AS DOUBLE) AS clump
+    FROM m ORDER BY row, col
+"""
+
+
+def q_max_elev_dev(sf_dir: str):
+    """MaxElevationDeviation (terrain_analysis/max_elevation_deviation.rs)
+    through the multiscale sweep engine (stages/terrain3._multiscale_max):
+    per cell, the signed DEV value with the largest |DEV| over window
+    radii 1..4 plus the winning radius (strictly-greater replacement —
+    earliest scale wins ties). Returns a merged (row, col, mag, scale)
+    DataFrame; the SQL twin ranks the same four window z-scores."""
+    from ..stages.terrain3 import max_elevation_deviation
+
+    ds, spec = _analytic_dem_tiles()
+    mag, scl = max_elevation_deviation(ds, spec, 1, 4, 1, out_fmt="f64")
+    mdf = _round_cells(_tiles_to_cells(mag, spec, "mag"), "mag", 6).to_pandas()
+    sdf = _tiles_to_cells(scl, spec, "scale").to_pandas()
+    out = mdf.merge(sdf, on=["row", "col"]).sort_values(["row", "col"])
+    return out.reset_index(drop=True)
+
+
+def q_max_elev_dev_sql() -> str:
+    z0 = _DEM_Z.format(r="a.row", c="a.col")
+    zn = _DEM_Z.format(r="g.row + o.dr", c="g.col + o.dc")
+    return f"""
+    WITH {_WIN_G},
+    rads AS (SELECT unnest(generate_series(1, 4)) AS rad),
+    off AS (SELECT rad, a.o AS dr, b.o AS dc
+            FROM rads,
+                 (SELECT unnest(generate_series(-4, 4)) AS o) a,
+                 (SELECT unnest(generate_series(-4, 4)) AS o) b
+            WHERE ABS(a.o) <= rad AND ABS(b.o) <= rad),
+    agg AS (SELECT g.row, g.col, o.rad,
+                   COUNT(*) AS n, SUM({zn}) AS s1,
+                   SUM(({zn}) * ({zn})) AS s2
+            FROM g JOIN off o
+              ON g.row + o.dr BETWEEN 0 AND 63
+             AND g.col + o.dc BETWEEN 0 AND 63
+            GROUP BY g.row, g.col, o.rad),
+    dev AS (SELECT a.row, a.col, a.rad,
+                   CASE WHEN SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) > 0
+                        THEN ({z0} - s1 / n)
+                             / SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0))
+                        ELSE 0 END AS dv
+            FROM agg a),
+    pick AS (SELECT row, col, dv, rad,
+                    ROW_NUMBER() OVER (PARTITION BY row, col
+                                       ORDER BY ABS(dv) DESC, rad ASC) AS rk
+             FROM dev)
+    SELECT row, col, ROUND(dv, 6) AS mag, CAST(rad AS DOUBLE) AS scale
+    FROM pick WHERE rk = 1 ORDER BY row, col
+    """

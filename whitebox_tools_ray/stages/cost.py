@@ -181,12 +181,14 @@ def _border_cells(h: int, w: int):
 
 
 class CostShardDS:
-    def __init__(self, tile_px: int, tiles_x: int, tiles_y: int, nodata: float, res: float):
+    def __init__(self, tile_px: int, tiles_x: int, tiles_y: int, nodata: float,
+                 res: float, out_fmt: str = "f32"):
         self.tpx = tile_px
         self.tiles_x = tiles_x
         self.tiles_y = tiles_y
         self.nodata = nodata
         self.res = res
+        self.out_fmt = out_fmt
         self.cost: dict[int, np.ndarray] = {}
         self.src: dict[int, np.ndarray] = {}
         self.seed: dict[int, np.ndarray] = {}
@@ -313,10 +315,11 @@ class CostShardDS:
                 g[~np.isfinite(g)] = self.nodata
             g[self.cost[tid] == self.nodata] = self.nodata
             tiles[tid] = g
-        ShardBase._dump_tiles(base, path, tiles, "f32")
+        ShardBase._dump_tiles(base, path, tiles, self.out_fmt)
 
 
-def cost_distance_ds(cost_ds, source_ds, spec, num_workers: int = 4, out_dir: str | None = None):
+def cost_distance_ds(cost_ds, source_ds, spec, num_workers: int = 4,
+                     out_dir: str | None = None, out_fmt: str = "f32"):
     """Dataset-native CostDistance (cost_distance.rs): cost + source tile
     Datasets zip on the tile key, stream into shard actors, iterate
     from-above with (accum, cost) border frames until no seed improves."""
@@ -329,7 +332,7 @@ def cost_distance_ds(cost_ds, source_ds, spec, num_workers: int = 4, out_dir: st
     return run_bsp(
         combined,
         CostShardDS,
-        (spec.tile_px, spec.tiles_x, spec.tiles_y, spec.nodata, spec.res),
+        (spec.tile_px, spec.tiles_x, spec.tiles_y, spec.nodata, spec.res, out_fmt),
         num_workers,
         out_dir,
     )

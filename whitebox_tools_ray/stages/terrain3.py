@@ -168,12 +168,12 @@ def anisotropy_dev_kernel(radius: int):
 
 
 def _multiscale_max(tiles_ds, spec, kernel_factory, scales, absolute: bool = True,
-                    halo_extra: int = 0):
+                    halo_extra: int = 0, out_fmt: str = "f32"):
     """Per-cell max |stat| over scales → (magnitude_ds, scale_ds)."""
     mag = None
     scl = None
     for r in scales:
-        layer = focal_op(tiles_ds, spec, kernel_factory(int(r)), int(r) + halo_extra)
+        layer = focal_op(tiles_ds, spec, kernel_factory(int(r)), int(r) + halo_extra, out_fmt=out_fmt)
         if mag is None:
             mag = layer
 
@@ -181,13 +181,13 @@ def _multiscale_max(tiles_ds, spec, kernel_factory, scales, absolute: bool = Tru
                 outs = []
                 for bb, ff in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
                     g = codecs.decode_tile(bb, ff)
-                    outs.append(codecs.encode_tile(np.full_like(g, rr), "f32"))
+                    outs.append(codecs.encode_tile(np.full_like(g, rr), out_fmt))
                 return pa.table(
                     {
                         "tile_row": batch["tile_row"],
                         "tile_col": batch["tile_col"],
                         "bytes": pa.array(outs, pa.binary()),
-                        "fmt": pa.array(["f32"] * batch.num_rows, pa.string()),
+                        "fmt": pa.array([out_fmt] * batch.num_rows, pa.string()),
                     }
                 )
 
@@ -202,7 +202,7 @@ def _multiscale_max(tiles_ds, spec, kernel_factory, scales, absolute: bool = Tru
             bv = np.abs(b) if absolute else b
             return np.where(bv > av, b, a)
 
-        mag = band_math.overlay_fn(prev_mag, layer, spec, take_max)
+        mag = band_math.overlay_fn(prev_mag, layer, spec, take_max, out_fmt=out_fmt)
         # scale layer: (prev_mag, layer) → win mask, then (scl, win) → r
         win = band_math.overlay_fn(
             prev_mag,
@@ -211,17 +211,19 @@ def _multiscale_max(tiles_ds, spec, kernel_factory, scales, absolute: bool = Tru
             (lambda a, b: (np.abs(b) > np.abs(a)).astype(np.float64))
             if absolute
             else (lambda a, b: (b > a).astype(np.float64)),
+            out_fmt=out_fmt,
         )
         scl = band_math.overlay_fn(
-            scl, win, spec, lambda s, w, rr=float(r): np.where(w > 0, rr, s)
+            scl, win, spec, lambda s, w, rr=float(r): np.where(w > 0, rr, s),
+            out_fmt=out_fmt,
         )
     return mag, scl
 
 
 def max_elevation_deviation(tiles_ds, spec, min_scale: int = 1, max_scale: int = 4,
-                            step: int = 1):
+                            step: int = 1, out_fmt: str = "f32"):
     scales = list(range(min_scale, max_scale + 1, step))
-    return _multiscale_max(tiles_ds, spec, dev_from_mean_kernel, scales)
+    return _multiscale_max(tiles_ds, spec, dev_from_mean_kernel, scales, out_fmt=out_fmt)
 
 
 def multiscale_roughness(tiles_ds, spec, min_scale: int = 1, max_scale: int = 4,
