@@ -4987,3 +4987,133 @@ def q_max_elev_dev_sql() -> str:
     SELECT row, col, ROUND(dv, 6) AS mag, CAST(rad AS DOUBLE) AS scale
     FROM pick WHERE rk = 1 ORDER BY row, col
     """
+
+
+def _valley_dem_tiles():
+    """64×64 valley DEM z = 3r + 2|c−32| + ((7r+5c) mod 3): drainage
+    converges on the centre column (50+ stream junctions at threshold
+    25, Strahler orders up to 3 — the mod-97 sheet has NO junctions, so
+    network-topology gates need this surface). Integer-exact both sides."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                indexing="ij",
+            )
+            g = (3 * rr + 2 * np.abs(cc - 32) + ((rr * 7 + cc * 5) % 3)).astype(np.float64)
+            rows.append({"tile_row": tr, "tile_col": tc,
+                         "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
+    return rd.from_items(rows), spec
+
+
+_VALLEY_Z = "CAST((3 * ({r}) + 2 * ABS(({c}) - 32) + ((({r}) * 7 + ({c}) * 5) % 3)) AS DOUBLE)"
+
+
+def q_strahler_order(sf_dir: str):
+    """StrahlerStreamOrder (stream_network_analysis/strahler_order.rs)
+    through the full Dataset-native chain on the valley DEM: pointer →
+    BSP accumulation → ExtractStreams (acc ≥ 25) → ``stream_links_ds``
+    → per-link Strahler on the O(links) DAG → painted back. The SQL
+    twin runs the per-cell fixpoint (head = 1; M+1 where ≥2 inflows tie
+    at the max M) unrolled 6 rounds — measured convergence is 3."""
+    from ..stages.flow import d8_pointer_masked, flow_accumulation_ds
+    from ..stages.streams import extract_streams_ds, strahler_order, stream_links_ds
+
+    ds, spec = _valley_dem_tiles()
+    ptr = d8_pointer_masked(ds, spec)
+    acc = flow_accumulation_ds(ptr, spec, num_workers=2)
+    streams = extract_streams_ds(acc, spec, threshold=25.0)
+    painted, links = stream_links_ds(streams, ptr, spec)
+    order = strahler_order(links)
+    max_lid = max(order) if order else 0
+    lut = np.zeros(max_lid + 1, dtype=np.int64)
+    for lid, o in order.items():
+        lut[lid] = o
+
+    cells = _tiles_to_cells(painted, spec, "link_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lid = batch["link_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lid > 0
+        return pa.table(
+            {
+                "row": batch["row"].filter(pa.array(keep)),
+                "col": batch["col"].filter(pa.array(keep)),
+                "ord": pa.array(lut[lid[keep]], pa.int64()),
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_strahler_order_sql(threshold: float = 25.0, iters: int = 6) -> str:
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = _VALLEY_Z.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = _VALLEY_Z.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r = "CASE d " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c = "CASE d " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    ring_vals = ", ".join(f"({i}, {dr}, {dc})" for i, (dr, dc) in enumerate(ring))
+    its = []
+    prev = "s0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    agg{k} AS (SELECT i.row, i.col, MAX(p.o) AS mx
+               FROM inflow i JOIN {prev} p ON p.row = i.irow AND p.col = i.icol
+               GROUP BY i.row, i.col),
+    cnt{k} AS (SELECT i.row, i.col, COUNT(*) AS nmx
+               FROM inflow i JOIN {prev} p ON p.row = i.irow AND p.col = i.icol
+               JOIN agg{k} a ON a.row = i.row AND a.col = i.col AND p.o = a.mx
+               GROUP BY i.row, i.col),
+    s{k} AS (SELECT s.row, s.col,
+                    CASE WHEN a.mx IS NULL THEN 1
+                         WHEN c.nmx >= 2 THEN a.mx + 1 ELSE a.mx END AS o
+             FROM strm s
+             LEFT JOIN agg{k} a ON a.row = s.row AND a.col = s.col
+             LEFT JOIN cnt{k} c ON c.row = s.row AND c.col = s.col)""")
+        prev = f"s{k}"
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS MATERIALIZED (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col) AS (
+        SELECT row, col, row, col FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col,
+               w.row + ({move_r}), w.col + ({move_c})
+        FROM walk w JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+        WHERE dirs.d >= 0
+    ),
+    acc AS (SELECT row, col, COUNT(*) AS acc FROM walk GROUP BY row, col),
+    strm AS MATERIALIZED (SELECT row, col FROM acc WHERE acc >= {threshold!r}),
+    ring(i, dr, dc) AS (VALUES {ring_vals}),
+    inflow AS MATERIALIZED (SELECT s.row, s.col, nb.row AS irow, nb.col AS icol
+               FROM strm s JOIN ring ON TRUE
+               JOIN strm nb ON nb.row = s.row + ring.dr AND nb.col = s.col + ring.dc
+               JOIN dirs nd ON nd.row = nb.row AND nd.col = nb.col
+               WHERE nd.d = (ring.i + 4) % 8),
+    s0 AS (SELECT row, col, 1 AS o FROM strm),{','.join(its)}
+    SELECT row, col, CAST(o AS BIGINT) AS ord FROM {prev} ORDER BY row, col
+    """
