@@ -5117,3 +5117,77 @@ def q_strahler_order_sql(threshold: float = 25.0, iters: int = 6) -> str:
     s0 AS (SELECT row, col, 1 AS o FROM strm),{','.join(its)}
     SELECT row, col, CAST(o AS BIGINT) AS ord FROM {prev} ORDER BY row, col
     """
+
+
+def q_tin_grid(sf_dir: str):
+    """TINGridding (gis_analysis/tin_gridding.rs) through the per-tile
+    Delaunay + barycentric engine (stages/gridding.tin_gridding): the
+    point z-values sample the plane z = 2 + x/2 − y/4, so EVERY valid
+    triangulation interpolates the plane exactly — the oracle is the
+    plane itself at cell centres, independent of triangulation choice
+    (boundary points sit on a rectangle strictly outside the grid, so
+    all 4096 cell centres are inside the hull; spacing 5 < the 8-cell
+    co-partition margin keeps border triangles under the fallback)."""
+    from ..sources.tiles import SceneSpec
+    from ..stages.gridding import tin_gridding
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16, res=1.0, west=0.0, north=64.0)
+    xs, ys, zs = [], [], []
+    for i in range(15):
+        for j in range(15):
+            x = -1.0 + 5.0 * j
+            y = -1.0 + 5.0 * i
+            if 0 < i < 14 and 0 < j < 14:
+                x += ((i * 7 + j * 3) % 5 - 2) * 0.1
+                y += ((i * 3 + j * 11) % 5 - 2) * 0.1
+            xs.append(x)
+            ys.append(y)
+            zs.append(2.0 + 0.5 * x - 0.25 * y)
+    pts = pa.table({"x": pa.array(xs, pa.float64()), "y": pa.array(ys, pa.float64()),
+                    "value": pa.array(zs, pa.float64())})
+    out = tin_gridding(pts, spec)
+    return _round_cells(_tiles_to_cells(out, spec, "tin"), "tin", 4)
+
+
+Q_TIN_GRID_SQL = """
+    SELECT r.r AS row, c.c AS col,
+           ROUND(2.0 + 0.5 * (c.c + 0.5) - 0.25 * (64.0 - 0.5 - r.r), 4) AS tin
+    FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+         (SELECT unnest(generate_series(0, 63)) AS c) c
+    ORDER BY row, col
+"""
+
+
+def q_flood_order(sf_dir: str):
+    """FloodOrder (hydro_analysis/flood_order.rs) through the distributed
+    fill + distinct-value prefix scan + bucketed value join
+    (stages/hydro2.flood_order): per cell, count of filled-surface values
+    strictly below its own. SQL twin: the fill minimax closure (same as
+    q_fill_depressions) ranked with RANK()−1."""
+    from ..stages.hydro2 import flood_order
+
+    ds, spec = _analytic_dem_tiles()
+    out = flood_order(ds, spec, num_workers=2)
+    return _round_cells(_tiles_to_cells(out, spec, "ord"), "ord", 6)
+
+
+def q_flood_order_sql() -> str:
+    return """
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col,
+                 CAST(((r.r * 31 + c.c * 17) % 97) AS DOUBLE) AS z
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    walk(row, col, lvl) AS (
+        SELECT row, col, z FROM g WHERE row IN (0, 63) OR col IN (0, 63)
+        UNION
+        SELECT n.row, n.col, GREATEST(w.lvl, n.z)
+        FROM walk w
+        JOIN g n ON n.row BETWEEN w.row - 1 AND w.row + 1
+                AND n.col BETWEEN w.col - 1 AND w.col + 1
+                AND NOT (n.row = w.row AND n.col = w.col)
+    ),
+    fill AS (SELECT row, col, MIN(lvl) AS f FROM walk GROUP BY row, col)
+    SELECT row, col, CAST(RANK() OVER (ORDER BY f) - 1 AS DOUBLE) AS ord
+    FROM fill ORDER BY row, col
+    """
