@@ -5191,3 +5191,196 @@ def q_flood_order_sql() -> str:
     SELECT row, col, CAST(RANK() OVER (ORDER BY f) - 1 AS DOUBLE) AS ord
     FROM fill ORDER BY row, col
     """
+
+
+# ---------------------------------------------------------------------------
+# Curvature / neighbour-count / window-filter gates (terrain_analysis /
+# image_analysis families) on the analytic DEM.
+
+_ANALYTIC_GRID_SQL = """
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c)
+"""
+
+# 5x5 window of in-grid neighbour values around each cell.
+_WINDOW5_SQL = """
+    w AS (SELECT g.row AS row, g.col AS col,
+                 CAST(((g.row + dr.d) * 31 + (g.col + dc.d) * 17) % 97 AS DOUBLE) AS zv
+          FROM g,
+               (SELECT unnest(generate_series(-2, 2)) AS d) dr,
+               (SELECT unnest(generate_series(-2, 2)) AS d) dc
+          WHERE g.row + dr.d BETWEEN 0 AND 63 AND g.col + dc.d BETWEEN 0 AND 63)
+"""
+
+
+def _evans_partials_sql() -> str:
+    """Evans finite-difference partials (terrain2._partials) with the
+    replicated-centre out-of-grid frame, cell size 90 — shared by the
+    curvature twins."""
+    zfun = (
+        "CAST((CASE WHEN {r} BETWEEN 0 AND 63 AND {c} BETWEEN 0 AND 63"
+        " THEN ({r}) * 31 + ({c}) * 17 ELSE g.row * 31 + g.col * 17 END) % 97 AS DOUBLE)"
+    )
+
+    def z(dr, dc):
+        return zfun.format(r=f"(g.row + ({dr}))", c=f"(g.col + ({dc}))")
+
+    ne, e_, se = z(-1, 1), z(0, 1), z(1, 1)
+    s_, sw, w_ = z(1, 0), z(1, -1), z(0, -1)
+    nw, n_ = z(-1, -1), z(-1, 0)
+    res = 90.0
+    return f"""
+         d AS (SELECT g.row, g.col,
+                      (({e_}) - ({w_})) / {2.0 * res} AS zx,
+                      (({n_}) - ({s_})) / {2.0 * res} AS zy,
+                      (({e_}) - 2.0 * CAST((g.row * 31 + g.col * 17) % 97 AS DOUBLE) + ({w_})) / {res * res} AS zxx,
+                      (({n_}) - 2.0 * CAST((g.row * 31 + g.col * 17) % 97 AS DOUBLE) + ({s_})) / {res * res} AS zyy,
+                      (-({nw}) + ({ne}) + ({sw}) - ({se})) / {4.0 * res * res} AS zxy
+               FROM g)
+    """
+
+
+def q_tan_curvature(sf_dir: str):
+    """TangentialCurvature (tan_curvature.rs:277-290) on the analytic
+    DEM via the halo focal engine."""
+    from ..stages.focal import focal_op
+    from ..stages.terrain2 import tan_curvature_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, tan_curvature_kernel, 1, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "tanc"), "tanc", 6)
+
+
+def q_tan_curvature_sql() -> str:
+    return f"""
+    WITH {_ANALYTIC_GRID_SQL},
+    {_evans_partials_sql()}
+    SELECT row, col,
+           ROUND(CASE WHEN zx * zx + zy * zy > 0
+                 THEN DEGREES((zxx * zy * zy + 2.0 * zxy * zx * zy + zyy * zx * zx)
+                      / ((zx * zx + zy * zy) * SQRT((zx * zx + zy * zy) + 1.0))) * 100.0
+                 ELSE -32768.0 END, 6) AS tanc
+    FROM d
+    """
+
+
+def q_total_curvature(sf_dir: str):
+    """TotalCurvature (total_curvature.rs:267-271) on the analytic DEM."""
+    from ..stages.focal import focal_op
+    from ..stages.terrain2 import total_curvature_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, total_curvature_kernel, 1, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "totc"), "totc", 6)
+
+
+def q_total_curvature_sql() -> str:
+    return f"""
+    WITH {_ANALYTIC_GRID_SQL},
+    {_evans_partials_sql()}
+    SELECT row, col,
+           ROUND(DEGREES(zxx * zxx + 2.0 * zxy * zxy + zyy * zyy) * 100.0, 6) AS totc
+    FROM d
+    """
+
+
+def q_num_downslope(sf_dir: str):
+    """NumDownslopeNeighbours (num_downslope_neighbours.rs): count of
+    strictly-lower in-grid 8-neighbours."""
+    from ..stages.terrain2 import num_downslope_neighbours
+
+    ds, spec = _analytic_dem_tiles()
+    out = num_downslope_neighbours(ds, spec)
+    cells = _tiles_to_cells(out, spec, "ndown")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["ndown"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "ndown": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_num_downslope_sql() -> str:
+    terms = []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            cond = (
+                f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+                f" AND ((g.row + ({dr})) * 31 + (g.col + ({dc})) * 17) % 97"
+                f" < (g.row * 31 + g.col * 17) % 97"
+            )
+            terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+    WITH {_ANALYTIC_GRID_SQL}
+    SELECT row, col, CAST({total} AS BIGINT) AS ndown FROM g
+    """
+
+
+def q_olympic_filter(sf_dir: str):
+    """OlympicFilter (olympic_filter.rs): 5x5 mean excluding one min and
+    one max."""
+    from ..stages.focal import focal_op, make_window_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, make_window_kernel("olympic", 2), 2, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "olym"), "olym", 6)
+
+
+def q_olympic_filter_sql() -> str:
+    return f"""
+    WITH {_ANALYTIC_GRID_SQL},
+    {_WINDOW5_SQL}
+    SELECT row, col,
+           ROUND((SUM(zv) - MAX(zv) - MIN(zv)) / (COUNT(*) - 2), 6) AS olym
+    FROM w GROUP BY row, col
+    """
+
+
+def q_majority_filter(sf_dir: str):
+    """MajorityFilter (majority_filter.rs): 5x5 mode; ties resolve to the
+    smallest value (np.unique / ORDER BY zv ASC on both sides)."""
+    from ..stages.focal import focal_op, make_window_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, make_window_kernel("majority", 2), 2, out_fmt="f64")
+    return _tiles_to_cells(out, spec, "maj")
+
+
+def q_majority_filter_sql() -> str:
+    return f"""
+    WITH {_ANALYTIC_GRID_SQL},
+    {_WINDOW5_SQL},
+    cnt AS (SELECT row, col, zv, COUNT(*) AS n FROM w GROUP BY row, col, zv),
+    r AS (SELECT row, col, zv,
+                 ROW_NUMBER() OVER (PARTITION BY row, col ORDER BY n DESC, zv ASC) AS rn
+          FROM cnt)
+    SELECT row, col, zv AS maj FROM r WHERE rn = 1
+    """
+
+
+def q_diversity_filter(sf_dir: str):
+    """DiversityFilter (diversity_filter.rs): 5x5 distinct-value count."""
+    from ..stages.focal import focal_op, make_window_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, make_window_kernel("diversity", 2), 2, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "divers")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["divers"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "divers": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_diversity_filter_sql() -> str:
+    return f"""
+    WITH {_ANALYTIC_GRID_SQL},
+    {_WINDOW5_SQL}
+    SELECT row, col, CAST(COUNT(DISTINCT zv) AS BIGINT) AS divers
+    FROM w GROUP BY row, col
+    """

@@ -356,26 +356,27 @@ def _window_stat(pad, nodata, spec, stat: str, radius: int):
             mx = np.where(valid, win, -np.inf).max(axis=(-2, -1))
             mn = np.where(valid, win, np.inf).min(axis=(-2, -1))
             out = np.where(c > 2, (s - mx - mn) / np.maximum(c - 2, 1), nodata)
-        elif stat == "majority":
-            flat = np.where(valid, win, np.nan).reshape(*win.shape[:2], -1)
-            out = np.empty(flat.shape[:2])
-            for ii in range(flat.shape[0]):
-                for jj in range(flat.shape[1]):
-                    v = flat[ii, jj]
-                    v = v[~np.isnan(v)]
-                    if len(v) == 0:
-                        out[ii, jj] = nodata
-                    else:
-                        vals, counts = np.unique(v, return_counts=True)
-                        out[ii, jj] = vals[counts.argmax()]
-        elif stat == "diversity":
-            flat = np.where(valid, win, np.nan).reshape(*win.shape[:2], -1)
-            out = np.empty(flat.shape[:2])
-            for ii in range(flat.shape[0]):
-                for jj in range(flat.shape[1]):
-                    v = flat[ii, jj]
-                    v = v[~np.isnan(v)]
-                    out[ii, jj] = len(np.unique(v)) if len(v) else nodata
+        elif stat in ("majority", "diversity"):
+            # Vectorized mode/distinct-count: sort each window (invalid →
+            # +inf sorts last), find value-run boundaries, then either
+            # count runs (diversity) or take the value of the longest run
+            # (majority; ties → smallest value, matching np.unique order).
+            flat = np.where(valid, win, np.inf).reshape(*win.shape[:2], -1)
+            c = valid.reshape(*valid.shape[:2], -1).sum(axis=-1)
+            srt = np.sort(flat, axis=-1)
+            k = srt.shape[-1]
+            idx = np.arange(k)
+            validk = idx < c[..., None]
+            isnew = np.ones(srt.shape, dtype=bool)
+            isnew[..., 1:] = srt[..., 1:] != srt[..., :-1]
+            if stat == "diversity":
+                out = (isnew & validk).sum(axis=-1).astype(np.float64)
+            else:
+                run_start = np.maximum.accumulate(np.where(isnew, idx, 0), axis=-1)
+                score = np.where(validk, idx - run_start + 1, 0)
+                best = np.argmax(score, axis=-1)
+                out = np.take_along_axis(srt, best[..., None], axis=-1)[..., 0]
+            out = np.where(c > 0, out, nodata)
         else:
             raise ValueError(stat)
     return np.where(z != nodata, out, nodata)
