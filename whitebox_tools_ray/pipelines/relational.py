@@ -5384,3 +5384,87 @@ def q_diversity_filter_sql() -> str:
     SELECT row, col, CAST(COUNT(DISTINCT zv) AS BIGINT) AS divers
     FROM w GROUP BY row, col
     """
+
+
+def q_relative_aspect(sf_dir: str):
+    """RelativeAspect (relative_aspect.rs): angular distance of the Horn
+    aspect from azimuth 45 (-1 where flat / fx<=0, matching aspect.rs)."""
+    from ..stages.terrain2 import relative_aspect
+
+    ds, spec = _analytic_dem_tiles()
+    out = relative_aspect(ds, spec, azimuth=45.0, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "relasp"), "relasp", 6)
+
+
+def q_relative_aspect_sql(azimuth: float = 45.0) -> str:
+    d = f"ABS(180.0 - DEGREES(ATAN(fy / fx)) + 90.0 - {azimuth}) % 360.0"
+    return _horn_sql(
+        f"ROUND(CASE WHEN fx > 0 THEN (CASE WHEN ({d}) > 180.0 THEN 360.0 - ({d}) ELSE ({d}) END)"
+        " ELSE -1.0 END, 6)",
+        "relasp",
+    )
+
+
+def q_stdev_filter(sf_dir: str):
+    """StandardDeviationFilter: 5x5 population stdev via the
+    sum/sum-of-squares identity (exact-integer partials on this DEM)."""
+    from ..stages.focal import focal_op, make_window_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, make_window_kernel("stdev", 2), 2, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "sdev"), "sdev", 6)
+
+
+def q_stdev_filter_sql() -> str:
+    # same ss/c - (s/c)^2 float path as the kernel (not STDDEV_POP)
+    return f"""
+    WITH {_ANALYTIC_GRID_SQL},
+    {_WINDOW5_SQL}
+    SELECT row, col,
+           ROUND(SQRT(GREATEST(SUM(zv * zv) / COUNT(*)
+                 - (SUM(zv) / COUNT(*)) * (SUM(zv) / COUNT(*)), 0.0)), 6) AS sdev
+    FROM w GROUP BY row, col
+    """
+
+
+def q_range_filter(sf_dir: str):
+    """RangeFilter: 5x5 max - min (integer-exact)."""
+    from ..stages.focal import focal_op, make_window_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, make_window_kernel("range", 2), 2, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "rng")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "rng": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_range_filter_sql() -> str:
+    return f"""
+    WITH {_ANALYTIC_GRID_SQL},
+    {_WINDOW5_SQL}
+    SELECT row, col, CAST(MAX(zv) - MIN(zv) AS BIGINT) AS rng
+    FROM w GROUP BY row, col
+    """
+
+
+def q_percentile_filter(sf_dir: str):
+    """PercentileFilter (q=25): 5x5 linear-interpolated percentile
+    (np.nanpercentile == quantile_cont on integer-valued windows)."""
+    from ..stages.focal import focal_op, make_window_kernel
+
+    ds, spec = _analytic_dem_tiles()
+    out = focal_op(ds, spec, make_window_kernel("percentile:25", 2), 2, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "pct"), "pct", 6)
+
+
+def q_percentile_filter_sql() -> str:
+    return f"""
+    WITH {_ANALYTIC_GRID_SQL},
+    {_WINDOW5_SQL}
+    SELECT row, col, ROUND(quantile_cont(zv, 0.25), 6) AS pct
+    FROM w GROUP BY row, col
+    """

@@ -122,7 +122,7 @@ def _aspect_grid(grid, nodata, res):
     return np.where(z != nodata, asp, nodata)
 
 
-def relative_aspect(tiles_ds, spec, azimuth: float = 0.0):
+def relative_aspect(tiles_ds, spec, azimuth: float = 0.0, out_fmt: str = "f32"):
     """RelativeAspect: angular distance of aspect from ``azimuth``."""
 
     def kernel(pad, nodata, spec_):
@@ -136,7 +136,7 @@ def relative_aspect(tiles_ds, spec, azimuth: float = 0.0):
         out = np.where(asp == -1.0, -1.0, d)
         return np.where((z != nodata) & (asp != nodata), out, nodata)
 
-    return focal_op(tiles_ds, spec, kernel, 2)
+    return focal_op(tiles_ds, spec, kernel, 2, out_fmt=out_fmt)
 
 
 def _count_kernel(cmp):
