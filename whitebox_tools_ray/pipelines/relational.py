@@ -5468,3 +5468,119 @@ def q_percentile_filter_sql() -> str:
     SELECT row, col, ROUND(quantile_cont(zv, 0.25), 6) AS pct
     FROM w GROUP BY row, col
     """
+
+
+def q_resample_cubic(sf_dir: str):
+    """Resample (resample.rs `cc` mode, Keys 1981 a=-0.5) 64×64 → 32×32
+    at 2× the cell size. Every destination centre hits t=0.5 in both
+    axes, so the separable weights are exact sixteenths
+    (-1/16, 9/16, 9/16, -1/16) and all 16 accumulation terms are exact
+    multiples of 1/256 — bit-exact, order-independent, no rounding.
+    The one-cell border ring falls back to nearest-neighbour
+    (z(2r+1, 2c+1)) because its 4×4 window leaves the source grid."""
+    import pyarrow as pa2
+
+    from ..kernels import codecs
+    from ..kernels.grid import GridSpec
+    from ..sources.tiles import SceneSpec
+    from ..stages.resample import resample
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    gs = spec.grid_spec()
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                indexing="ij",
+            )
+            g = ((rr * 31 + cc * 17) % 97).astype(np.float64)
+            rows.append({"tile_row": tr, "tile_col": tc,
+                         "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
+    src_table = pa2.Table.from_pylist(rows)
+    dest = GridSpec(
+        west=gs.west, north=gs.north, res_x=gs.res_x * 2, res_y=gs.res_y * 2,
+        rows=32, columns=32, nodata=gs.nodata,
+    )
+    out = resample(src_table, spec, dest, dest_tile_px=16, method="cc")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rr, cc, vv = [], [], []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            for r in range(g.shape[0]):
+                for c in range(g.shape[1]):
+                    rr.append(tr * 16 + r)
+                    cc.append(tc * 16 + c)
+                    vv.append(float(g[r, c]))
+        return pa.table({"row": pa.array(rr, pa.int64()),
+                         "col": pa.array(cc, pa.int64()),
+                         "value": pa.array(vv, pa.float64())})
+
+    return out.map_batches(cells, batch_format="pyarrow")
+
+
+def q_resample_cubic_sql() -> str:
+    wts = {-1: "-0.0625", 0: "0.5625", 1: "0.5625", 2: "-0.0625"}
+    terms = []
+    for dr in (-1, 0, 1, 2):
+        for dc in (-1, 0, 1, 2):
+            z = f"CAST(((2*row + ({dr})) * 31 + (2*col + ({dc})) * 17) % 97 AS DOUBLE)"
+            terms.append(f"({wts[dr]}) * ({wts[dc]}) * {z}")
+    cubic = " + ".join(terms)
+    nn = "CAST(((2*row + 1) * 31 + (2*col + 1) * 17) % 97 AS DOUBLE)"
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 31)) AS r) r,
+                    (SELECT unnest(generate_series(0, 31)) AS c) c)
+    SELECT row, col,
+           CASE WHEN row BETWEEN 1 AND 30 AND col BETWEEN 1 AND 30
+                THEN {cubic} ELSE {nn} END AS value
+    FROM g
+    """
+
+
+def q_aggregate_raster(sf_dir: str):
+    """AggregateRaster (aggregate_raster.rs): 2×2 block mean, 64×64 →
+    32×32. Block means are exact quarters of small integers, so the
+    f32 tile round-trip is bit-exact."""
+    from ..kernels import codecs
+
+    from ..stages.resample import aggregate_raster
+
+    ds, spec = _analytic_dem_tiles()
+    out = aggregate_raster(ds, spec, factor=2, stat="mean")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rr, cc, vv = [], [], []
+        for i in range(batch.num_rows):
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            for r in range(g.shape[0]):
+                for c in range(g.shape[1]):
+                    rr.append(tr * 8 + r)
+                    cc.append(tc * 8 + c)
+                    vv.append(float(g[r, c]))
+        return pa.table({"row": pa.array(rr, pa.int64()),
+                         "col": pa.array(cc, pa.int64()),
+                         "value": pa.array(vv, pa.float64())})
+
+    return out.map_batches(cells, batch_format="pyarrow")
+
+
+def q_aggregate_raster_sql() -> str:
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 31)) AS r) r,
+                    (SELECT unnest(generate_series(0, 31)) AS c) c)
+    SELECT row, col,
+           (CAST(((2*row) * 31 + (2*col) * 17) % 97 AS DOUBLE)
+            + CAST(((2*row) * 31 + (2*col+1) * 17) % 97 AS DOUBLE)
+            + CAST(((2*row+1) * 31 + (2*col) * 17) % 97 AS DOUBLE)
+            + CAST(((2*row+1) * 31 + (2*col+1) * 17) % 97 AS DOUBLE)) / 4.0 AS value
+    FROM g
+    """
