@@ -5584,3 +5584,33 @@ def q_aggregate_raster_sql() -> str:
             + CAST(((2*row+1) * 31 + (2*col+1) * 17) % 97 AS DOUBLE)) / 4.0 AS value
     FROM g
     """
+
+
+def q_wetness_index(sf_dir: str):
+    """WetnessIndex (wetness_index.rs): ln(SCA / tan slope) as a
+    three-stage compound — D8 pointer (halo engine) → BSP accumulation
+    (cell counts stand in for SCA) → Horn slope (f64) → keyed tile-zip
+    overlay. The SQL twin composes the recursive-CTE accumulation
+    oracle with the Horn slope formula."""
+    from ..stages.flow import d8_pointer_masked, flow_accumulation_ds
+    from ..stages.focal import focal_op, slope_kernel
+    from ..stages.terrain2 import wetness_index
+
+    ds, spec = _analytic_dem_tiles()
+    ptr = d8_pointer_masked(ds, spec)
+    acc = flow_accumulation_ds(ptr, spec, num_workers=2)
+    slope = focal_op(ds, spec, slope_kernel, 1, out_fmt="f64")
+    wi = wetness_index(acc, slope, spec, out_fmt="f64")
+    return _round_cells(_tiles_to_cells(wi, spec, "wi"), "wi", 6)
+
+
+def q_wetness_index_sql() -> str:
+    acc_sql = q_d8_accum_sql()
+    slope_sql = _horn_sql("DEGREES(ATAN(SQRT(fx * fx + fy * fy)))", "slope")
+    return f"""
+    SELECT a.row, a.col,
+           ROUND(LN(GREATEST(CAST(a.acc AS DOUBLE), 1e-12)
+                 / GREATEST(TAN(RADIANS(s.slope)), 1e-12)), 6) AS wi
+    FROM ({acc_sql}) a
+    JOIN ({slope_sql}) s ON s.row = a.row AND s.col = a.col
+    """

@@ -399,7 +399,7 @@ def stream_power_index(sca_ds, slope_ds, spec, exponent: float = 1.0):
     return band_math.overlay_fn(sca_ds, slope_ds, spec, fn)
 
 
-def wetness_index(sca_ds, slope_ds, spec):
+def wetness_index(sca_ds, slope_ds, spec, out_fmt: str = "f32"):
     from . import band_math
 
     def fn(sca, slope):
@@ -407,7 +407,7 @@ def wetness_index(sca_ds, slope_ds, spec):
             t = np.tan(np.radians(slope))
             return np.log(np.maximum(sca, 1e-12) / np.maximum(t, 1e-12))
 
-    return band_math.overlay_fn(sca_ds, slope_ds, spec, fn)
+    return band_math.overlay_fn(sca_ds, slope_ds, spec, fn, out_fmt=out_fmt)
 
 
 def sediment_transport_index(sca_ds, slope_ds, spec, sca_exponent: float = 0.4,
