@@ -5614,3 +5614,32 @@ def q_wetness_index_sql() -> str:
     FROM ({acc_sql}) a
     JOIN ({slope_sql}) s ON s.row = a.row AND s.col = a.col
     """
+
+
+def q_points_to_raster(sf_dir: str):
+    """VectorPointsToRaster (data_tools/vector_points_to_raster.rs):
+    burn the synthetic point layer onto a 64×64 grid (cell 15.625 — an
+    exact binary fraction, so FLOOR(x/res) is the identical IEEE op on
+    both sides), collision policy `max` (the synthetic record_id is not
+    unique, so order-based policies are ambiguous under ties)."""
+    from ..kernels.grid import GridSpec
+    from ..stages.raster_vector import vector_points_to_raster
+
+    gs = GridSpec(west=0.0, north=1000.0, res_x=15.625, res_y=15.625,
+                  rows=64, columns=64, nodata=-32768.0)
+    pts = synth_points(sf_dir)
+    return vector_points_to_raster(pts, gs, field="value", collision="max")
+
+
+def q_points_to_raster_sql() -> str:
+    return f"""
+    WITH pts AS ({SYNTH_POINTS_SQL}),
+    cells AS (SELECT CAST(FLOOR((1000.0 - y) / 15.625) AS BIGINT) AS row,
+                     CAST(FLOOR(x / 15.625) AS BIGINT) AS col,
+                     record_id, value
+              FROM pts),
+    ok AS (SELECT * FROM cells
+           WHERE row BETWEEN 0 AND 63 AND col BETWEEN 0 AND 63)
+    SELECT row, col, MAX(value) AS "VALUE"
+    FROM ok GROUP BY row, col
+    """
