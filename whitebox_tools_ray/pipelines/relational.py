@@ -5643,3 +5643,63 @@ def q_points_to_raster_sql() -> str:
     SELECT row, col, MAX(value) AS "VALUE"
     FROM ok GROUP BY row, col
     """
+
+
+def q_polygons_to_raster(sf_dir: str):
+    """VectorPolygonsToRaster (data_tools/vector_polygons_to_raster.rs):
+    cell-center fill of the convex gate quad with value 7 over the
+    analytic scene (rasterize.py Fill actor pool vs a half-plane twin;
+    unlike ClipRasterToPolygon there is no bbox window truncation)."""
+    from ..sources.vectors import make_polygon_record
+    from ..stages.rasterize import polygons_to_raster
+
+    ds, spec = _analytic_dem_tiles()
+    gs = spec.grid_spec()
+    ring = [(gs.west + u * spec.res, gs.north - v * spec.res) for u, v in _CLIP_GATE_UV]
+    rec = make_polygon_record(1, [ring], "gate_quad", 1)
+    rec["burn"] = 7.0
+    poly = pa.Table.from_pylist([rec])
+    out = polygons_to_raster(ds, poly, spec, field="burn")
+    cells = _tiles_to_cells(out, spec, "v")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        keep = v != gs.nodata
+        return pa.table(
+            {
+                "row": batch["row"].filter(pa.array(keep)),
+                "col": batch["col"].filter(pa.array(keep)),
+                "burn": pa.array(np.round(v[keep]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_polygons_to_raster_sql() -> str:
+    uv = _CLIP_GATE_UV
+    n = len(uv)
+    cu = sum(u for u, _ in uv) / n
+    cv = sum(v for _, v in uv) / n
+    conds = []
+    for i in range(n):
+        pu, pv = uv[i]
+        qu, qv = uv[(i + 1) % n]
+        sign = (qu - pu) * (cv - pv) - (qv - pv) * (cu - pu)
+        op = ">" if sign > 0 else "<"
+        conds.append(
+            f"(({qu!r} - {pu!r}) * (v.vc - {pv!r}) - ({qv!r} - {pv!r}) * (v.uc - {pu!r})) {op} 0"
+        )
+    return f"""
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+    v AS (SELECT row, col,
+                 CAST(col AS DOUBLE) + 0.5 AS uc,
+                 CAST(row AS DOUBLE) + 0.5 AS vc
+          FROM g)
+    SELECT row, col, CAST(7 AS BIGINT) AS burn
+    FROM v
+    WHERE {' AND '.join(conds)}
+    ORDER BY row, col
+    """
