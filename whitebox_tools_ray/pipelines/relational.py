@@ -5703,3 +5703,97 @@ def q_polygons_to_raster_sql() -> str:
     WHERE {' AND '.join(conds)}
     ORDER BY row, col
     """
+
+
+def _edt_target_tiles(sf_dir: str):
+    """The euclidean-distance gate fixture: 64×64 binary target grid
+    derived from nation keys (shared by euclidean_distance / buffer)."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+
+    nat = read(sf_dir, "nation", columns=["n_nationkey"]).to_pandas()
+    keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    full = np.zeros((64, 64))
+    full[(keys * 13) % 64, (keys * 29) % 64] = 1.0
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16, res=1.0)
+    cols = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+    for tr in range(4):
+        for tc in range(4):
+            cols["tile_row"].append(tr)
+            cols["tile_col"].append(tc)
+            cols["bytes"].append(
+                codecs.encode_tile(full[tr * 16 : (tr + 1) * 16, tc * 16 : (tc + 1) * 16], "f32")
+            )
+            cols["fmt"].append("f32")
+    tiles = rd.from_arrow(
+        pa.table(
+            {
+                "tile_row": pa.array(cols["tile_row"], pa.int32()),
+                "tile_col": pa.array(cols["tile_col"], pa.int32()),
+                "bytes": pa.array(cols["bytes"], pa.binary()),
+                "fmt": pa.array(cols["fmt"], pa.string()),
+            }
+        )
+    )
+    return tiles, spec
+
+
+def q_buffer_raster(sf_dir: str):
+    """BufferRaster (gis_analysis/buffer_raster.rs): cells within 5 map
+    units of a nonzero target — thresholded exact EDT."""
+    from ..stages.distance import buffer_raster
+
+    tiles, spec = _edt_target_tiles(sf_dir)
+    out = buffer_raster(tiles, spec, size=5.0, out_fmt="f64")
+    cells = _tiles_to_cells(out, spec, "inbuf")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["inbuf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "inbuf": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_buffer_raster_sql() -> str:
+    return """
+    WITH t AS (SELECT DISTINCT (n_nationkey * 13) % 64 AS tr, (n_nationkey * 29) % 64 AS tc
+               FROM nation),
+         g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT row, col,
+           CASE WHEN SQRT(CAST((SELECT MIN((row - t.tr) * (row - t.tr) + (col - t.tc) * (col - t.tc))
+                                FROM t) AS DOUBLE)) <= 5.0
+                THEN 1 ELSE 0 END AS inbuf
+    FROM g
+    """
+
+
+def q_create_plane(sf_dir: str):
+    """CreatePlane (generate/create_plane.rs): z = base + tan(slope)
+    × distance along aspect — the generator constants are inlined into
+    the SQL so both sides run the identical float ops."""
+    from ..sources.tiles import SceneSpec
+    from ..stages.generate import create_plane
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    out = create_plane(spec, base=10.0, slope_deg=2.0, aspect_deg=135.0, fmt="f64")
+    return _round_cells(_tiles_to_cells(out, spec, "z"), "z", 6)
+
+
+def q_create_plane_sql(base: float = 10.0, slope_deg: float = 2.0,
+                       aspect_deg: float = 135.0, res: float = 90.0) -> str:
+    g = float(np.tan(np.radians(slope_deg)) * res)
+    az = np.radians(aspect_deg)
+    dx, dy = float(np.sin(az)), float(np.cos(az))
+    return f"""
+    WITH grid AS (SELECT r.r AS row, c.c AS col
+                  FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                       (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT row, col,
+           ROUND({base!r} + {g!r} * (CAST(col AS DOUBLE) * {dx!r}
+                 - CAST(row AS DOUBLE) * {dy!r}), 6) AS z
+    FROM grid
+    """

@@ -60,7 +60,8 @@ def _tile_table(spec, fn, fmt: str = "f32"):
     return rd.range(tiles_x * tiles_y).map_batches(synth, batch_format="pyarrow", batch_size=16)
 
 
-def create_plane(spec, base: float = 0.0, slope_deg: float = 1.0, aspect_deg: float = 90.0):
+def create_plane(spec, base: float = 0.0, slope_deg: float = 1.0, aspect_deg: float = 90.0,
+                 fmt: str = "f32"):
     """z = base + tan(slope)·(distance along aspect azimuth)."""
     g = np.tan(np.radians(slope_deg)) * spec.res
     az = np.radians(aspect_deg)
@@ -69,7 +70,7 @@ def create_plane(spec, base: float = 0.0, slope_deg: float = 1.0, aspect_deg: fl
     def fn(yy, xx):
         return base + g * (xx * dx - yy * dy)
 
-    return _tile_table(spec, fn)
+    return _tile_table(spec, fn, fmt=fmt)
 
 
 def _splitmix_u01(gid: np.ndarray, seed: int) -> np.ndarray:
