@@ -5797,3 +5797,62 @@ def q_create_plane_sql(base: float = 10.0, slope_deg: float = 2.0,
                  - CAST(row AS DOUBLE) * {dy!r}), 6) AS z
     FROM grid
     """
+
+
+def _analytic_layer(a: int, b: int, m: int):
+    """64×64 tile table z = (row·a + col·b) mod m (companion layers for
+    stack-overlay gates)."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                indexing="ij",
+            )
+            g = ((rr * a + cc * b) % m).astype(np.float64)
+            rows.append({"tile_row": tr, "tile_col": tc,
+                         "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
+    return rd.from_items(rows), spec
+
+
+def q_highest_position(sf_dir: str):
+    """HighestPosition (gis_analysis/highest_position.rs): 1-based
+    argmax across a 3-layer stack (first layer wins ties, matching
+    np.argmax / the CASE order in the twin)."""
+    from ..stages.band_math import overlay
+
+    l0, spec = _analytic_layer(31, 17, 97)
+    l1, _ = _analytic_layer(13, 29, 89)
+    l2, _ = _analytic_layer(7, 23, 83)
+    out = overlay([l0, l1, l2], spec, op="highest_position")
+    cells = _tiles_to_cells(out, spec, "pos")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "pos": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_highest_position_sql() -> str:
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+    z AS (SELECT row, col,
+                 (row * 31 + col * 17) % 97 AS z0,
+                 (row * 13 + col * 29) % 89 AS z1,
+                 (row * 7 + col * 23) % 83 AS z2
+          FROM g)
+    SELECT row, col,
+           CAST(CASE WHEN z0 >= z1 AND z0 >= z2 THEN 1
+                     WHEN z1 >= z2 THEN 2 ELSE 3 END AS BIGINT) AS pos
+    FROM z
+    """
