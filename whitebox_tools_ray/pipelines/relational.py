@@ -5856,3 +5856,60 @@ def q_highest_position_sql() -> str:
                      WHEN z1 >= z2 THEN 2 ELSE 3 END AS BIGINT) AS pos
     FROM z
     """
+
+
+def q_count_if(sf_dir: str):
+    """CountIf (gis_analysis/count_if.rs): per cell, how many of the 3
+    analytic layers equal 42."""
+    from ..stages.band_math import count_if
+
+    l0, spec = _analytic_layer(31, 17, 97)
+    l1, _ = _analytic_layer(13, 29, 89)
+    l2, _ = _analytic_layer(7, 23, 83)
+    out = count_if([l0, l1, l2], spec, value=42.0)
+    cells = _tiles_to_cells(out, spec, "n42")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["n42"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "n42": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_count_if_sql() -> str:
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT row, col,
+           CAST((CASE WHEN (row * 31 + col * 17) % 97 = 42 THEN 1 ELSE 0 END)
+              + (CASE WHEN (row * 13 + col * 29) % 89 = 42 THEN 1 ELSE 0 END)
+              + (CASE WHEN (row * 7 + col * 23) % 83 = 42 THEN 1 ELSE 0 END) AS BIGINT) AS n42
+    FROM g
+    """
+
+
+def q_weighted_sum(sf_dir: str):
+    """WeightedSum (gis_analysis/weighted_sum.rs): 3-layer weighted sum
+    with binary-fraction weights (0.25/0.5/0.25 — integer quarters stay
+    exact through the f32 tile round-trip)."""
+    from ..stages.band_math import overlay
+
+    l0, spec = _analytic_layer(31, 17, 97)
+    l1, _ = _analytic_layer(13, 29, 89)
+    l2, _ = _analytic_layer(7, 23, 83)
+    out = overlay([l0, l1, l2], spec, op="weighted_sum", weights=[0.25, 0.5, 0.25])
+    return _round_cells(_tiles_to_cells(out, spec, "ws"), "ws", 6)
+
+
+def q_weighted_sum_sql() -> str:
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT row, col,
+           ROUND(0.25 * ((row * 31 + col * 17) % 97)
+               + 0.5 * ((row * 13 + col * 29) % 89)
+               + 0.25 * ((row * 7 + col * 23) % 83), 6) AS ws
+    FROM g
+    """
