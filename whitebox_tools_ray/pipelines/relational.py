@@ -5913,3 +5913,51 @@ def q_weighted_sum_sql() -> str:
                + 0.25 * ((row * 7 + col * 23) % 83), 6) AS ws
     FROM g
     """
+
+
+def q_pick_from_list(sf_dir: str):
+    """PickFromList (gis_analysis/pick_from_list.rs): per cell, the
+    position raster pos = (row+col)%3 + 1 selects which of the 3
+    analytic layers to output."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..stages.band_math import pick_from_list
+
+    l0, spec = _analytic_layer(31, 17, 97)
+    l1, _ = _analytic_layer(13, 29, 89)
+    l2, _ = _analytic_layer(7, 23, 83)
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                indexing="ij",
+            )
+            g = (((rr + cc) % 3) + 1).astype(np.float64)
+            rows.append({"tile_row": tr, "tile_col": tc,
+                         "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
+    pos = rd.from_items(rows)
+    out = pick_from_list([l0, l1, l2], pos, spec)
+    cells = _tiles_to_cells(out, spec, "pick")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["pick"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "pick": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_pick_from_list_sql() -> str:
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT row, col,
+           CAST(CASE (row + col) % 3 + 1
+                WHEN 1 THEN (row * 31 + col * 17) % 97
+                WHEN 2 THEN (row * 13 + col * 29) % 89
+                ELSE (row * 7 + col * 23) % 83 END AS BIGINT) AS pick
+    FROM g
+    """
