@@ -44,13 +44,23 @@ def run_bench() -> dict:
     # faults per run behind one shmem lock (measured 2-3x headline
     # collapse with shmem_enabled=never). Best-effort self-heal; a
     # non-root run just keeps whatever the host has.
-    try:
-        p = "/sys/kernel/mm/transparent_hugepage/shmem_enabled"
-        if os.path.exists(p) and "[never]" in open(p).read():
-            with open(p, "w") as f:
-                f.write("advise")
-    except OSError:
-        pass
+    # Host-global kernel setting — only touched when explicitly opted in
+    # via BENCH_SELF_HEAL_THP=1, and the previous value is logged.
+    if os.environ.get("BENCH_SELF_HEAL_THP") == "1":
+        try:
+            p = "/sys/kernel/mm/transparent_hugepage/shmem_enabled"
+            if os.path.exists(p):
+                old = open(p).read().strip()
+                if "[never]" in old:
+                    print(
+                        f"bench: THP shmem_enabled was {old!r}; setting 'advise' "
+                        "(BENCH_SELF_HEAL_THP=1)",
+                        file=sys.stderr,
+                    )
+                    with open(p, "w") as f:
+                        f.write("advise")
+        except OSError:
+            pass
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,6 +131,7 @@ def run_bench() -> dict:
     # protocol on noisy hosts; both walls are reported (tiling_runs).
     tiling_runs = []
     tiling = None
+    best_wall = None
     for rep in range(int(os.environ.get("BENCH_TILING_REPS", "2"))):
         out_dir = f"{bench_root}/out_{os.getpid()}_{rep}"
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -131,9 +142,11 @@ def run_bench() -> dict:
         res = run_tiling_pipeline(tiles_path, out_dir, spec, num_bands=4, read_blocks=None)
         wall = time.time() - t0
         tiling_runs.append(round(wall, 3))
-        if tiling is None or wall <= min(tiling_runs):
-            tiling = res
-    queries["tiling"] = min(tiling_runs)
+        # track the unrounded minimum so the kept result dict always
+        # belongs to the genuinely fastest run
+        if best_wall is None or wall < best_wall:
+            best_wall, tiling = wall, res
+    queries["tiling"] = round(best_wall, 3)
 
     # 2. spatial-join stage (point layer replicated BENCH_JOIN_MULT times
     # with disjoint record_id ranges so the join is a real workload)

@@ -271,7 +271,10 @@ def write_geotiff(
     rps = 64
     if dtype in ("rgb8", "rgba8"):
         spp = 3 if dtype == "rgb8" else 4
-        v = np.ascontiguousarray(grid).astype(np.int64)
+        # cells never covered by a tile arrive as NaN from the sheet
+        # initialiser; NaN→int64 is undefined (INT64_MIN → garbage RGB
+        # bytes), so map them to packed 0 (transparent black) first
+        v = np.nan_to_num(np.ascontiguousarray(grid), nan=0.0).astype(np.int64)
         chans = [(v & 0xFF), ((v >> 8) & 0xFF), ((v >> 16) & 0xFF)]
         if spp == 4:
             chans.append((v >> 24) & 0xFF)

@@ -5859,13 +5859,32 @@ def q_highest_position_sql() -> str:
 
 
 def q_count_if(sf_dir: str):
-    """CountIf (gis_analysis/count_if.rs): per cell, how many of the 3
-    analytic layers equal 42."""
+    """CountIf (gis_analysis/count_if.rs:239-249): per cell, how many of
+    the 3 analytic layers equal 42 — reference semantics: layer-1 cells
+    holed to nodata where (row+col)%7==0 are skipped per-layer (they do
+    NOT poison the cell), and a cell with zero matches stays NODATA
+    (-32768) in the output."""
+    import ray.data as rd
+
+    from ..kernels import codecs
     from ..stages.band_math import count_if
 
     l0, spec = _analytic_layer(31, 17, 97)
-    l1, _ = _analytic_layer(13, 29, 89)
     l2, _ = _analytic_layer(7, 23, 83)
+    # layer 1 with nodata holes: exercises the per-layer skip semantics
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                indexing="ij",
+            )
+            g = ((rr * 13 + cc * 29) % 89).astype(np.float64)
+            g[(rr + cc) % 7 == 0] = spec.nodata
+            rows.append({"tile_row": tr, "tile_col": tc,
+                         "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
+    l1 = rd.from_items(rows)
     out = count_if([l0, l1, l2], spec, value=42.0)
     cells = _tiles_to_cells(out, spec, "n42")
 
@@ -5880,12 +5899,16 @@ def q_count_if_sql() -> str:
     return """
     WITH g AS (SELECT r.r AS row, c.c AS col
                FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
-                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+                    (SELECT unnest(generate_series(0, 63)) AS c) c),
+    cnt AS (SELECT row, col,
+           (CASE WHEN (row * 31 + col * 17) % 97 = 42 THEN 1 ELSE 0 END)
+         + (CASE WHEN (row * 13 + col * 29) % 89 = 42
+                  AND (row + col) % 7 <> 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN (row * 7 + col * 23) % 83 = 42 THEN 1 ELSE 0 END) AS n
+            FROM g)
     SELECT row, col,
-           CAST((CASE WHEN (row * 31 + col * 17) % 97 = 42 THEN 1 ELSE 0 END)
-              + (CASE WHEN (row * 13 + col * 29) % 89 = 42 THEN 1 ELSE 0 END)
-              + (CASE WHEN (row * 7 + col * 23) % 83 = 42 THEN 1 ELSE 0 END) AS BIGINT) AS n42
-    FROM g
+           CAST(CASE WHEN n > 0 THEN n ELSE -32768 END AS BIGINT) AS n42
+    FROM cnt
     """
 
 

@@ -212,9 +212,13 @@ def write_geotiff(tiles_ds, spec, out_path: str, nodata: float | None = None,
             t = t[: max(0, spec.rows - r0), : max(0, spec.columns - c0)]
             grid[r0 : r0 + t.shape[0], c0 : c0 + t.shape[1]] = t
     gs = spec.grid_spec()
+    nd = nodata if nodata is not None else spec.nodata
+    # cells never covered by a tile: nodata for value bands (reference
+    # initialises rasters to nodata), packed 0 for rgb composites
+    grid = np.nan_to_num(grid, nan=0.0 if dtype in ("rgb8", "rgba8") else nd)
     blob = tiff_codec.write_geotiff(
         grid,
-        nodata=nodata if nodata is not None else spec.nodata,
+        nodata=nd,
         pixel_scale=(spec.res, spec.res),
         tiepoint=(0.0, 0.0, 0.0, gs.west, gs.north, 0.0),
         dtype=dtype,

@@ -125,8 +125,12 @@ def normalized_difference(ds_a, ds_b, spec, clip: float = 0.0):
 
 
 def count_if(layer_dss: list, spec, value: float):
-    """CountIf (count_if.rs): per cell, how many stack layers equal
-    ``value``. Same zip-by-tile-key shape as overlay."""
+    """CountIf (count_if.rs:239-249): per cell, how many stack layers
+    equal ``value``. Reference semantics: a layer's nodata cell is simply
+    skipped (``z == comparison_value && z != in_nodata``), and a cell that
+    never matched in any layer stays NODATA in the output (the output is
+    initialised to nodata and only set on the first match). Same
+    zip-by-tile-key shape as overlay."""
     nodata = spec.nodata
 
     tagged = layer_dss[0].map_batches(_tag_layer(0), batch_format="pyarrow")
@@ -135,8 +139,8 @@ def count_if(layer_dss: list, spec, value: float):
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         stack = np.stack([codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])])
-        out = (stack == value).sum(axis=0).astype(np.float64)
-        out[(stack == nodata).any(axis=0)] = nodata
+        cnt = ((stack == value) & (stack != nodata)).sum(axis=0).astype(np.float64)
+        out = np.where(cnt > 0, cnt, nodata)
         return codecs.tile_row_table(
             g["tile_row"].iloc[0], g["tile_col"].iloc[0],
             codecs.encode_tile(out, "f32"), "f32",

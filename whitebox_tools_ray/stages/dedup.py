@@ -672,6 +672,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     hot_cap: int = 10_000,
+    strict: bool = False,
 ):
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
@@ -684,8 +685,11 @@ def ngram_jaccard_pairs(
        inter / (|A| + |B| − inter) needs nothing else.
     Shuffle volume is O(total shingles), never all-pairs. ``hot_cap``
     bounds a pathological shingle shared by ~everything (a stop-shingle:
-    its group would emit n²/2 pairs); groups past the cap are dropped
-    and logged — at 100 TB pre-filter stop-shingles by document
+    its group would emit n²/2 pairs); a group past the cap is dropped
+    WITH a warning log line per dropped shingle (worker log) — pairs
+    sharing only hot shingles get an undercounted intersection, so
+    exactness degrades for them. Pass ``strict=True`` to raise instead
+    of dropping; at 100 TB pre-filter stop-shingles by document
     frequency instead. 64-bit shingle hashing: a collision merges two
     shingles (prob ≈ n²/2⁶⁵ — negligible against doc-count scales)."""
     import pyarrow as pa
@@ -716,6 +720,21 @@ def ngram_jaccard_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)
+        if n > hot_cap:
+            sh = int(g["sh"].iloc[0])
+            if strict:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: shingle {sh:#x} shared by {n} docs "
+                    f"exceeds hot_cap={hot_cap}; exactness would degrade "
+                    "(pre-filter stop-shingles or raise hot_cap)"
+                )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping hot shingle %#x shared by %d "
+                "docs (hot_cap=%d) — intersections involving it are "
+                "undercounted", sh, n, hot_cap,
+            )
         if n < 2 or n > hot_cap:
             return pd.DataFrame(
                 {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
