@@ -87,7 +87,20 @@ class TestResample:
             expect = src.reshape(4, 4, 4, 4).mean(axis=(1, 3))
             np.testing.assert_allclose(g, expect.astype(np.float32).astype(np.float64), rtol=1e-6)
 
-    def test_mosaic_later_wins(self, scene):
+    @staticmethod
+    def _assemble(out_ds, gs, tpx):
+        got = np.full((gs.rows, gs.columns), gs.nodata)
+        for _, r in out_ds.to_pandas().iterrows():
+            g = codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
+            r0 = int(r["tile_row"]) * tpx
+            c0 = int(r["tile_col"]) * tpx
+            got[r0 : r0 + tpx, c0 : c0 + tpx] = g[: gs.rows - r0, : gs.columns - c0]
+        return got
+
+    def test_mosaic_first_valid_wins(self, scene):
+        # mosaic.rs:362-370 — per dest cell, sources iterate IN ORDER and
+        # the loop breaks on the first non-nodata value: the EARLIER
+        # source takes priority; later sources only fill its holes
         from whitebox_tools_ray.stages.resample import mosaic
 
         spec, table, grid = scene
@@ -95,13 +108,45 @@ class TestResample:
         spec2 = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=16, seed=77)
         table2 = tsrc.generate_tiles(spec2, fmt_cycle=("f32",))
         out = mosaic([(table, spec), (table2, spec2)], gs, dest_tile_px=16, method="nn")
+        got = self._assemble(out, gs, 16)
+        expect = grid.astype(np.float32).astype(np.float64)  # same extent → FIRST source wins
+        np.testing.assert_allclose(got, expect)
+
+    def test_mosaic_fills_holes_and_dataset_source(self, scene):
+        # second source extends past the first; first-source cells win
+        # where both cover, uncovered dest tiles come out nodata; one
+        # source passed as a Dataset exercises the co-partitioned route
+        from whitebox_tools_ray.kernels.grid import GridSpec
+        from whitebox_tools_ray.stages.resample import mosaic
+
+        spec, table, grid = scene  # 2x2 tiles of 16 => 32x32
+        sg = spec.grid_spec()
+        # source 2: 32x32 scene shifted one tile right (covers cols 16..47)
+        spec2 = tsrc.SceneSpec(
+            tiles_x=2, tiles_y=2, tile_px=16, seed=77, west=sg.west + 16 * sg.res_x
+        )
+        table2 = tsrc.generate_tiles(spec2, fmt_cycle=("f32",))
         grid2 = tsrc.assemble_scene(table2, spec2)
-        got = np.full((gs.rows, gs.columns), gs.nodata)
-        for tid, g in out.items():
-            r0 = (tid // 2) * 16
-            c0 = (tid % 2) * 16
-            got[r0 : r0 + 16, c0 : c0 + 16] = g
-        np.testing.assert_allclose(got, grid2)  # same extent → later source wins
+        # dest: 64 cols x 32 rows covering both plus an uncovered strip
+        gs = GridSpec(west=sg.west, north=sg.north, res_x=sg.res_x, res_y=sg.res_y,
+                      rows=32, columns=64, nodata=sg.nodata)
+        out = mosaic([(rd.from_arrow(table), spec), (table2, spec2)], gs, dest_tile_px=16, method="nn")
+        got = self._assemble(out, gs, 16)
+        expect = np.full((32, 64), gs.nodata)
+        expect[:, 16:48] = grid2.astype(np.float32).astype(np.float64)
+        expect[:, :32] = grid.astype(np.float32).astype(np.float64)  # first wins on overlap
+        np.testing.assert_allclose(got, expect)
+
+    def test_resample_shuffled_matches_broadcast(self, scene):
+        from whitebox_tools_ray.stages.resample import resample, resample_shuffled
+
+        spec, table, grid = scene
+        gs = spec.grid_spec()
+        dest = tsrc.SceneSpec(tiles_x=3, tiles_y=3, tile_px=8, res=spec.res * 1.3).grid_spec()
+        for method in ("nn", "bilinear", "cc"):
+            a = self._assemble(resample(table, spec, dest, 8, method), dest, 8)
+            b = self._assemble(resample_shuffled(rd.from_arrow(table), spec, dest, 8, method), dest, 8)
+            np.testing.assert_allclose(a, b, err_msg=method)
 
 
 class TestStats2:

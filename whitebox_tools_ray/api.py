@@ -615,7 +615,7 @@ def _register_all():
 
     register("Resample", resample_mod.resample, "Grid-to-grid nn/bilinear resample", "image_analysis",
              [], "image_analysis/resample.rs:68-71")
-    register("Mosaic", resample_mod.mosaic, "Multi-source mosaic, later wins", "image_analysis",
+    register("Mosaic", resample_mod.mosaic, "Multi-source mosaic, first valid source wins", "image_analysis",
              [], "image_analysis/mosaic.rs:339-520")
     register("MosaicWithFeathering", resample_mod.mosaic_with_feathering,
              "Edge-distance-weighted overlap blend", "image_analysis",

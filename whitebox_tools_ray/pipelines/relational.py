@@ -5984,3 +5984,69 @@ def q_pick_from_list_sql() -> str:
                 ELSE (row * 7 + col * 23) % 83 END AS BIGINT) AS pick
     FROM g
     """
+
+
+def q_mosaic(sf_dir: str):
+    """Mosaic (image_analysis/mosaic.rs:339-520): two analytic sources on
+    aligned grids, first-valid-source-wins per dest cell (the reference
+    iterates sources in order and breaks on the first non-nodata value,
+    :362-370). Source B (32x32, offset one tile into the frame) is listed
+    FIRST so it wins inside its window; source A (64x64, full frame)
+    fills the rest; dest rows 64-79 are covered by neither -> nodata.
+    Runs the fully-distributed route->groupby->overlay path (one source
+    passed as a Dataset, one as a Table)."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..kernels.grid import GridSpec
+    from ..sources.tiles import SceneSpec
+    from ..stages.resample import mosaic
+
+    spec_a = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    sg = spec_a.grid_spec()
+    spec_b = SceneSpec(tiles_x=2, tiles_y=2, tile_px=16,
+                       west=sg.west + 16 * sg.res_x, north=sg.north - 16 * sg.res_y)
+
+    def layer_rows(tiles, a, b, m):
+        rows = []
+        for tr in range(tiles):
+            for tc in range(tiles):
+                rr, cc = np.meshgrid(
+                    np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                    np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                    indexing="ij",
+                )
+                g = ((rr * a + cc * b) % m).astype(np.float64)
+                rows.append({"tile_row": tr, "tile_col": tc,
+                             "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
+        return rows
+
+    ds_a = rd.from_items(layer_rows(4, 31, 17, 97))
+    ds_b = rd.from_items(layer_rows(2, 13, 29, 89))
+    dest = GridSpec(west=sg.west, north=sg.north, res_x=sg.res_x, res_y=sg.res_y,
+                    rows=80, columns=64, nodata=sg.nodata)
+    out = mosaic([(ds_b, spec_b), (ds_a, spec_a)], dest, dest_tile_px=16, method="nn")
+    cells = _tiles_to_cells(
+        out.drop_columns(["tile_id"]), SceneSpec(tiles_x=4, tiles_y=5, tile_px=16), "mz"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["mz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"row": batch["row"], "col": batch["col"], "mz": pa.array(v, pa.int64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_mosaic_sql() -> str:
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 79)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT row, col,
+           CAST(CASE
+                WHEN row >= 16 AND row < 48 AND col >= 16 AND col < 48
+                     THEN ((row - 16) * 13 + (col - 16) * 29) % 89
+                WHEN row < 64 THEN (row * 31 + col * 17) % 97
+                ELSE -32768 END AS BIGINT) AS mz
+    FROM g
+    """

@@ -51,6 +51,87 @@ def _gather_src(
     return out
 
 
+def _resample_tile_grid(tr: int, tc: int, src_tiles: dict, src_spec,
+                        dest_gs: GridSpec, tpx: int, method: str) -> np.ndarray:
+    """Resample ONE dest tile (tr, tc) from whatever source tiles are
+    present in ``src_tiles`` (missing source tiles read as nodata) —
+    shared by the broadcast actor and the co-partitioned group path."""
+    gs = dest_gs
+    rows = np.arange(tr * tpx, (tr + 1) * tpx)
+    cols = np.arange(tc * tpx, (tc + 1) * tpx)
+    y = gs.y_from_row(rows)
+    x = gs.x_from_col(cols)
+    gx, gy = np.meshgrid(x, y)
+    nod = gs.nodata
+    if method == "nn":
+        return _gather_src(gx, gy, src_tiles, src_spec, nod)
+    if method == "bilinear":
+        sgs = src_spec.grid_spec()
+        # fractional source-grid coords (cell-center convention)
+        fc = (gx - sgs.west) / sgs.res_x - 0.5
+        fr = (sgs.north - gy) / sgs.res_y - 0.5
+        c0 = np.floor(fc)
+        r0 = np.floor(fr)
+        wc = fc - c0
+        wr = fr - r0
+        vals = []
+        for dr in (0, 1):
+            for dc in (0, 1):
+                sx = sgs.west + sgs.res_x / 2.0 + (c0 + dc) * sgs.res_x
+                sy = sgs.north - sgs.res_y / 2.0 - (r0 + dr) * sgs.res_y
+                vals.append(_gather_src(sx, sy, src_tiles, src_spec, np.nan))
+        v00, v01, v10, v11 = vals
+        out = (
+            v00 * (1 - wc) * (1 - wr)
+            + v01 * wc * (1 - wr)
+            + v10 * (1 - wc) * wr
+            + v11 * wc * wr
+        )
+        # fall back to nn at edges where a corner was missing
+        nn = _gather_src(gx, gy, src_tiles, src_spec, nod)
+        return np.where(np.isnan(out), nn, out)
+    if method == "cc":
+        # cubic convolution (resample.rs `cc` mode; Keys 1981 kernel,
+        # a = -0.5): 4×4 source window, separable weights
+        sgs = src_spec.grid_spec()
+        fc = (gx - sgs.west) / sgs.res_x - 0.5
+        fr = (sgs.north - gy) / sgs.res_y - 0.5
+        c0 = np.floor(fc)
+        r0 = np.floor(fr)
+        tc_ = fc - c0
+        tr_ = fr - r0
+
+        def w(t):  # Keys cubic, a = -0.5
+            at = np.abs(t)
+            return np.where(
+                at <= 1.0,
+                1.5 * at**3 - 2.5 * at**2 + 1.0,
+                np.where(at < 2.0, -0.5 * at**3 + 2.5 * at**2 - 4.0 * at + 2.0, 0.0),
+            )
+
+        out = np.zeros(gx.shape)
+        wsum = np.zeros(gx.shape)
+        any_nan = np.zeros(gx.shape, dtype=bool)
+        for dr in (-1, 0, 1, 2):
+            wy = w(tr_ - dr)
+            sy = sgs.north - sgs.res_y / 2.0 - (r0 + dr) * sgs.res_y
+            for dc in (-1, 0, 1, 2):
+                wx = w(tc_ - dc)
+                sx = sgs.west + sgs.res_x / 2.0 + (c0 + dc) * sgs.res_x
+                v = _gather_src(sx, sy, src_tiles, src_spec, np.nan)
+                wgt = wx * wy
+                bad = np.isnan(v)
+                any_nan |= bad & (np.abs(wgt) > 1e-12)
+                out += np.where(bad, 0.0, v) * wgt
+                wsum += np.where(bad, 0.0, wgt)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = out / np.where(np.abs(wsum) > 1e-12, wsum, 1.0)
+        nn = _gather_src(gx, gy, src_tiles, src_spec, nod)
+        return np.where(any_nan | (np.abs(wsum) <= 1e-12), nn, out)
+    raise ValueError(method)
+
+
+
 class _ResampleActor:
     def __init__(self, src_ref, src_spec, dest_gs: GridSpec, dest_tile_px: int, method: str):
         import ray
@@ -62,79 +143,8 @@ class _ResampleActor:
         self.method = method
 
     def _resample_tile(self, tr: int, tc: int) -> np.ndarray:
-        gs = self.dest_gs
-        rows = np.arange(tr * self.tpx, (tr + 1) * self.tpx)
-        cols = np.arange(tc * self.tpx, (tc + 1) * self.tpx)
-        y = gs.y_from_row(rows)
-        x = gs.x_from_col(cols)
-        gx, gy = np.meshgrid(x, y)
-        nod = gs.nodata
-        if self.method == "nn":
-            return _gather_src(gx, gy, self.src_tiles, self.src_spec, nod)
-        if self.method == "bilinear":
-            sgs = self.src_spec.grid_spec()
-            # fractional source-grid coords (cell-center convention)
-            fc = (gx - sgs.west) / sgs.res_x - 0.5
-            fr = (sgs.north - gy) / sgs.res_y - 0.5
-            c0 = np.floor(fc)
-            r0 = np.floor(fr)
-            wc = fc - c0
-            wr = fr - r0
-            vals = []
-            for dr in (0, 1):
-                for dc in (0, 1):
-                    sx = sgs.west + sgs.res_x / 2.0 + (c0 + dc) * sgs.res_x
-                    sy = sgs.north - sgs.res_y / 2.0 - (r0 + dr) * sgs.res_y
-                    vals.append(_gather_src(sx, sy, self.src_tiles, self.src_spec, np.nan))
-            v00, v01, v10, v11 = vals
-            out = (
-                v00 * (1 - wc) * (1 - wr)
-                + v01 * wc * (1 - wr)
-                + v10 * (1 - wc) * wr
-                + v11 * wc * wr
-            )
-            # fall back to nn at edges where a corner was missing
-            nn = _gather_src(gx, gy, self.src_tiles, self.src_spec, nod)
-            return np.where(np.isnan(out), nn, out)
-        if self.method == "cc":
-            # cubic convolution (resample.rs `cc` mode; Keys 1981 kernel,
-            # a = -0.5): 4×4 source window, separable weights
-            sgs = self.src_spec.grid_spec()
-            fc = (gx - sgs.west) / sgs.res_x - 0.5
-            fr = (sgs.north - gy) / sgs.res_y - 0.5
-            c0 = np.floor(fc)
-            r0 = np.floor(fr)
-            tc_ = fc - c0
-            tr_ = fr - r0
-
-            def w(t):  # Keys cubic, a = -0.5
-                at = np.abs(t)
-                return np.where(
-                    at <= 1.0,
-                    1.5 * at**3 - 2.5 * at**2 + 1.0,
-                    np.where(at < 2.0, -0.5 * at**3 + 2.5 * at**2 - 4.0 * at + 2.0, 0.0),
-                )
-
-            out = np.zeros(gx.shape)
-            wsum = np.zeros(gx.shape)
-            any_nan = np.zeros(gx.shape, dtype=bool)
-            for dr in (-1, 0, 1, 2):
-                wy = w(tr_ - dr)
-                sy = sgs.north - sgs.res_y / 2.0 - (r0 + dr) * sgs.res_y
-                for dc in (-1, 0, 1, 2):
-                    wx = w(tc_ - dc)
-                    sx = sgs.west + sgs.res_x / 2.0 + (c0 + dc) * sgs.res_x
-                    v = _gather_src(sx, sy, self.src_tiles, self.src_spec, np.nan)
-                    wgt = wx * wy
-                    bad = np.isnan(v)
-                    any_nan |= bad & (np.abs(wgt) > 1e-12)
-                    out += np.where(bad, 0.0, v) * wgt
-                    wsum += np.where(bad, 0.0, wgt)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                out = out / np.where(np.abs(wsum) > 1e-12, wsum, 1.0)
-            nn = _gather_src(gx, gy, self.src_tiles, self.src_spec, nod)
-            return np.where(any_nan | (np.abs(wsum) <= 1e-12), nn, out)
-        raise ValueError(self.method)
+        return _resample_tile_grid(tr, tc, self.src_tiles, self.src_spec,
+                                   self.dest_gs, self.tpx, self.method)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tids = batch["tile_id"].to_numpy(zero_copy_only=False)
@@ -157,11 +167,17 @@ class _ResampleActor:
         )
 
 
-def resample(src_table: pa.Table, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn", concurrency=(1, 8)):
-    """Resample a tiled scene onto ``dest_gs``. Source tiles broadcast
-    (decoded once per actor); dest tiles stream from ray.data.range."""
+def resample(src_table, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn", concurrency=(1, 8)):
+    """Resample a tiled scene onto ``dest_gs``. A ``pa.Table`` source
+    broadcasts (decoded once per actor; dest tiles stream from
+    ray.data.range) — the small-source fast path. A tile ``Dataset``
+    source routes through the co-partitioned shuffle
+    (``resample_shuffled``) instead: the 100-TB path, no broadcast."""
     import ray
     import ray.data as rd
+
+    if not isinstance(src_table, pa.Table):
+        return resample_shuffled(src_table, src_spec, dest_gs, dest_tile_px, method)
 
     src_tiles = {}
     tpd = src_table.to_pydict()
@@ -213,21 +229,154 @@ def aggregate_raster(tiles_ds, spec, factor: int, stat: str = "mean"):
     return tiles_ds.map_batches(agg, batch_format="pyarrow", batch_size=16)
 
 
-def mosaic(src_tables: list[tuple[pa.Table, "SceneSpec"]], dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn"):
-    """Mosaic: later sources overwrite earlier where both cover a dest
-    cell (mosaic.rs source-order semantics) — one resample pass per
-    source, nodata-respecting overlay."""
-    out = None
-    for table, spec in src_tables:
-        layer = resample(table, spec, dest_gs, dest_tile_px, method).to_pandas()
-        tiles = {int(r["tile_id"]): codecs.decode_tile(bytes(r["bytes"]), r["fmt"]) for _, r in layer.iterrows()}
+def _route_tiles_to_dest(src_ds, src_spec, dest_gs: GridSpec, dest_tile_px: int,
+                         layer: int, halo_cells: int = 2):
+    """flat-map each SOURCE tile to every DEST tile whose footprint it
+    intersects (padded by ``halo_cells`` source cells so bilinear/cubic
+    corner lookups never miss a neighbour). One keyed shuffle routes the
+    bytes; duplication is boundary-tiles only (O(perimeter))."""
+    sgs = src_spec.grid_spec()
+    stpx = src_spec.tile_px
+    dtx = int(np.ceil(dest_gs.columns / dest_tile_px))
+    dty = int(np.ceil(dest_gs.rows / dest_tile_px))
+    pad_x = halo_cells * sgs.res_x
+    pad_y = halo_cells * sgs.res_y
+    dwx = dest_gs.res_x * dest_tile_px
+    dwy = dest_gs.res_y * dest_tile_px
+
+    def route(batch: pa.Table) -> pa.Table:
+        dk, st, bs, fm = [], [], [], []
+        for i in range(batch.num_rows):
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            x0 = sgs.west + tc * stpx * sgs.res_x - pad_x
+            x1 = sgs.west + (tc + 1) * stpx * sgs.res_x + pad_x
+            y1 = sgs.north - tr * stpx * sgs.res_y + pad_y
+            y0 = sgs.north - (tr + 1) * stpx * sgs.res_y - pad_y
+            c0 = max(0, int(np.floor((x0 - dest_gs.west) / dwx)))
+            c1 = min(dtx - 1, int(np.floor((x1 - dest_gs.west) / dwx)))
+            r0 = max(0, int(np.floor((dest_gs.north - y1) / dwy)))
+            r1 = min(dty - 1, int(np.floor((dest_gs.north - y0) / dwy)))
+            if c1 < c0 or r1 < r0:
+                continue
+            b = batch["bytes"][i].as_py()
+            f = batch["fmt"][i].as_py()
+            stid = tr * src_spec.tiles_x + tc
+            for dr in range(r0, r1 + 1):
+                for dc in range(c0, c1 + 1):
+                    dk.append(dr * dtx + dc)
+                    st.append(stid)
+                    bs.append(b)
+                    fm.append(f)
+        n = len(dk)
+        return pa.table(
+            {
+                "dkey": pa.array(dk, pa.int64()),
+                "__layer": pa.array([layer] * n, pa.int64()),
+                "stid": pa.array(st, pa.int64()),
+                "bytes": pa.array(bs, pa.binary()),
+                "fmt": pa.array(fm, pa.string()),
+            }
+        )
+
+    return src_ds.map_batches(route, batch_format="pyarrow")
+
+
+def _dest_seed(dest_gs: GridSpec, dest_tile_px: int):
+    """One marker row per dest tile (layer −1, no payload) so dest tiles
+    covered by NO source still appear in the groupby output (as nodata)."""
+    import ray.data as rd
+
+    dtx = int(np.ceil(dest_gs.columns / dest_tile_px))
+    dty = int(np.ceil(dest_gs.rows / dest_tile_px))
+
+    def seed(batch) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table(
+            {
+                "dkey": pa.array(ids, pa.int64()),
+                "__layer": pa.array(np.full(n, -1, dtype=np.int64)),
+                "stid": pa.array(np.full(n, -1, dtype=np.int64)),
+                "bytes": pa.array([b""] * n, pa.binary()),
+                "fmt": pa.array(["f32"] * n, pa.string()),
+            }
+        )
+
+    return rd.range(dtx * dty).map_batches(seed, batch_format="pyarrow")
+
+
+def _mosaic_groups(layer_specs: list, dest_gs: GridSpec, dest_tile_px: int, method: str, routed):
+    """groupby(dest tile) → per group, resample each present layer and
+    keep the FIRST source with valid data per cell (mosaic.rs:362-370:
+    the reference iterates sources in order and ``break``s on the first
+    non-nodata value — earlier sources take priority)."""
+    import pandas as pd
+
+    dtx = int(np.ceil(dest_gs.columns / dest_tile_px))
+    nod = dest_gs.nodata
+    tpx = dest_tile_px
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        dkey = int(g["dkey"].iloc[0])
+        tr, tc = dkey // dtx, dkey % dtx
+        out = None
+        for li, spec_i in enumerate(layer_specs):
+            sel = g[g["__layer"] == li]
+            if not len(sel):
+                continue
+            src_tiles = {
+                int(s): codecs.decode_tile(bytes(b), f)
+                for s, b, f in zip(sel["stid"], sel["bytes"], sel["fmt"])
+            }
+            gl = _resample_tile_grid(tr, tc, src_tiles, spec_i, dest_gs, tpx, method)
+            out = gl if out is None else np.where(out != nod, out, gl)
         if out is None:
-            out = tiles
-        else:
-            for tid, g in tiles.items():
-                prev = out.get(tid)
-                out[tid] = g if prev is None else np.where(g != dest_gs.nodata, g, prev)
-    return out
+            out = np.full((tpx, tpx), nod)
+        return pd.DataFrame(
+            {
+                "tile_id": [dkey],
+                "tile_row": [tr],
+                "tile_col": [tc],
+                "bytes": [codecs.encode_tile(out, "f32")],
+                "fmt": ["f32"],
+            }
+        )
+
+    return routed.groupby("dkey").map_groups(combine, batch_format="pandas")
+
+
+def resample_shuffled(src_ds, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn"):
+    """Co-partitioned resample for sources too large to broadcast: source
+    tiles shuffle once to the dest tiles they overlap, each dest tile
+    resamples from its local gather. Same per-cell arithmetic as the
+    broadcast path (`_resample_tile_grid`)."""
+    routed = _route_tiles_to_dest(src_ds, src_spec, dest_gs, dest_tile_px, layer=0)
+    return _mosaic_groups([src_spec], dest_gs, dest_tile_px, method,
+                          routed.union(_dest_seed(dest_gs, dest_tile_px)))
+
+
+def mosaic(src_tables: list, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn"):
+    """Mosaic (image_analysis/mosaic.rs:339-520): per dest cell, iterate
+    sources IN ORDER and take the first non-nodata value (the reference
+    ``break``s at the first valid source, :362-370).
+
+    Fully distributed: each source (``pa.Table`` or tile ``Dataset``,
+    paired with its SceneSpec) routes its tiles to the dest tiles they
+    overlap, one ``groupby(dest_tile)`` zips all layers, and the group
+    resamples + overlays in source order. No driver-side materialization;
+    shuffle volume is O(source bytes × boundary duplication).
+
+    Returns Dataset[tile_row, tile_col, bytes, fmt] on the dest grid."""
+    import ray.data as rd
+
+    routed = _dest_seed(dest_gs, dest_tile_px)
+    specs = []
+    for li, (src, spec) in enumerate(src_tables):
+        ds = rd.from_arrow(src) if isinstance(src, pa.Table) else src
+        routed = routed.union(_route_tiles_to_dest(ds, spec, dest_gs, dest_tile_px, layer=li))
+        specs.append(spec)
+    return _mosaic_groups(specs, dest_gs, dest_tile_px, method, routed)
 
 
 def mosaic_with_feathering(
