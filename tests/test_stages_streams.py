@@ -634,6 +634,47 @@ class TestStreamNetworkRemainder:
         f = farthest_channel_head(stiles, ptiles, spec)
         np.testing.assert_allclose(f[1, :], [0.0, spec.res, 2 * spec.res, 3 * spec.res])
 
+    def test_outlet_and_farthest_head_ds_match_grid(self, ray_session):
+        # registered Dataset forms vs the single-grid references on a
+        # multi-junction valley network (50+ junctions at threshold 25)
+        from whitebox_tools_ray.kernels import codecs
+        from whitebox_tools_ray.pipelines.relational import _valley_dem_tiles
+        from whitebox_tools_ray.stages.flow import d8_pointer_masked, flow_accumulation_ds
+        from whitebox_tools_ray.stages.streams import (
+            distance_to_outlet,
+            distance_to_outlet_ds,
+            extract_streams_ds,
+            farthest_channel_head,
+            farthest_channel_head_ds,
+        )
+
+        ds, spec = _valley_dem_tiles()
+        ptr = d8_pointer_masked(ds, spec)
+        acc = flow_accumulation_ds(ptr, spec, num_workers=2)
+        streams = extract_streams_ds(acc, spec, threshold=25.0)
+
+        def assemble(tile_ds):
+            g = np.full((spec.rows, spec.columns), np.nan)
+            for _, r in tile_ds.to_pandas().iterrows():
+                t = codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
+                g[int(r["tile_row"]) * 16 : int(r["tile_row"]) * 16 + 16,
+                  int(r["tile_col"]) * 16 : int(r["tile_col"]) * 16 + 16] = t
+            return g
+
+        ptiles = {int(r["tile_row"]) * spec.tiles_x + int(r["tile_col"]): bytes(r["bytes"])
+                  for _, r in ptr.to_pandas().iterrows()}
+        stiles = {int(r["tile_row"]) * spec.tiles_x + int(r["tile_col"]):
+                  codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
+                  for _, r in streams.to_pandas().iterrows()}
+
+        d_grid = distance_to_outlet(stiles, ptiles, spec)
+        d_ds = assemble(distance_to_outlet_ds(streams, ptr, spec, num_workers=2))
+        np.testing.assert_allclose(d_ds, d_grid, rtol=1e-9)
+
+        f_grid = farthest_channel_head(stiles, ptiles, spec)
+        f_ds = assemble(farthest_channel_head_ds(streams, ptr, spec, num_workers=2))
+        np.testing.assert_allclose(f_ds, f_grid, rtol=1e-9, atol=1e-6)
+
     def test_raster_streams_to_vector(self, ray_session):
         from whitebox_tools_ray.stages.streams import raster_streams_to_vector
 

@@ -894,9 +894,9 @@ def _register_all():
     register("LengthOfUpstreamChannels", st.length_of_upstream_channels,
              "Total upstream channel length per link", "stream_network_analysis",
              [], "stream_network_analysis/total_length_channels.rs")
-    register("DistanceToOutlet", st.distance_to_outlet, "Flow-path distance to outlet per stream cell",
+    register("DistanceToOutlet", st.distance_to_outlet_ds, "Flow-path distance to outlet per stream cell",
              "stream_network_analysis", [], "stream_network_analysis/dist_to_outlet.rs")
-    register("FarthestChannelHead", st.farthest_channel_head, "Max upstream channel distance per stream cell",
+    register("FarthestChannelHead", st.farthest_channel_head_ds, "Max upstream channel distance per stream cell",
              "stream_network_analysis", [], "stream_network_analysis/farthest_channel_head.rs")
     register("FindMainStem", st.find_main_stem, "Trunk links from each outlet",
              "stream_network_analysis", [], "stream_network_analysis/find_main_stem.rs")

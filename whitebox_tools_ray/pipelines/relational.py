@@ -6050,3 +6050,98 @@ def q_mosaic_sql() -> str:
                 ELSE -32768 END AS BIGINT) AS mz
     FROM g
     """
+
+
+def q_farthest_channel_head(sf_dir: str):
+    """FarthestChannelHead (stream_network_analysis/
+    farthest_channel_head.rs) through the registered Dataset composition
+    on the valley DEM: pointer -> BSP accumulation -> ExtractStreams
+    (acc >= 25) -> terminal-resolution flowpath length + distributed
+    link table -> far(c) = maxHeadL(link) - L(c). SQL twin: recursive
+    head-to-downstream walk, MAX(dist) per stream cell."""
+    from ..stages.flow import d8_pointer_masked, flow_accumulation_ds
+    from ..stages.streams import extract_streams_ds, farthest_channel_head_ds
+
+    ds, spec = _valley_dem_tiles()
+    ptr = d8_pointer_masked(ds, spec)
+    acc = flow_accumulation_ds(ptr, spec, num_workers=2)
+    streams = extract_streams_ds(acc, spec, threshold=25.0)
+    out = farthest_channel_head_ds(streams, ptr, spec, num_workers=2)
+    cells = _tiles_to_cells(out, spec, "far")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["far"].to_numpy(zero_copy_only=False)
+        keep = v != spec.nodata
+        return pa.table(
+            {
+                "row": batch["row"].filter(pa.array(keep)),
+                "col": batch["col"].filter(pa.array(keep)),
+                "far": pa.array(np.round(v[keep], 4), pa.float64()),
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+def q_farthest_channel_head_sql(threshold: float = 25.0) -> str:
+    import math
+
+    ring = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    res = 90.0
+    slopes = []
+    for i, (dr, dc) in enumerate(ring):
+        ln = math.sqrt(2.0) * res if dr != 0 and dc != 0 else res
+        zi = _VALLEY_Z.format(r=f"g.row + ({dr})", c=f"g.col + ({dc})")
+        z0 = _VALLEY_Z.format(r="g.row", c="g.col")
+        cond = f"g.row + ({dr}) BETWEEN 0 AND 63 AND g.col + ({dc}) BETWEEN 0 AND 63"
+        slopes.append(f"CASE WHEN {cond} THEN (({z0}) - ({zi})) / {ln!r} ELSE -1e308 END AS s{i}")
+    dir_case = "CASE WHEN m <= 0 THEN -1 " + " ".join(
+        f"WHEN s{i} = m THEN {i}" for i in range(8)
+    ) + " ELSE -1 END"
+    move_r = "CASE dirs.d " + " ".join(f"WHEN {i} THEN {dr}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    move_c = "CASE dirs.d " + " ".join(f"WHEN {i} THEN {dc}" for i, (dr, dc) in enumerate(ring)) + " ELSE 0 END"
+    diag = math.sqrt(2.0) * res
+    step_len = "CASE dirs.d " + " ".join(
+        f"WHEN {i} THEN {diag!r}" if dr != 0 and dc != 0 else f"WHEN {i} THEN {float(res)!r}"
+        for i, (dr, dc) in enumerate(ring)
+    ) + " ELSE 0.0 END"
+    ring_vals = ", ".join(f"({i}, {dr}, {dc})" for i, (dr, dc) in enumerate(ring))
+    return f"""
+    WITH RECURSIVE
+    g AS (SELECT r.r AS row, c.c AS col
+          FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+               (SELECT unnest(generate_series(0, 63)) AS c) c),
+    sl AS (SELECT g.row, g.col, {', '.join(slopes)} FROM g),
+    dirs AS MATERIALIZED (SELECT row, col, {dir_case} AS d
+             FROM (SELECT *, GREATEST(s0, s1, s2, s3, s4, s5, s6, s7) AS m FROM sl)),
+    walk(src_row, src_col, row, col) AS (
+        SELECT row, col, row, col FROM dirs
+        UNION ALL
+        SELECT w.src_row, w.src_col,
+               w.row + ({move_r}), w.col + ({move_c})
+        FROM walk w JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+        WHERE dirs.d >= 0
+    ),
+    acc AS (SELECT row, col, COUNT(*) AS acc FROM walk GROUP BY row, col),
+    strm AS MATERIALIZED (SELECT row, col FROM acc WHERE acc >= {threshold!r}),
+    ring(i, dr, dc) AS (VALUES {ring_vals}),
+    inflow AS MATERIALIZED (SELECT s.row, s.col
+               FROM strm s JOIN ring ON TRUE
+               JOIN strm nb ON nb.row = s.row + ring.dr AND nb.col = s.col + ring.dc
+               JOIN dirs nd ON nd.row = nb.row AND nd.col = nb.col
+               WHERE nd.d = (ring.i + 4) % 8),
+    heads AS (SELECT s.row, s.col FROM strm s
+              WHERE NOT EXISTS (SELECT 1 FROM inflow i
+                                WHERE i.row = s.row AND i.col = s.col)),
+    hwalk(row, col, dist) AS (
+        SELECT row, col, CAST(0.0 AS DOUBLE) FROM heads
+        UNION ALL
+        SELECT w.row + ({move_r}), w.col + ({move_c}), w.dist + ({step_len})
+        FROM hwalk w
+        JOIN dirs ON dirs.row = w.row AND dirs.col = w.col
+        JOIN strm nx ON nx.row = w.row + ({move_r}) AND nx.col = w.col + ({move_c})
+        WHERE dirs.d >= 0
+    )
+    SELECT row, col, ROUND(MAX(dist), 4) AS far
+    FROM hwalk GROUP BY row, col ORDER BY row, col
+    """

@@ -378,6 +378,110 @@ def farthest_channel_head(stream_tiles: dict[int, np.ndarray], pointer_tiles: di
     return out
 
 
+def distance_to_outlet_ds(stream_ds, pointer_ds, spec, num_workers: int = 4):
+    """DistanceToOutlet (stream_network_analysis/dist_to_outlet.rs),
+    Dataset form — the registered surface. Downslope flowpath length to
+    the terminal via the BSP terminal resolution, masked to stream
+    cells: on a stream cell the D8 path stays in-network (accumulation
+    is monotone non-decreasing downstream), so the flowpath length to
+    the terminal IS the distance to the outlet. The single-grid
+    ``distance_to_outlet`` is kept as the small-scene parity reference.
+
+    Inputs/outputs are tile Datasets [tile_row, tile_col, bytes, fmt];
+    nothing materializes on the driver."""
+    from . import band_math
+    from .hydro2 import _term_acc_ds
+
+    length, _w = _term_acc_ds(pointer_ds, spec, num_workers)
+    nod = spec.nodata
+
+    def mask(ln, st):
+        return np.where(st == 1.0, ln, nod)
+
+    return band_math.overlay_fn(length, stream_ds, spec, mask, out_fmt="f64")
+
+
+def farthest_channel_head_ds(stream_ds, pointer_ds, spec, num_workers: int = 4):
+    """FarthestChannelHead (stream_network_analysis/
+    farthest_channel_head.rs), Dataset form — the registered surface.
+
+    Identity: with L = downslope flowpath length to the terminal
+    (strictly increasing upstream along any flowpath), the farthest
+    upstream channel-head distance at stream cell c is
+
+        far(c) = max_{heads h upstream of c} (L(h) − L(c))
+               = maxHeadL(link(c)) − L(c)
+
+    where ``maxHeadL`` propagates down the O(links) link DAG: a link
+    with no upstream links starts at a head (maxHeadL = L(head gid));
+    a junction-topped link takes the max of its upstream links. Cell
+    work stays in Datasets (terminal-resolution L + the distributed
+    ``stream_links_ds`` paint); the driver holds only the link table
+    (SURVEY §2.9 sanction)."""
+    import ray
+
+    from . import band_math
+    from .hydro2 import _term_acc_ds
+
+    length, _w = _term_acc_ds(pointer_ds, spec, num_workers)
+    painted, links = stream_links_ds(stream_ds, pointer_ds, spec)
+
+    W = spec.tiles_x * spec.tile_px
+    tpx = spec.tile_px
+    head_gids = np.array(
+        sorted({lk["cells"][0][0] * W + lk["cells"][0][1] for lk in links}), dtype=np.int64
+    )
+    head_ref = ray.put(head_gids)
+
+    def head_l(batch):
+        import pyarrow as pa
+
+        hg = ray.get(head_ref)
+        gs, ls = [], []
+        for i in range(batch.num_rows):
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            sel = hg[(hg // W // tpx == tr) & ((hg % W) // tpx == tc)]
+            if not len(sel):
+                continue
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            rr = sel // W - tr * tpx
+            cc = sel % W - tc * tpx
+            gs.append(sel)
+            ls.append(g[rr, cc])
+        if not gs:
+            return pa.table({"hgid": pa.array([], pa.int64()),
+                             "hl": pa.array([], pa.float64())})
+        return pa.table({"hgid": pa.array(np.concatenate(gs), pa.int64()),
+                         "hl": pa.array(np.concatenate(ls), pa.float64())})
+
+    head_tbl = length.map_batches(head_l, batch_format="pyarrow").to_pandas()
+    l_head = dict(zip(head_tbl["hgid"].astype(np.int64), head_tbl["hl"].astype(np.float64)))
+
+    ups = _ups_map(links)
+    max_head_l: dict[int, float] = {}
+    for lk in _topo_order_links(links):
+        lid = lk["link_id"]
+        u = ups.get(lid, [])
+        if u:
+            max_head_l[lid] = max(max_head_l[x] for x in u)
+        else:
+            hg = lk["cells"][0][0] * W + lk["cells"][0][1]
+            max_head_l[lid] = float(l_head.get(hg, 0.0))
+
+    max_lid = max(max_head_l) if max_head_l else 0
+    lut = np.zeros(max_lid + 1)
+    for lid, v in max_head_l.items():
+        lut[lid] = v
+    nod = spec.nodata
+
+    def far(lid_g, ln):
+        lid = np.clip(lid_g.astype(np.int64), 0, max_lid)
+        return np.where(lid_g > 0, np.maximum(lut[lid] - ln, 0.0), nod)
+
+    return band_math.overlay_fn(painted, length, spec, far, out_fmt="f64")
+
+
 def find_main_stem(links: list[dict]) -> set[int]:
     """FindMainStem (find_main_stem.rs): link ids on the trunk path from
     each outlet, following the furthest-upstream-distance rule."""
