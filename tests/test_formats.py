@@ -198,6 +198,29 @@ class TestFormatSources:
         assert set(df["source_file"]) == {"tile0.las", "tile1.las"}
         assert abs(sorted(df["x"])[0] - sorted(cols["x"])[0]) < 5e-4
 
+    def test_zipped_las_round_trip(self, ray_session, tmp_path):
+        # zipped-LAS (las.rs:486-534): one-member DEFLATE .zip archive;
+        # parse_las sniffs PK and decompresses, reader matches plain .las
+        from whitebox_tools_ray.sources import formats
+
+        rng = np.random.default_rng(6)
+        n = 3000
+        cols = {
+            "x": rng.uniform(0, 100, n).round(3),
+            "y": rng.uniform(0, 100, n).round(3),
+            "z": rng.uniform(0, 50, n).round(3),
+        }
+        blob = las_codec.write_las(cols, point_format=0)
+        (tmp_path / "cloud.las.zip").write_bytes(las_codec.zip_las(blob, "cloud.las"))
+        df = formats.read_las(str(tmp_path)).to_pandas()
+        assert len(df) == n
+        np.testing.assert_allclose(np.sort(df["x"]), np.sort(cols["x"]), atol=5e-4)
+        # non-.las member must be rejected (las.rs:527-531)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="las"):
+            las_codec.parse_las(las_codec.zip_las(blob, "cloud.txt"))
+
     def test_shapefile_dataset(self, ray_session, tmp_path):
         from whitebox_tools_ray.sources import formats
 

@@ -83,6 +83,22 @@ def parse_las(buf: bytes) -> dict:
     carries them. Extra per-point bytes beyond the standard format size
     (user extra bytes) are skipped via the record stride.
     """
+    if buf[:4] == b"PK\x03\x04":
+        # zipped LAS (las.rs:486-534): a .zip archive whose first member
+        # is the .las file; DEFLATE/stored both handled by stdlib zipfile
+        import io
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(buf)) as zf:
+            names = zf.namelist()
+            if not names:
+                raise ValueError("empty zip archive (expected one .las member)")
+            if not names[0].lower().endswith(".las"):
+                raise ValueError(
+                    "The data file contained within zipped archive does not "
+                    "have the proper 'las' extension (las.rs:527-531)"
+                )
+            buf = zf.read(names[0])
     if buf[:4] != b"LASF":
         raise ValueError("not a LAS file (missing LASF signature)")
     ver_major, ver_minor = buf[24], buf[25]
@@ -236,3 +252,16 @@ def write_las(
     if n:
         struct.pack_into("<6d", header, 179, x.max(), x.min(), y.max(), y.min(), z.max(), z.min())
     return bytes(header) + rec.tobytes()
+
+
+def zip_las(las_bytes: bytes, member: str = "points.las") -> bytes:
+    """Wrap LAS bytes in a one-member DEFLATE .zip archive — the
+    reference's zipped-LAS write model (las.rs:1163-1200; README:179:
+    'only LAS file should be contained within a zipped archive')."""
+    import io
+    import zipfile
+
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(member, las_bytes)
+    return bio.getvalue()

@@ -2987,9 +2987,11 @@ def q_idw_grid_cp(sf_dir: str):
 
 def q_las_round_trip(sf_dir: str):
     """LAS ingest gate: the deterministic synth points stream through
-    the pure-numpy LAS writer and back through ReadLas (las.rs parity:
-    mm quantization, int32 coordinate storage). Integer sums of the
-    recovered mm counts are exact on both sides of the compare."""
+    the pure-numpy LAS writer — ZIPPED (.las.zip, the reference's
+    compressed model, las.rs:486-534/1163-1200) — and back through
+    ReadLas (las.rs parity: mm quantization, int32 coordinate storage).
+    Integer sums of the recovered mm counts are exact on both sides of
+    the compare; the uncompressed path is pinned by tests/test_formats."""
     import shutil
     import tempfile
 
@@ -3014,7 +3016,8 @@ def q_las_round_trip(sf_dir: str):
     # write every block to its own .las (the resumable layout), barrier,
     # read the directory back as a fresh Dataset
     formats.write_las(
-        pts.map_batches(to_cloud, batch_format="pyarrow", batch_size=262144), out_dir
+        pts.map_batches(to_cloud, batch_format="pyarrow", batch_size=262144), out_dir,
+        zipped=True,
     ).materialize()
     back = formats.read_las(out_dir)
 

@@ -35,7 +35,7 @@ def _as_paths(paths) -> list[str]:
             return sorted(
                 os.path.join(paths, f)
                 for f in os.listdir(paths)
-                if f.lower().endswith((".las", ".shp", ".tif", ".tiff"))
+                if f.lower().endswith((".las", ".las.zip", ".zip", ".shp", ".tif", ".tiff"))
             )
         return [paths]
     return list(paths)
@@ -69,9 +69,11 @@ def read_las(paths, columns: list[str] | None = None):
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)
 
 
-def write_las(ds, out_dir: str, point_format: int = 1) -> list[str]:
+def write_las(ds, out_dir: str, point_format: int = 1, zipped: bool = False) -> list[str]:
     """Dataset of points → one .las per input block (resumable layout:
-    deterministic part-N names, re-running overwrites in place)."""
+    deterministic part-N names, re-running overwrites in place).
+    ``zipped=True`` writes DEFLATE one-member .las.zip archives — the
+    reference's zipped-LAS model (las.rs:1163-1200)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def dump(batch: pa.Table, idx: list[int] = [0]) -> pa.Table:
@@ -80,6 +82,9 @@ def write_las(ds, out_dir: str, point_format: int = 1) -> list[str]:
         # per-task unique name via pid — parallel writers cannot collide
         name = f"part-{os.getpid()}-{idx[0]:05d}.las"
         idx[0] += 1
+        if zipped:
+            blob = las_codec.zip_las(blob, member=name)
+            name += ".zip"
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(blob)
         return pa.table({"file": [name], "n_points": [batch.num_rows]})
