@@ -773,18 +773,60 @@ class TestBreachDepressions:
             ] = t
         expect = breach_depressions(grid32, spec.nodata)
         np.testing.assert_allclose(got, np.float32(expect), rtol=0, atol=0)
-        # demoted route: cap of 1 cell forces fill; still depression-free
-        filled = breach_depressions_ds(ds, spec, exact_cell_cap=1).to_pandas()
-        gotf = np.full((48, 48), spec.nodata)
-        for _, row in filled.iterrows():
+        # over-cap route now runs the hierarchical exact carve (one shard
+        # covers this scene at the default shard size) — same bits
+        hier = breach_depressions_ds(ds, spec, exact_cell_cap=1).to_pandas()
+        goth = np.full((48, 48), spec.nodata)
+        for _, row in hier.iterrows():
             t = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
-            gotf[
+            goth[
                 int(row["tile_row"]) * 16 : int(row["tile_row"]) * 16 + 16,
                 int(row["tile_col"]) * 16 : int(row["tile_col"]) * 16 + 16,
             ] = t
-        assert (gotf >= grid32 - 1e-3).all()  # fill raises, never carves
-        refill = priority_flood(gotf.astype(np.float64), spec.nodata)
-        np.testing.assert_allclose(refill, gotf, atol=1e-3)
+        np.testing.assert_allclose(goth, expect, rtol=0, atol=1e-6)
+        refill = priority_flood(goth.astype(np.float64), spec.nodata)
+        np.testing.assert_allclose(refill, goth, atol=1e-3)
+
+    def test_breach_hierarchical_multi_shard_parity(self, ray_session):
+        """breach_hierarchical with 2-tile shards (4 shards on a 3x3
+        scene, pits deliberately near shard borders so searches defer
+        and resolve under shifted offsets) == the global exact kernel."""
+        import ray.data as rd
+
+        from whitebox_tools_ray.kernels import codecs
+        from whitebox_tools_ray.sources import tiles as tsrc
+        from whitebox_tools_ray.stages.fill import (
+            breach_depressions,
+            breach_hierarchical,
+        )
+
+        spec = tsrc.SceneSpec(tiles_x=3, tiles_y=3, tile_px=16, seed=33)
+        # steep south-dipping plane: pit searches resolve a few cells
+        # south, so search regions fit a 1-tile core except for the pits
+        # placed ON shard borders (those defer, then land under an offset)
+        rr, cc = np.meshgrid(np.arange(48, dtype=np.float64),
+                             np.arange(48, dtype=np.float64), indexing="ij")
+        grid = 200.0 - 1.0 * rr + 0.01 * cc
+        for (r, c) in ((15, 15), (16, 32), (31, 16), (8, 40), (40, 8)):
+            grid[r, c] -= 2.5
+        rows = []
+        for tr in range(3):
+            for tc in range(3):
+                sub = grid[tr * 16 : (tr + 1) * 16, tc * 16 : (tc + 1) * 16]
+                rows.append({"tile_row": tr, "tile_col": tc,
+                             "bytes": codecs.encode_tile(sub, "f32"), "fmt": "f32"})
+        grid32 = np.vstack([
+            np.hstack([codecs.decode_tile(rows[tr * 3 + tc]["bytes"], "f32")
+                       for tc in range(3)]) for tr in range(3)])
+        ds = rd.from_items(rows)
+        out = breach_hierarchical(ds, spec, shard_tiles=2).to_pandas()
+        got = np.full((48, 48), spec.nodata)
+        for _, row in out.iterrows():
+            t = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+            got[int(row["tile_row"]) * 16 : int(row["tile_row"]) * 16 + 16,
+                int(row["tile_col"]) * 16 : int(row["tile_col"]) * 16 + 16] = t
+        expect = breach_depressions(grid32, spec.nodata)
+        np.testing.assert_allclose(got, expect, rtol=0, atol=1e-6)
 
 
 class TestStreamLinksDS:

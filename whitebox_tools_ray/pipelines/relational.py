@@ -6148,3 +6148,59 @@ def q_farthest_channel_head_sql(threshold: float = 25.0) -> str:
     SELECT row, col, ROUND(MAX(dist), 4) AS far
     FROM hwalk GROUP BY row, col ORDER BY row, col
     """
+
+
+def q_breach_depressions(sf_dir: str):
+    """BreachDepressions (hydro_analysis/breach_depressions.rs, Lindsay
+    2016) through the HIERARCHICAL distributed carve (2x2-tile shards on
+    a 4x4-tile scene — pit (28,50)'s search crosses the row-32 shard
+    border, so it defers round 1 behind the global min-z cut and lands
+    under the shifted offset). Analytic trench DEM: 1-cell-wide
+    south-dipping trenches (z = -0.1r) walled by z = 100-0.1r, one pit
+    per trench (z - 1). The carve path is forced straight down-trench,
+    lowering 11 cells to pz - 0.01k — piecewise-analytic, so the twin
+    is closed-form."""
+    import ray.data as rd
+
+    from ..kernels import codecs
+    from ..sources.tiles import SceneSpec
+    from ..stages.fill import breach_hierarchical
+
+    spec = SceneSpec(tiles_x=4, tiles_y=4, tile_px=16)
+    pits = {10: 20, 30: 35, 50: 28}  # trench col -> pit row
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                indexing="ij",
+            )
+            g = np.where(np.isin(cc, (10, 30, 50)), -0.1 * rr, 100.0 - 0.1 * rr)
+            for c0, r0 in pits.items():
+                g = np.where((rr == r0) & (cc == c0), -0.1 * r0 - 1.0, g)
+            rows.append({"tile_row": tr, "tile_col": tc,
+                         "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
+    out = breach_hierarchical(rd.from_items(rows), spec, epsilon=0.01, shard_tiles=2)
+    return _round_cells(_tiles_to_cells(out, spec, "z"), "z", 4)
+
+
+def q_breach_depressions_sql() -> str:
+    return """
+    WITH g AS (SELECT r.r AS row, c.c AS col
+               FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
+                    (SELECT unnest(generate_series(0, 63)) AS c) c)
+    SELECT row, col, ROUND(CASE
+        WHEN col NOT IN (10, 30, 50) THEN 100.0 - 0.1 * row
+        WHEN col = 10 AND row = 20 THEN -0.1 * 20 - 1.0
+        WHEN col = 10 AND row BETWEEN 21 AND 31
+             THEN (-0.1 * 20 - 1.0) - 0.01 * (row - 20)
+        WHEN col = 30 AND row = 35 THEN -0.1 * 35 - 1.0
+        WHEN col = 30 AND row BETWEEN 36 AND 46
+             THEN (-0.1 * 35 - 1.0) - 0.01 * (row - 35)
+        WHEN col = 50 AND row = 28 THEN -0.1 * 28 - 1.0
+        WHEN col = 50 AND row BETWEEN 29 AND 39
+             THEN (-0.1 * 28 - 1.0) - 0.01 * (row - 28)
+        ELSE -0.1 * row END, 4) AS z
+    FROM g
+    """

@@ -523,6 +523,286 @@ def breach_depressions(grid: np.ndarray, nodata: float, epsilon: float = 1e-5,
     return z
 
 
+def _breach_shard_round(z: np.ndarray, nod: np.ndarray, core: np.ndarray,
+                        scene_edge: np.ndarray, epsilon: float):
+    """One breach round over a shard subgrid: detect pits among CORE
+    cells (ascending (z, r, c) — the reference's sort), carve those whose
+    least-cost search never touches a non-core cell, defer the rest.
+
+    Cores are disjoint across shards, so two accepted carves from
+    different shards can never share a cell — acceptance order across
+    shards needs no reconciliation beyond the global deferred-z cut
+    (breach_hierarchical). Returns (proposals, deferred):
+    proposals = [(pz, pr, pc, [(r, c, new_z), ...])] with LOCAL coords,
+    already applied to ``z`` in order; deferred = [(pz, pr, pc)]."""
+    import heapq as _hq
+
+    rows, cols = z.shape
+    pits = []
+    rr, cc = np.nonzero(core & ~nod & ~scene_edge)
+    for r, c in zip(rr, cc):
+        lower = False
+        for i in range(8):
+            nr, nc = r + int(DY8[i]), c + int(DX8[i])
+            if not (0 <= nr < rows and 0 <= nc < cols):
+                continue
+            if not nod[nr, nc] and z[nr, nc] < z[r, c]:
+                lower = True
+                break
+        if not lower:
+            pits.append((float(z[r, c]), int(r), int(c)))
+    pits.sort()
+    proposals, deferred = [], []
+    for pz, pr, pc in pits:
+        if z[pr, pc] != pz:
+            continue
+        still = True
+        for i in range(8):
+            nr, nc = pr + int(DY8[i]), pc + int(DX8[i])
+            if not (0 <= nr < rows and 0 <= nc < cols):
+                continue
+            if nod[nr, nc] or z[nr, nc] < pz:
+                still = False
+                break
+        if not still or scene_edge[pr, pc]:
+            continue
+        dist = {(pr, pc): 0.0}
+        prev: dict = {}
+        pq = [(0.0, pr, pc)]
+        target = None
+        out_of_core = False
+        while pq:
+            d, r, c = _hq.heappop(pq)
+            if d > dist.get((r, c), np.inf):
+                continue
+            if (r, c) != (pr, pc) and (nod[r, c] or z[r, c] < pz or scene_edge[r, c]):
+                target = (r, c)
+                break
+            for i in range(8):
+                nr, nc = r + int(DY8[i]), c + int(DX8[i])
+                if not (0 <= nr < rows and 0 <= nc < cols) or not core[nr, nc]:
+                    # the true global search could continue through this
+                    # cell — this shard cannot decide the pit this round
+                    out_of_core = True
+                    break
+                stepc = 0.0 if nod[nr, nc] else max(0.0, float(z[nr, nc]) - pz) + 1e-9
+                ndist = d + stepc
+                if ndist < dist.get((nr, nc), np.inf):
+                    dist[(nr, nc)] = ndist
+                    prev[(nr, nc)] = (r, c)
+                    _hq.heappush(pq, (ndist, nr, nc))
+            if out_of_core:
+                break
+        if out_of_core:
+            deferred.append((pz, pr, pc))
+            continue
+        if target is None:
+            continue
+        path = [target]
+        cur = target
+        while cur != (pr, pc):
+            cur = prev[cur]
+            path.append(cur)
+        path.reverse()
+        lvl = pz
+        cells = []
+        for (r, c) in path[1:]:
+            lvl -= epsilon
+            if not nod[r, c]:
+                if z[r, c] > lvl:
+                    z[r, c] = lvl
+                    cells.append((r, c, float(lvl)))
+                else:
+                    lvl = z[r, c]
+        if cells:
+            proposals.append((pz, pr, pc, cells))
+    return proposals, deferred
+
+
+def breach_hierarchical(dem_ds, spec, epsilon: float = 1e-5,
+                        shard_tiles: int = 8, max_global_rounds: int = 16,
+                        fill_fallback: bool = True, num_workers: int = 4):
+    """Exact Lindsay-2016 breach past the single-task cap.
+
+    Per global round: the tile grid shards into ``shard_tiles``² blocks
+    (offset rotates per round so every pit is eventually core-interior);
+    each shard assembles its block + a 1-tile halo, detects pits in its
+    core and carves the ones whose least-cost search stays in-core
+    (``_breach_shard_round``); searches that touch a shard border defer.
+    Exactness: cores are disjoint, so accepted carve regions from
+    different shards never overlap — the only cross-shard ordering
+    hazard is a deferred (unresolved) pit with LOWER z than an accepted
+    one, so the driver applies a global cut: only proposals with
+    pz < min(deferred pz) land this round; everything above waits for
+    the deferred pit to resolve under a shifted shard grid. Patches are
+    O(carve-path cells), broadcast back to the tile Dataset (no extra
+    shuffle of pixel data beyond the per-round shard routing).
+
+    Pits whose search region exceeds a shard core under every offset
+    cannot be localized; after ``max_global_rounds`` the remaining
+    depressions fall back to fill (raise-to-spill — the documented
+    semantics difference) when ``fill_fallback``."""
+    import ray
+    import ray.data as rd
+
+    from ..kernels import codecs
+
+    nodata, tpx = spec.nodata, spec.tile_px
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+    rows_tot, cols_tot = spec.rows, spec.columns
+    # B >= 2: with 1-tile shards every tile boundary is a shard boundary
+    # under EVERY offset, so border pits could never become interior
+    B = max(2, shard_tiles)
+    offsets = [(0, 0), (B // 2, B // 2), (0, B // 2), (B // 2, 0),
+               (B // 4, B // 4), (3 * B // 4, B // 4)]
+    offsets = list(dict.fromkeys(offsets))
+    tiles = dem_ds
+    last_min_def = None
+    stuck = 0
+    for rnd in range(max_global_rounds):
+        offr, offc = offsets[rnd % len(offsets)]
+
+        def route(row, offr=offr, offc=offc):
+            tr, tc = int(row["tile_row"]), int(row["tile_col"])
+            out = []
+            seen = set()
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    ntr, ntc = tr + dr, tc + dc
+                    if not (0 <= ntr < tiles_y and 0 <= ntc < tiles_x):
+                        continue
+                    sk = ((ntr + offr) // B) * 10_000 + (ntc + offc) // B
+                    if sk in seen:
+                        continue
+                    seen.add(sk)
+                    core = sk == ((tr + offr) // B) * 10_000 + (tc + offc) // B
+                    out.append({"skey": sk, "tile_row": tr, "tile_col": tc,
+                                "bytes": row["bytes"], "fmt": row["fmt"],
+                                "is_core": core})
+            return out
+
+        def shard_round(g, offr=offr, offc=offc):
+            trs = g["tile_row"].to_numpy()
+            tcs = g["tile_col"].to_numpy()
+            tr0, tr1 = int(trs.min()), int(trs.max())
+            tc0, tc1 = int(tcs.min()), int(tcs.max())
+            h = (tr1 - tr0 + 1) * tpx
+            w = (tc1 - tc0 + 1) * tpx
+            z = np.full((h, w), nodata, dtype=np.float64)
+            core = np.zeros((h, w), dtype=bool)
+            for _, row in g.iterrows():
+                t = codecs.decode_tile(bytes(row["bytes"]), row["fmt"])
+                r0 = (int(row["tile_row"]) - tr0) * tpx
+                c0 = (int(row["tile_col"]) - tc0) * tpx
+                z[r0 : r0 + tpx, c0 : c0 + tpx] = t
+                if bool(row["is_core"]):
+                    core[r0 : r0 + tpx, c0 : c0 + tpx] = True
+            nod = z == nodata
+            # true scene edge: global boundary or nodata-adjacent
+            gr0, gc0 = tr0 * tpx, tc0 * tpx
+            edge = np.zeros((h, w), dtype=bool)
+            if gr0 == 0:
+                edge[0, :] = True
+            if gc0 == 0:
+                edge[:, 0] = True
+            if gr0 + h >= rows_tot:
+                edge[h - (gr0 + h - rows_tot) - 1, :] = True
+            if gc0 + w >= cols_tot:
+                edge[:, w - (gc0 + w - cols_tot) - 1] = True
+            pad = np.zeros((h + 2, w + 2), dtype=bool)
+            pad[1:-1, 1:-1] = nod
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr or dc:
+                        edge |= pad[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+            props, defs = _breach_shard_round(z, nod, core, edge, epsilon)
+            recs = {"kind": [], "pz": [], "payload": []}
+            for pz, pr, pc, cells in props:
+                arr = np.array([(gr0 + r, gc0 + c, v) for r, c, v in cells],
+                               dtype=np.float64)
+                recs["kind"].append("p")
+                recs["pz"].append(pz)
+                recs["payload"].append(arr.tobytes())
+            for pz, pr, pc in defs:
+                recs["kind"].append("d")
+                recs["pz"].append(pz)
+                recs["payload"].append(b"")
+            import pandas as pd
+
+            return pd.DataFrame(recs)
+
+        res = (
+            tiles.flat_map(route)
+            .groupby("skey")
+            .map_groups(shard_round, batch_format="pandas")
+            .to_pandas()
+        )
+        if res.empty:
+            break
+        defs = res[res["kind"] == "d"]
+        props = res[res["kind"] == "p"].sort_values("pz")
+        min_def = float(defs["pz"].min()) if len(defs) else np.inf
+        acc = props[props["pz"] < min_def]
+        if not len(acc):
+            if not len(defs):
+                break  # proposals all carved nothing new
+            if last_min_def is not None and min_def == last_min_def:
+                stuck += 1
+            else:
+                stuck = 0
+            last_min_def = min_def
+            if stuck >= len(offsets):
+                break  # lowest pit cannot be localized under any offset
+            continue
+        stuck = 0
+        last_min_def = None
+        # patch tiles: broadcast the (small) accepted carve cells
+        patch: dict[int, list] = {}
+        for blob in acc["payload"]:
+            arr = np.frombuffer(blob, dtype=np.float64).reshape(-1, 3)
+            for r, c, v in arr:
+                tk = (int(r) // tpx) * tiles_x + int(c) // tpx
+                patch.setdefault(tk, []).append((int(r), int(c), v))
+        patch_ref = ray.put(patch)
+
+        def apply_patch(batch, patch_ref=patch_ref):
+            import pyarrow as pa
+
+            p = ray.get(patch_ref)
+            outs = []
+            for i in range(batch.num_rows):
+                tr = int(batch["tile_row"][i].as_py())
+                tc = int(batch["tile_col"][i].as_py())
+                blob = batch["bytes"][i].as_py()
+                fmt = batch["fmt"][i].as_py()
+                cells = p.get(tr * tiles_x + tc)
+                if cells:
+                    t = codecs.decode_tile(blob, fmt).astype(np.float64)
+                    for r, c, v in cells:
+                        # carves only lower — min keeps any apply order exact
+                        t[r - tr * tpx, c - tc * tpx] = min(t[r - tr * tpx, c - tc * tpx], v)
+                    blob, fmt = codecs.encode_tile(t, "f64"), "f64"
+                outs.append((tr, tc, blob, fmt))
+            return pa.table(
+                {
+                    "tile_row": pa.array([o[0] for o in outs], pa.int32()),
+                    "tile_col": pa.array([o[1] for o in outs], pa.int32()),
+                    "bytes": pa.array([o[2] for o in outs], pa.binary()),
+                    "fmt": pa.array([o[3] for o in outs], pa.string()),
+                }
+            )
+
+        tiles = tiles.map_batches(apply_patch, batch_format="pyarrow").materialize()
+    else:
+        res = None  # rounds exhausted
+    # unresolved pits remain if the loop broke on `stuck` or exhausted
+    remaining = res is None or (res is not None and not res.empty and (res["kind"] == "d").any()
+                                and stuck >= len(offsets))
+    if remaining and fill_fallback:
+        return fill_depressions_ds(tiles, spec, num_workers=num_workers)
+    return tiles
+
+
 def breach_depressions_ds(dem_ds, spec, epsilon: float = 1e-5,
                           max_rounds: int = 8, num_workers: int = 4,
                           exact_cell_cap: int = 16_000_000):
@@ -538,11 +818,10 @@ def breach_depressions_ds(dem_ds, spec, epsilon: float = 1e-5,
       assembles the scene, runs the exact kernel, and re-emits tiles.
       Pixel data never touches the driver, but the kernel is one task
       (breach_depressions.rs itself is a whole-raster in-memory pass).
-    - larger scenes route to ``fill_depressions_ds`` — the same
-      depression-free every-cell-drains guarantee, with cells RAISED to
-      the spill level instead of carved below it. Documented semantics
-      difference; pick FillDepressions explicitly when parity with the
-      reference's breach values matters at that scale.
+    - larger scenes route to ``breach_hierarchical`` — the exact carve
+      sharded by tile blocks with per-round offset rotation; only pits
+      whose search region cannot be localized in any shard fall back to
+      fill (raise-to-spill), the documented semantics difference.
     """
     import pandas as pd
     import pyarrow as pa
@@ -550,7 +829,8 @@ def breach_depressions_ds(dem_ds, spec, epsilon: float = 1e-5,
     from ..kernels import codecs
 
     if spec.rows * spec.columns > exact_cell_cap:
-        return fill_depressions_ds(dem_ds, spec, num_workers=num_workers)
+        return breach_hierarchical(dem_ds, spec, epsilon=epsilon,
+                                   num_workers=num_workers)
 
     nodata, tpx, tiles_x = spec.nodata, spec.tile_px, spec.tiles_x
 
