@@ -891,3 +891,45 @@ class TestStreamLinksDS:
             full[int(row["tile_row"]) * 8 : int(row["tile_row"]) * 8 + 8,
                  int(row["tile_col"]) * 8 : int(row["tile_col"]) * 8 + 8] = g
         assert ((full > 0) == (lid_grid > 0)).all()
+
+
+class TestLinkPeelDS:
+    def test_dataset_orders_match_driver_walk(self, ray_session):
+        """strahler_order_links_ds / shreve_magnitude_links_ds (Dataset
+        topological peel — the path for link tables that outgrow the
+        driver) == the recursive driver walks, on a 3-level DAG with a
+        tie (order bump) and a non-tie junction."""
+        import pandas as pd
+        import ray.data as rd
+
+        from whitebox_tools_ray.stages.streams import (
+            shreve_magnitude,
+            shreve_magnitude_links_ds,
+            strahler_order,
+            strahler_order_links_ds,
+        )
+
+        #    1   2     3          heads
+        #     \ /      |
+        #      4       5          4 = tie (1,1) -> 2 ; 5 = 1
+        #       \     /
+        #         6               (2,1) no tie -> 2 ; shreve 3
+        links = [
+            {"link_id": 1, "ds_link": 4, "length": 1.0, "cells": [(0, 0), (0, 0)]},
+            {"link_id": 2, "ds_link": 4, "length": 1.0, "cells": [(0, 1), (0, 1)]},
+            {"link_id": 3, "ds_link": 5, "length": 1.0, "cells": [(0, 2), (0, 2)]},
+            {"link_id": 4, "ds_link": 6, "length": 1.0, "cells": [(1, 0), (1, 0)]},
+            {"link_id": 5, "ds_link": 6, "length": 1.0, "cells": [(1, 2), (1, 2)]},
+            {"link_id": 6, "ds_link": -1, "length": 1.0, "cells": [(2, 1), (2, 1)]},
+        ]
+        link_ds = rd.from_pandas(pd.DataFrame(
+            {"link_id": [lk["link_id"] for lk in links],
+             "ds_link": [lk["ds_link"] for lk in links],
+             "length": [lk["length"] for lk in links]}))
+        ref_o = strahler_order(links)
+        ref_m = shreve_magnitude(links)
+        o = strahler_order_links_ds(link_ds).to_pandas().set_index("link_id")["val"].to_dict()
+        m = shreve_magnitude_links_ds(link_ds).to_pandas().set_index("link_id")["val"].to_dict()
+        assert {k: int(v) for k, v in o.items()} == ref_o
+        assert {k: int(v) for k, v in m.items()} == ref_m
+        assert int(o[6]) == 2 and int(m[6]) == 3

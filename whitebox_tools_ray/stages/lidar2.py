@@ -497,41 +497,36 @@ def lidar_kappa(ds_a, ds_b, id_col: str = "pid", class_col: str = "class_"):
 
 
 def las_to_ascii(ds, round_to: int = 3):
-    """LasToAscii: x, y, z (+intensity/class when present) as strings."""
+    """LasToAscii: x, y, z (+intensity/class when present) as strings —
+    Arrow-native (pc.round/cast/binary_join_element_wise), no pandas
+    object-string assembly in the export hot path."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
         parts = [
-            pdf["x"].round(round_to).astype(str),
-            pdf["y"].round(round_to).astype(str),
-            pdf["z"].round(round_to).astype(str),
+            pc.cast(pc.round(batch[c], ndigits=round_to), pa.string())
+            for c in ("x", "y", "z")
         ]
         for c in ("intensity", "class_"):
-            if c in pdf.columns:
-                parts.append(pdf[c].astype(str))
-        line = parts[0]
-        for p in parts[1:]:
-            line = line + " " + p
-        return pa.table({"line": pa.array(line.tolist(), pa.string())})
+            if c in batch.schema.names:
+                parts.append(pc.cast(batch[c], pa.string()))
+        line = pc.binary_join_element_wise(*parts, " ")
+        return pa.table({"line": line})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def las_to_shapefile(ds):
-    """LasToShapefile: one POINT record per point (record table form)."""
+    """LasToShapefile: one POINT record per point (record table form) —
+    Arrow-native casts, zero-copy where dtypes already match."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
-        out = {
-            "x": pdf["x"].astype(np.float64),
-            "y": pdf["y"].astype(np.float64),
-            "z": pdf["z"].astype(np.float64),
-        }
-        if "intensity" in pdf.columns:
-            out["intensity"] = pdf["intensity"]
-        if "class_" in pdf.columns:
-            out["class_"] = pdf["class_"]
-        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+        cols = {c: pc.cast(batch[c], pa.float64()) for c in ("x", "y", "z")}
+        for c in ("intensity", "class_"):
+            if c in batch.schema.names:
+                cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

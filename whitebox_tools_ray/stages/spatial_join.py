@@ -210,7 +210,11 @@ def clip_points(
         batch_size=batch_size,
     )
     if renumber_fid:
-        out = zip_with_order_index(out, order_col, index_col="FID", start=1, strategy="sort")
+        # auto: survivor sets under ~10M rows rank via the driver-sorted
+        # broadcast key array (no shuffle — Ray's range-partitioned sort
+        # costs a fixed ~2 s that anti-scales the join 8->32 CPUs);
+        # larger sets use the range-partitioned sort
+        out = zip_with_order_index(out, order_col, index_col="FID", start=1, strategy="auto")
     return out
 
 

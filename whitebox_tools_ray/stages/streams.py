@@ -482,6 +482,127 @@ def farthest_channel_head_ds(stream_ds, pointer_ds, spec, num_workers: int = 4):
     return band_math.overlay_fn(painted, length, spec, far, out_fmt="f64")
 
 
+def _link_peel_ds(links_ds, agg_fn, leaf_val: float, n_buckets: int = 2):
+    """Topological peel over the Dataset link DAG: round r resolves every
+    link whose upstream links are all resolved (heads in round 1), via a
+    bucketed join of edges against the resolved table + a groupby on the
+    downstream id. Rounds = junction depth of the network (Horton ratios
+    keep that ~log(#links) for natural drainage); each round touches only
+    O(links) rows. ``agg_fn(vals: np.ndarray) -> float`` combines resolved
+    upstream values."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .joins import hash_join_bucketed
+
+    base = links_ds.map_batches(
+        lambda b: pa.table({"link_id": b["link_id"].cast(pa.int64()),
+                            "ds_link": b["ds_link"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    total = base.count()
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.greater_equal(b["ds_link"], 0))
+        return pa.table({"up": m["link_id"], "down": m["ds_link"]})
+
+    edges = base.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    ups_n = edges.groupby("down").count().map_batches(
+        lambda b: pa.table({"nid": b["down"], "ups_n": b["count()"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    with_n = hash_join_bucketed(base, ups_n, key="link_id", right_key="nid", how="left",
+                                num_buckets=n_buckets)
+
+    def seed(g: pd.DataFrame):
+        heads = g[g["ups_n"].isna()]
+        return pa.table({"link_id": pa.array(heads["link_id"].to_numpy(np.int64)),
+                         "val": pa.array(np.full(len(heads), leaf_val))})
+
+    # heads resolve immediately (no shuffle key needed — row-local filter)
+    resolved = with_n.map_batches(seed, batch_format="pandas").materialize()
+    n_need = with_n.map_batches(
+        lambda g: pd.DataFrame({"nid": g[g["ups_n"].notna()]["link_id"].astype(np.int64),
+                                "need": g[g["ups_n"].notna()]["ups_n"].astype(np.int64)}),
+        batch_format="pandas",
+    ).materialize()
+    done = resolved.count()
+    while done < total:
+        contrib = hash_join_bucketed(edges, resolved, key="up", right_key="link_id",
+                                     how="inner", num_buckets=n_buckets)
+
+        def stat(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"nid": [int(g["down"].iloc[0])],
+                                 "n_res": [len(g)],
+                                 "val": [float(agg_fn(g["val"].to_numpy()))]})
+
+        stats = contrib.groupby("down").map_groups(stat, batch_format="pandas")
+        ready = hash_join_bucketed(stats, n_need, key="nid", how="inner",
+                                   num_buckets=n_buckets)
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            m = g[g["n_res"] == g["need"]]
+            return pd.DataFrame({"link_id": m["nid"].astype(np.int64),
+                                 "val": m["val"].astype(np.float64),
+                                 "new": np.ones(len(m), dtype=bool)})
+
+        new_rows = ready.map_batches(pick, batch_format="pandas")
+        # drop already-resolved ids (their stats recompute every round) —
+        # anti-join probes a MARKER column: the join key itself is
+        # consumed by the merge, so it can't be the null probe
+        merged = hash_join_bucketed(
+            new_rows,
+            resolved.map_batches(
+                lambda b: pd.DataFrame({"rid": b["link_id"].astype(np.int64),
+                                        "seen": np.ones(len(b), dtype=np.float64)}),
+                batch_format="pandas",
+            ),
+            key="link_id", right_key="rid", how="left", num_buckets=n_buckets,
+        )
+
+        def only_fresh(g: pd.DataFrame):
+            m = g[g["seen"].isna()] if "seen" in g.columns else g
+            return pa.table({"link_id": pa.array(m["link_id"].to_numpy(np.int64)),
+                             "val": pa.array(m["val"].to_numpy(np.float64))})
+
+        fresh = merged.map_batches(only_fresh, batch_format="pandas")
+        # from_arrow_refs: blocks stay in the object store; the rebuild
+        # cuts Ray Data's per-round stats lineage, whose parent chain
+        # otherwise deepens every round until a RecursionError
+        import ray.data as rd
+
+        resolved = rd.from_arrow_refs(
+            resolved.union(fresh).materialize().to_arrow_refs()
+        )
+        new_done = resolved.count()
+        if new_done == done:
+            raise RuntimeError("link DAG peel made no progress (cycle in ds_link?)")
+        done = new_done
+    return resolved
+
+
+def strahler_order_links_ds(links_ds):
+    """StrahlerStreamOrder on the DATASET link table (strahler_order.rs):
+    heads 1; a link takes max upstream order, +1 when >=2 ups share that
+    max. Returns Dataset[link_id, val]. For link tables that outgrow the
+    driver — the small-scene path is ``strahler_order(links list)``. Per
+    round: O(links) rows through 3 bucketed joins; raise ``n_buckets``
+    toward #blocks at continental scale (2 keeps scheduling overhead low
+    on small tables)."""
+
+    def agg(vals: np.ndarray) -> float:
+        m = vals.max()
+        return m + 1.0 if (vals == m).sum() >= 2 else m
+
+    return _link_peel_ds(links_ds, agg, leaf_val=1.0)
+
+
+def shreve_magnitude_links_ds(links_ds):
+    """ShreveStreamMagnitude on the DATASET link table
+    (shreve_magnitude.rs): heads 1; links sum upstream magnitudes."""
+    return _link_peel_ds(links_ds, lambda v: float(v.sum()), leaf_val=1.0)
+
+
 def find_main_stem(links: list[dict]) -> set[int]:
     """FindMainStem (find_main_stem.rs): link ids on the trunk path from
     each outlet, following the furthest-upstream-distance rule."""
@@ -669,12 +790,33 @@ def stream_cell_rows(stream_ds, pointer_ds, spec):
 
 
 def stream_links_ds(stream_ds, pointer_ds, spec):
+    """Dataset-native link identification — (painted raster Dataset,
+    links LIST). Thin wrapper over ``links_table_ds`` that pulls the
+    O(links) table to the driver for the SURVEY-sanctioned small-scene
+    link-DAG walks."""
+    painted, link_ds = links_table_ds(stream_ds, pointer_ds, spec)
+    W = spec.tiles_x * spec.tile_px
+    link_tbl = link_ds.to_pandas()
+    links = [
+        {
+            "link_id": int(r.link_id),
+            "cells": [(int(r.head_gid) // W, int(r.head_gid) % W),
+                      (int(r.term_gid) // W, int(r.term_gid) % W)],
+            "length": float(r.length),
+            "ds_link": int(r.ds_link),
+        }
+        for r in link_tbl.itertuples()
+    ]
+    return painted, links
+
+
+def links_table_ds(stream_ds, pointer_ds, spec):
     """Dataset-native link identification with NO O(stream cells) driver
-    materialization. Returns (link_id_ds — painted raster Dataset, links
-    list) with the same link semantics (ids, lengths, ds_link) as
-    ``stream_links``; the driver holds only the O(links) link table, and
-    each link's ``cells`` carries [head, terminal] (the cell-level paint
-    stays in the Dataset).
+    materialization. Returns (link_id_ds — painted raster Dataset,
+    links_ds — Dataset[link_id, length, ds_link, head_gid, term_gid])
+    — BOTH stay distributed; continental-scale link tables never touch
+    the driver (pair with ``strahler_order_links_ds`` /
+    ``shreve_magnitude_links_ds``).
 
     Phases (all Dataset ops):
       1. ``stream_cell_rows`` — per-cell (gid, ptr, inflow, down_gid,
@@ -812,19 +954,7 @@ def stream_links_ds(stream_ds, pointer_ds, spec):
              "head_gid": [head], "term_gid": [tg]}
         )
 
-    link_tbl = (
-        with_down.groupby("link_id").map_groups(per_link, batch_format="pandas").to_pandas()
-    )
-    links = [
-        {
-            "link_id": int(r.link_id),
-            "cells": [(int(r.head_gid) // W, int(r.head_gid) % W),
-                      (int(r.term_gid) // W, int(r.term_gid) % W)],
-            "length": float(r.length),
-            "ds_link": int(r.ds_link),
-        }
-        for r in link_tbl.itertuples()
-    ]
+    link_ds = with_down.groupby("link_id").map_groups(per_link, batch_format="pandas")
 
     # 5. paint: labeled cells + one blank row per tile, co-shuffled on tkey
     def cell_tkeys(b: pa.Table) -> pa.Table:
@@ -862,7 +992,7 @@ def stream_links_ds(stream_ds, pointer_ds, spec):
         .groupby("tkey")
         .map_groups(paint, batch_format="pandas")
     )
-    return painted, links
+    return painted, link_ds
 
 
 def extract_streams_ds(accum_ds, spec, threshold: float):
