@@ -325,3 +325,60 @@ class TestRgbTiff:
         buf[i + 8] = 2
         with pytest.raises(NotImplementedError):
             T.parse_geotiff(bytes(buf))
+
+
+class TestBigTiff:
+    @staticmethod
+    def _write_bigtiff(grid):
+        """Hand-rolled minimal BigTIFF (magic 43, 8-byte offsets): one
+        uncompressed strip of f32 samples + pixel scale/tiepoint."""
+        import struct
+
+        h, w = grid.shape
+        data = grid.astype("<f4").tobytes()
+        entries = []  # (tag, type, count, value-bytes (8) or payload)
+
+        def val8(fmt, *vals):
+            b = struct.pack("<" + fmt, *vals)
+            return b + b"\x00" * (8 - len(b))
+
+        header = 16
+        n_tags = 9
+        ifd_size = 8 + n_tags * 20 + 8
+        data_off = header + ifd_size
+        scale_off = data_off + len(data)
+        tie_off = scale_off + 24
+        entries = [
+            (256, 16, 1, val8("Q", w)),
+            (257, 16, 1, val8("Q", h)),
+            (258, 3, 1, val8("H", 32)),
+            (259, 3, 1, val8("H", 1)),
+            (273, 16, 1, val8("Q", data_off)),       # StripOffsets
+            (278, 16, 1, val8("Q", h)),               # RowsPerStrip
+            (279, 16, 1, val8("Q", len(data))),       # StripByteCounts
+            (339, 3, 1, val8("H", 3)),                # SampleFormat float
+            (33550, 12, 3, val8("Q", scale_off)),     # ModelPixelScale ptr
+        ]
+        out = bytearray()
+        out += b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
+        out += struct.pack("<Q", n_tags)
+        for tag, typ, cnt, vb in entries:
+            out += struct.pack("<HHQ", tag, typ, cnt) + vb
+        out += struct.pack("<Q", 0)  # next IFD
+        assert len(out) == data_off
+        out += data
+        out += struct.pack("<3d", 90.0, 90.0, 0.0)
+        _ = tie_off
+        return bytes(out)
+
+    def test_bigtiff_roundtrip(self):
+        import numpy as np
+
+        from whitebox_tools_ray.kernels import tiff_codec
+
+        rng = np.random.default_rng(3)
+        grid = rng.uniform(0, 500, (13, 17))
+        blob = self._write_bigtiff(grid)
+        out = tiff_codec.parse_geotiff(blob)
+        np.testing.assert_allclose(out["grid"], grid.astype(np.float32).astype(np.float64))
+        assert out["meta"]["pixel_scale"][0] == 90.0

@@ -1117,6 +1117,14 @@ def _register_all():
              "k-means with small-cluster merging", "image_analysis",
              [], "image_analysis/modified_k_means_clustering.rs")
 
+    # HTML report surface (reference emits styled HTML+SVG from its
+    # stats tools — src/rendering/html.rs + get_svg chart builders)
+    from . import reporting as _rep
+
+    register("HistogramReport", _rep.histogram_report,
+             "Distributed histogram -> HTML page with SVG chart",
+             "math_stat_analysis", [], "rendering/html.rs; rendering/histogram.rs")
+
     # training-data pipeline value-add (no reference analog)
     register("ExactDedup", dedup.exact_dedup, "Content-hash dedup", "training_data", [], "")
     register("MinHashLSH", dedup.minhash_lsh_pairs, "MinHash-LSH near-dup candidates", "training_data", [], "")

@@ -1,5 +1,6 @@
-"""Minimal GeoTIFF codec (classic TIFF 6.0 little/big-endian, single
-IFD, stripped or tiled, uncompressed or Deflate), written from the
+"""Minimal GeoTIFF codec (classic TIFF 6.0 + BigTIFF read,
+little/big-endian, single IFD, stripped or tiled, uncompressed or
+Deflate), written from the
 public TIFF 6.0 + GeoTIFF 1.1 specifications; tag coverage mirrors what
 the reference reader consumes (src/raster/geotiff/mod.rs,
 tiff_consts.rs): ImageWidth/Length, BitsPerSample, SampleFormat,
@@ -17,8 +18,10 @@ import zlib
 
 import numpy as np
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+               11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 
 def _read_ifd(buf: bytes, bo: str):
@@ -33,6 +36,39 @@ def _read_ifd(buf: bytes, bo: str):
             voff = e + 8
         else:
             voff = struct.unpack_from(bo + "I", buf, e + 8)[0]
+        if typ == 2:  # ASCII
+            tags[tag] = buf[voff : voff + cnt].split(b"\x00")[0].decode("ascii", "replace")
+        elif typ in (5, 10):  # RATIONAL
+            vals = struct.unpack_from(bo + f"{2*cnt}" + ("I" if typ == 5 else "i"), buf, voff)
+            tags[tag] = [vals[2 * j] / max(vals[2 * j + 1], 1) for j in range(cnt)]
+        else:
+            fmt = _TYPE_FMT.get(typ)
+            if fmt is None:
+                continue
+            vals = struct.unpack_from(bo + str(cnt) + fmt, buf, voff)
+            tags[tag] = list(vals) if cnt > 1 else vals[0]
+    return tags
+
+
+def _read_ifd_big(buf: bytes, bo: str):
+    """BigTIFF (magic 43) IFD reader: 8-byte offsets, 20-byte entries,
+    u64 entry count; LONG8/SLONG8/IFD8 types. Mirrors the reference's
+    BigTIFF branch (geotiff/mod.rs:50-71)."""
+    off_size, zero = struct.unpack_from(bo + "HH", buf, 4)
+    if off_size != 8 or zero != 0:
+        raise ValueError("Incorrect BigTIFF header. Unsupported bytesize of offsets.")
+    ifd_off = struct.unpack_from(bo + "Q", buf, 8)[0]
+    n = struct.unpack_from(bo + "Q", buf, ifd_off)[0]
+    tags = {}
+    for i in range(n):
+        e = ifd_off + 8 + 20 * i
+        tag, typ = struct.unpack_from(bo + "HH", buf, e)
+        cnt = struct.unpack_from(bo + "Q", buf, e + 4)[0]
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 8:
+            voff = e + 12
+        else:
+            voff = struct.unpack_from(bo + "Q", buf, e + 12)[0]
         if typ == 2:  # ASCII
             tags[tag] = buf[voff : voff + cnt].split(b"\x00")[0].decode("ascii", "replace")
         elif typ in (5, 10):  # RATIONAL
@@ -141,10 +177,11 @@ def parse_geotiff(buf: bytes) -> dict:
         raise ValueError("not a TIFF file")
     magic = struct.unpack_from(bo + "H", buf, 2)[0]
     if magic == 43:
-        raise NotImplementedError("BigTIFF is not supported")
-    if magic != 42:
+        tags = _read_ifd_big(buf, bo)  # BigTIFF (geotiff/mod.rs:50-71)
+    elif magic == 42:
+        tags = _read_ifd(buf, bo)
+    else:
         raise ValueError("not a TIFF file (bad magic)")
-    tags = _read_ifd(buf, bo)
     width = int(tags[256])
     height = int(tags[257])
     bits_t = tags.get(258, 8)

@@ -3337,24 +3337,32 @@ def q_stream_dist_outlet(sf_dir: str):
     the analytic DEM: D8 pointer -> Dataset-native BSP accumulation ->
     ExtractStreams (acc >= 5 cells; the mod-97 DEM tops out at acc=13, so a higher cut would make the gate vacuous) -> flowpath length to the terminal
     (on stream cells the flowpath stays in-network, so downslope
-    flowpath length IS the distance to outlet). Oracle: the d8_accum
+    flowpath length IS the distance to outlet) — through the REGISTERED
+    ``distance_to_outlet_ds`` surface (the keyed tile zip replaces the
+    former driver-side merge of two cell tables). Oracle: the d8_accum
     recursive path count composed with the downslope walk CTE."""
     from ..stages.flow import d8_pointer_masked, flow_accumulation_ds
-    from ..stages.hydro2 import downslope_flowpath_length
-    from ..stages.streams import extract_streams_ds
+    from ..stages.streams import distance_to_outlet_ds, extract_streams_ds
 
     ds, spec = _analytic_dem_tiles()
     ptr = d8_pointer_masked(ds, spec)
     acc = flow_accumulation_ds(ptr, spec, num_workers=2)
     streams = extract_streams_ds(acc, spec, threshold=5.0)
-    dfl = downslope_flowpath_length(ds, spec, num_workers=2)
+    out = distance_to_outlet_ds(streams, ptr, spec, num_workers=2)
+    cells = _tiles_to_cells(out, spec, "dist")
 
-    sc = _tiles_to_cells(streams, spec, "stream").to_pandas()
-    dc = _tiles_to_cells(dfl, spec, "dist").to_pandas()
-    m = sc.merge(dc, on=["row", "col"])
-    m = m[m["stream"] == 1.0][["row", "col", "dist"]]
-    m["dist"] = np.round(m["dist"], 4)
-    return m.sort_values(["row", "col"]).reset_index(drop=True)
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["dist"].to_numpy(zero_copy_only=False)
+        keep = v != spec.nodata
+        return pa.table(
+            {
+                "row": batch["row"].filter(pa.array(keep)),
+                "col": batch["col"].filter(pa.array(keep)),
+                "dist": pa.array(np.round(v[keep], 4), pa.float64()),
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow")
 
 
 def q_stream_dist_outlet_sql() -> str:
