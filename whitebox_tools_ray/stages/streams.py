@@ -841,6 +841,10 @@ def links_table_ds(stream_ds, pointer_ds, spec):
 
     W = spec.tiles_x * spec.tile_px
     tpx = spec.tile_px
+    # join parallelism sized to the scene: stream cells are ~1-3% of
+    # cells; small gate scenes are pure scheduling overhead at the
+    # default 32 buckets (measured 22 s -> a few s at 64x64)
+    nb = int(min(max(spec.rows * spec.columns // 500_000, 4), 256))
     diag = float(np.sqrt(2.0) * spec.res)
     lengths = np.array([diag, spec.res, diag, spec.res, diag, spec.res, diag, spec.res])
 
@@ -885,7 +889,7 @@ def links_table_ds(stream_ds, pointer_ds, spec):
     )
     edges = cells.map_batches(cont_edges, batch_format="pyarrow")
     child_parents = hash_join_bucketed(
-        non_start, edges, key="k", right_key="child", how="inner"
+        non_start, edges, key="k", right_key="child", how="inner", num_buckets=nb
     ).map_batches(
         lambda b: pa.table({"node": b["node_"], "parent": b["parent_gid"]}),
         batch_format="pyarrow",
@@ -906,8 +910,9 @@ def links_table_ds(stream_ds, pointer_ds, spec):
 
     labeled = (
         hash_join_bucketed(
-            hash_join_bucketed(cells, roots, key="gid", right_key="node", how="inner"),
-            start_ids, key="root", right_key="root_k", how="inner",
+            hash_join_bucketed(cells, roots, key="gid", right_key="node",
+                               how="inner", num_buckets=nb),
+            start_ids, key="root", right_key="root_k", how="inner", num_buckets=nb,
         )
         .materialize()
     )
@@ -923,7 +928,7 @@ def links_table_ds(stream_ds, pointer_ds, spec):
         batch_format="pyarrow",
     )
     with_down = hash_join_bucketed(
-        labeled, down_roots, key="down_gid", right_key="dk", how="left"
+        labeled, down_roots, key="down_gid", right_key="dk", how="left", num_buckets=nb
     )
 
     # left-join misses leave NaN in the int key; sentinel −1 keeps the
@@ -934,7 +939,7 @@ def links_table_ds(stream_ds, pointer_ds, spec):
 
     with_down = hash_join_bucketed(
         with_down.map_batches(fix_down_root, batch_format="pandas"),
-        down_ids, key="down_root", right_key="dl_k", how="left",
+        down_ids, key="down_root", right_key="dl_k", how="left", num_buckets=nb,
     )
 
     def per_link(g: pd.DataFrame) -> pd.DataFrame:
