@@ -172,8 +172,10 @@ class TestTiffCodec:
     def test_big_endian_and_tiled_rejected_gracefully(self):
         with pytest.raises(ValueError):
             tiff_codec.parse_geotiff(b"XX\x00\x00")
-        with pytest.raises(NotImplementedError):
-            tiff_codec.parse_geotiff(b"II\x2b\x00" + b"\x00" * 16)  # BigTIFF
+        # BigTIFF now PARSES (round-trip pinned in test_tiff_lzw); a
+        # malformed BigTIFF header (offset size != 8) still errors clearly
+        with pytest.raises(ValueError, match="BigTIFF"):
+            tiff_codec.parse_geotiff(b"II\x2b\x00\x04\x00\x00\x00" + b"\x00" * 12)
 
 
 class TestFormatSources:

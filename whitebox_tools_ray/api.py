@@ -763,7 +763,8 @@ def _register_all():
              "terrain_analysis/fetch_analysis.rs")
     register("BreachDepressions", fl.breach_depressions_ds,
              "Pit-wise least-cost carve (Lindsay 2016); exact one-task kernel "
-             "up to 16M cells, fill_depressions_ds (raise-not-carve) above",
+             "up to 16M cells, exact hierarchical sharded carve above "
+             "(fill fallback only for pits no shard offset can localize)",
              "hydro_analysis",
              [P("dem_ds", "Dataset"), P("spec", "SceneSpec")],
              "hydro_analysis/breach_depressions.rs")

@@ -2094,16 +2094,23 @@ def _tiles_to_cells(out_ds, spec, value_name: str):
             g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
             tr = int(batch["tile_row"][i].as_py())
             tc = int(batch["tile_col"][i].as_py())
-            for r in range(g.shape[0]):
-                for c in range(g.shape[1]):
-                    rr.append(tr * spec.tile_px + r)
-                    cc.append(tc * spec.tile_px + c)
-                    vv.append(float(g[r, c]))
+            r_idx, c_idx = np.meshgrid(
+                np.arange(g.shape[0], dtype=np.int64) + tr * spec.tile_px,
+                np.arange(g.shape[1], dtype=np.int64) + tc * spec.tile_px,
+                indexing="ij",
+            )
+            rr.append(r_idx.ravel())
+            cc.append(c_idx.ravel())
+            vv.append(g.ravel().astype(np.float64))
+        if not rr:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             value_name: pa.array([], pa.float64())})
         return pa.table(
             {
-                "row": pa.array(rr, pa.int64()),
-                "col": pa.array(cc, pa.int64()),
-                value_name: pa.array(vv, pa.float64()),
+                "row": pa.array(np.concatenate(rr), pa.int64()),
+                "col": pa.array(np.concatenate(cc), pa.int64()),
+                value_name: pa.array(np.concatenate(vv), pa.float64()),
             }
         )
 

@@ -622,7 +622,7 @@ def functional_roots(parents_ds, max_rounds: int = 64):
         lambda b: pa.table({"node": b["node"], "anc": b["parent"]}),
         batch_format="pyarrow",
     ).materialize()
-    nb = int(min(max(labels.num_blocks(), 8), 200))
+    nb = int(min(max(labels.num_blocks(), 4), 200))
     labels = labels.repartition(nb).materialize()
 
     def checksum(lab) -> float:
@@ -647,7 +647,8 @@ def functional_roots(parents_ds, max_rounds: int = 64):
             batch_format="pyarrow",
         )
         labels = (
-            hash_join_bucketed(labels, lk, key="anc", right_key="k", how="inner")
+            hash_join_bucketed(labels, lk, key="anc", right_key="k", how="inner",
+                               num_buckets=nb)
             .map_batches(
                 lambda b: pa.table({"node": b["node"], "anc": b["anc2"]}),
                 batch_format="pyarrow",
