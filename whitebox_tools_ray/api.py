@@ -877,6 +877,16 @@ def _register_all():
     register("StreamLinkIdentifier", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).stream_links_ds,
              "Junction-to-junction link ids (stream-cell table only to the driver)",
              "stream_network_analysis", [], "stream_network_analysis/stream_link_id.rs")
+    register("StreamLinkTable", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).links_table_ds,
+             "Link identification with the link table kept as a Dataset "
+             "(continental-scale networks; pair with StrahlerOrderLinksDS)",
+             "stream_network_analysis", [], "stream_network_analysis/stream_link_id.rs")
+    register("StrahlerOrderLinksDS", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).strahler_order_links_ds,
+             "Strahler order by topological peel over the Dataset link DAG",
+             "stream_network_analysis", [], "stream_network_analysis/strahler_order.rs")
+    register("ShreveMagnitudeLinksDS", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).shreve_magnitude_links_ds,
+             "Shreve magnitude by topological peel over the Dataset link DAG",
+             "stream_network_analysis", [], "stream_network_analysis/shreve_magnitude.rs")
     register("StrahlerStreamOrder", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).strahler_order,
              "Strahler order on the link DAG", "stream_network_analysis", [], "stream_network_analysis/strahler_order.rs")
     register("ShreveStreamMagnitude", __import__("whitebox_tools_ray.stages.streams", fromlist=["x"]).shreve_magnitude,
