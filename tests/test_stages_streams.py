@@ -933,3 +933,40 @@ class TestLinkPeelDS:
         assert {k: int(v) for k, v in o.items()} == ref_o
         assert {k: int(v) for k, v in m.items()} == ref_m
         assert int(o[6]) == 2 and int(m[6]) == 3
+
+    def test_breach_hierarchical_fill_fallback(self, ray_session):
+        """A pit whose least-cost search region exceeds every shard core
+        under every offset can never be localized — after the rounds the
+        fallback fills the remaining depression: output is
+        depression-free and never carved below the input."""
+        import ray.data as rd
+
+        from whitebox_tools_ray.kernels import codecs
+        from whitebox_tools_ray.sources import tiles as tsrc
+        from whitebox_tools_ray.stages.fill import breach_hierarchical, priority_flood
+
+        spec = tsrc.SceneSpec(tiles_x=3, tiles_y=3, tile_px=16, seed=44)
+        # a huge shallow bowl: the breach search from the centre pit must
+        # climb the rim far outside any 2x2-tile core before finding a
+        # lower cell (there is none - rim is the scene edge drain)
+        rr, cc = np.meshgrid(np.arange(48.0), np.arange(48.0), indexing="ij")
+        grid = 100.0 + 0.5 * np.sqrt((rr - 24) ** 2 + (cc - 24) ** 2)
+        rows = []
+        for tr in range(3):
+            for tc in range(3):
+                sub = grid[tr * 16 : (tr + 1) * 16, tc * 16 : (tc + 1) * 16]
+                rows.append({"tile_row": tr, "tile_col": tc,
+                             "bytes": codecs.encode_tile(sub, "f64"), "fmt": "f64"})
+        out = breach_hierarchical(rd.from_items(rows), spec, shard_tiles=2,
+                                  max_global_rounds=6).to_pandas()
+        got = np.full((48, 48), spec.nodata)
+        for _, r in out.iterrows():
+            t = codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
+            got[int(r["tile_row"]) * 16 : int(r["tile_row"]) * 16 + 16,
+                int(r["tile_col"]) * 16 : int(r["tile_col"]) * 16 + 16] = t
+        # depression-free: a re-fill changes nothing
+        refill = priority_flood(got.astype(np.float64), spec.nodata)
+        np.testing.assert_allclose(refill, got, atol=1e-3)
+        # the fallback raises (fills); nothing carved below the input
+        # (1e-3 slack: the fill shard engine stores f32 tiles)
+        assert (got >= grid - 1e-3).all()

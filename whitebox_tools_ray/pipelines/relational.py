@@ -6219,3 +6219,34 @@ def q_breach_depressions_sql() -> str:
         ELSE -0.1 * row END, 4) AS z
     FROM g
     """
+
+
+def q_strahler_links_ds(sf_dir: str):
+    """Strahler order through the DATASET link-DAG peel
+    (stages/streams.strahler_order_links_ds — the path for link tables
+    that outgrow the driver) on a fixed 6-link DAG with one tie junction
+    (order bump) and one non-tie junction. The twin enumerates the same
+    DAG as VALUES — bit-exact."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.streams import strahler_order_links_ds
+
+    link_ds = rd.from_pandas(pd.DataFrame(
+        {"link_id": [1, 2, 3, 4, 5, 6],
+         "ds_link": [4, 4, 5, 6, 6, -1],
+         "length": [1.0] * 6}))
+    out = strahler_order_links_ds(link_ds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"link_id": batch["link_id"].cast(pa.int64()),
+                         "ord": batch["val"].cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_strahler_links_ds_sql() -> str:
+    return """
+    SELECT * FROM (VALUES (1, 1), (2, 1), (3, 1), (4, 2), (5, 1), (6, 2))
+        AS t(link_id, ord)
+    """
