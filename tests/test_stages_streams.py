@@ -516,6 +516,30 @@ class TestDistanceCostDatasetNative:
         valid = cost != spec.nodata
         np.testing.assert_allclose(got[valid].astype(np.float32), whole[valid].astype(np.float32), rtol=1e-5)
 
+    def test_cost_backlink_and_pathway_ds(self, ray_session):
+        # backlink raster from the BSP shards + the store-actor pathway
+        # walk == the single-grid kernel's path (unique-cost surface so
+        # the least-cost path has no ties)
+        from whitebox_tools_ray.stages.cost import (
+            cost_backlink_ds,
+            cost_distance,
+            cost_pathway,
+            cost_pathway_ds,
+        )
+
+        spec = SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        rng = np.random.RandomState(23)
+        cost = np.float32(rng.uniform(0.5, 3.0, (16, 16))).astype(np.float64)
+        src = np.zeros((16, 16))
+        src[2, 2] = 1.0
+        _a, bl_whole, _al = cost_distance(cost, src.astype(np.int64), spec.nodata, spec.res)
+        expect_path = cost_pathway(bl_whole, (14, 13))
+        bl_ds = cost_backlink_ds(_tiles_ds_from_full(cost, spec),
+                                 _tiles_ds_from_full(src, spec), spec, num_workers=2)
+        got_path = cost_pathway_ds(bl_ds, spec, (14, 13), num_stores=2)
+        assert got_path == expect_path
+        assert got_path[0] == (14, 13) and got_path[-1] == (2, 2)
+
 
 class TestStreamNetworkRemainder:
     """Hand-walked oracles on a known link DAG.

@@ -936,8 +936,13 @@ def _register_all():
     register("CostAllocation", co.cost_allocation_ds,
              "Nearest-source id by accumulated cost (Dataset-native BSP, ids ride border frames)",
              "gis_analysis", [], "gis_analysis/cost_allocation.rs")
-    register("CostPathway", co.cost_pathway, "Least-cost path trace", "gis_analysis",
-             [], "gis_analysis/cost_pathway.rs")
+    register("CostPathway", co.cost_pathway_ds,
+             "Least-cost path trace over a backlink tile Dataset "
+             "(store-actor shards; only path tiles are fetched)",
+             "gis_analysis", [], "gis_analysis/cost_pathway.rs")
+    register("CostBacklink", co.cost_backlink_ds,
+             "Backlink direction raster from the BSP cost engine",
+             "gis_analysis", [], "gis_analysis/cost_distance.rs")
     ba = __import__("whitebox_tools_ray.stages.basins", fromlist=["x"])
     register("DownslopeDistanceToStream", ba.downslope_distance_to_stream_ds,
              "Flow-path length to nearest stream (additive pointer doubling)", "hydro_analysis",

@@ -193,8 +193,10 @@ class CostShardDS:
         self.src: dict[int, np.ndarray] = {}
         self.seed: dict[int, np.ndarray] = {}
         self.seed_alloc: dict[int, np.ndarray] = {}
+        self.seed_bl: dict[int, np.ndarray] = {}
         self.est: dict[int, np.ndarray] = {}
         self.alloc_out: dict[int, np.ndarray] = {}
+        self.bl_out: dict[int, np.ndarray] = {}
         self.frames: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def ingest(self, split_ds) -> list[int]:
@@ -214,11 +216,12 @@ class CostShardDS:
                 ).astype(np.int64)
                 self.seed[tid] = np.full(self.cost[tid].shape, np.inf)
                 self.seed_alloc[tid] = np.zeros(self.cost[tid].shape, dtype=np.int64)
+                self.seed_bl[tid] = np.full(self.cost[tid].shape, -1, dtype=np.int8)
                 owned.append(tid)
         return owned
 
     def _run_tile(self, tid: int):
-        a, _bl, al = cost_distance(
+        a, bl, al = cost_distance(
             self.cost[tid],
             self.src[tid],
             self.nodata,
@@ -229,6 +232,11 @@ class CostShardDS:
         )
         self.est[tid] = a
         self.alloc_out[tid] = al
+        # kernel leaves backlink −1 at its seeds; inter-tile entry cells
+        # instead point at the neighbouring tile that fed them (the
+        # direction recorded when the border frame improved the cell)
+        ext_seed = (bl == -1) & (self.src[tid] == 0) & (self.seed_bl[tid] >= 0)
+        self.bl_out[tid] = np.where(ext_seed, self.seed_bl[tid], bl).astype(np.int8)
         h, w = a.shape
         msgs = []
         tr, tc = tid // self.tiles_x, tid % self.tiles_x
@@ -280,6 +288,7 @@ class CostShardDS:
             ext_a[ext_c == self.nodata] = np.inf  # nodata cost blocks travel
             best = np.full((h, w), np.inf)
             best_l = np.zeros((h, w), dtype=np.int64)
+            best_d = np.full((h, w), -1, dtype=np.int8)
             from .focal import DX8, DY8
 
             for i in range(8):
@@ -293,11 +302,14 @@ class CostShardDS:
                 win = cand < best
                 best = np.where(win, cand, best)
                 best_l = np.where(win, sh_l, best_l)
+                # predecessor sits at offset (dy, dx) = direction i
+                best_d = np.where(win, np.int8(i), best_d)
             cur = self.seed[tid]
             upd = np.isfinite(best) & (best < cur - 1e-9)
             if upd.any():
                 self.seed[tid] = np.where(upd, best, cur)
                 self.seed_alloc[tid] = np.where(upd, best_l, self.seed_alloc[tid])
+                self.seed_bl[tid] = np.where(upd, best_d, self.seed_bl[tid])
                 out.extend(self._run_tile(tid))
         return out
 
@@ -309,6 +321,9 @@ class CostShardDS:
         for tid, a in self.est.items():
             if mode == "alloc":
                 g = self.alloc_out[tid].astype(np.float64)
+                g[~np.isfinite(a)] = self.nodata
+            elif mode == "backlink":
+                g = self.bl_out[tid].astype(np.float64)
                 g[~np.isfinite(a)] = self.nodata
             else:
                 g = a.copy()
@@ -338,12 +353,10 @@ def cost_distance_ds(cost_ds, source_ds, spec, num_workers: int = 4,
     )
 
 
-def cost_allocation_ds(cost_ds, source_ds, spec, num_workers: int = 4,
-                       out_dir: str | None = None):
-    """Dataset-native CostAllocation (cost_allocation.rs): the BSP cost
-    engine tracks, per cell, the SOURCE ID of the cheapest path (source
-    ids ride the border frames with the accumulated-cost strips); the
-    allocation grid is the second dump mode of the same shards."""
+def _cost_engine_ds(cost_ds, source_ds, spec, num_workers: int,
+                    out_dir: str | None, mode: str, prefix: str):
+    """Drive the BSP cost shards and dump one of their output layers
+    (``distance`` / ``alloc`` / ``backlink``)."""
     import os as _os
     import tempfile
 
@@ -352,7 +365,7 @@ def cost_allocation_ds(cost_ds, source_ds, spec, num_workers: int = 4,
 
     from .bsp import combine_tile_layers
 
-    out_dir = out_dir or tempfile.mkdtemp(prefix="costalloc_", dir="/tmp")
+    out_dir = out_dir or tempfile.mkdtemp(prefix=prefix, dir="/tmp")
     _os.makedirs(out_dir, exist_ok=True)
     combined = combine_tile_layers(spec, costl=cost_ds, srcl=source_ds)
     Worker = ray.remote(CostShardDS)
@@ -377,7 +390,91 @@ def cost_allocation_ds(cost_ds, source_ds, spec, num_workers: int = 4,
         busy = [(w, m) for w, m in zip(workers, routed) if m]
         pending = ray.get([w.push.remote(m) for w, m in busy])
     ray.get([
-        w.dump.remote(_os.path.join(out_dir, f"shard_{i}.parquet"), "alloc")
+        w.dump.remote(_os.path.join(out_dir, f"shard_{i}.parquet"), mode)
         for i, w in enumerate(workers)
     ])
     return rd.read_parquet(out_dir)
+
+
+def cost_allocation_ds(cost_ds, source_ds, spec, num_workers: int = 4,
+                       out_dir: str | None = None):
+    """Dataset-native CostAllocation (cost_allocation.rs): the BSP cost
+    engine tracks, per cell, the SOURCE ID of the cheapest path (source
+    ids ride the border frames with the accumulated-cost strips); the
+    allocation grid is the second dump mode of the same shards."""
+    return _cost_engine_ds(cost_ds, source_ds, spec, num_workers, out_dir,
+                           "alloc", "costalloc_")
+
+
+def cost_backlink_ds(cost_ds, source_ds, spec, num_workers: int = 4,
+                     out_dir: str | None = None):
+    """Dataset-native cost BACKLINK raster (cost_distance.rs emits it
+    alongside the accumulated cost): per cell the direction index 0-7 one
+    step back toward the cheapest source (-1 at sources/unreached). The
+    same BSP shards; inter-tile entry cells point at the neighbouring
+    tile that fed them."""
+    return _cost_engine_ds(cost_ds, source_ds, spec, num_workers, out_dir,
+                           "backlink", "costbl_")
+
+
+class _TileStoreActor:
+    """Holds a shard of decoded tiles; the pathway walk fetches only the
+    O(path / tile_px) tiles the least-cost path actually crosses."""
+
+    def __init__(self, tiles_x: int):
+        self.tiles_x = tiles_x
+        self.tiles: dict[int, np.ndarray] = {}
+
+    def ingest(self, split_ds) -> list[int]:
+        from ..kernels import codecs
+
+        for batch in split_ds.iter_batches(batch_format="pyarrow", batch_size=64):
+            for i in range(batch.num_rows):
+                tid = (int(batch["tile_row"][i].as_py()) * self.tiles_x
+                       + int(batch["tile_col"][i].as_py()))
+                self.tiles[tid] = codecs.decode_tile(
+                    batch["bytes"][i].as_py(), batch["fmt"][i].as_py()
+                )
+        return sorted(self.tiles)
+
+    def get(self, tid: int):
+        return self.tiles.get(tid)
+
+
+def cost_pathway_ds(backlink_ds, spec, start: tuple[int, int],
+                    num_stores: int = 4) -> list[tuple[int, int]]:
+    """CostPathway (cost_pathway.rs) over a backlink TILE DATASET — the
+    registered surface. Backlink tiles shard into store actors (pixel
+    grids never reach the driver); the walk from ``start`` (row, col)
+    pulls one tile at a time, so a path of length L touches
+    O(L / tile_px) tiles out of the whole scene. Returns the path as
+    [(row, col), ...] ending at the source cell."""
+    import ray
+
+    tpx, tiles_x = spec.tile_px, spec.tiles_x
+    Store = ray.remote(_TileStoreActor)
+    stores = [Store.remote(tiles_x) for _ in range(num_stores)]
+    splits = backlink_ds.split(num_stores, locality_hints=stores)
+    owned = ray.get([st.ingest.remote(sp) for st, sp in zip(stores, splits)])
+    store_of = {tid: i for i, tids in enumerate(owned) for tid in tids}
+
+    r, c = int(start[0]), int(start[1])
+    path = [(r, c)]
+    cur_tid, g = -1, None
+    limit = spec.rows * spec.columns + 1
+    while len(path) <= limit:
+        tid = (r // tpx) * tiles_x + c // tpx
+        if tid != cur_tid:
+            if tid not in store_of:
+                break
+            g = ray.get(stores[store_of[tid]].get.remote(tid))
+            cur_tid = tid
+        d = int(g[r % tpx, c % tpx])
+        if d < 0:
+            break
+        r += int(DY8[d])
+        c += int(DX8[d])
+        path.append((r, c))
+    else:
+        raise RuntimeError("backlink cycle")
+    return path
