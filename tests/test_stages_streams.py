@@ -994,3 +994,37 @@ class TestLinkPeelDS:
         # the fallback raises (fills); nothing carved below the input
         # (1e-3 slack: the fill shard engine stores f32 tiles)
         assert (got >= grid - 1e-3).all()
+
+    def test_raster_streams_to_vector_ds(self, ray_session):
+        """Dataset polyline extraction == cell-walk geometry on the Y
+        network: 3 links, each polyline follows head->terminal cell
+        centers in flow order (descending flowpath length)."""
+        import ray.data as rd
+
+        from whitebox_tools_ray.stages.streams import (
+            raster_streams_to_vector_ds,
+            stream_links,
+        )
+
+        spec, ptr, stream = build_y_network()
+        pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
+        link_grid, links = stream_links({0: stream}, pointer_tiles, spec)
+        gs = spec.grid_spec()
+        expect = set()
+        for lk in links:
+            xs = tuple(float(gs.x_from_col(c)) for _r, c in lk["cells"])
+            ys = tuple(float(gs.y_from_row(r)) for r, _c in lk["cells"])
+            expect.add((xs, ys, round(lk["length"], 6)))
+
+        stream_ds = rd.from_items([{
+            "tile_row": 0, "tile_col": 0,
+            "bytes": codecs.encode_tile(stream, "f32"), "fmt": "f32"}])
+        ptr_ds = rd.from_items([{
+            "tile_row": 0, "tile_col": 0,
+            "bytes": codecs.encode_tile(ptr.astype(np.float64), "i8"), "fmt": "i8"}])
+        out = raster_streams_to_vector_ds(stream_ds, ptr_ds, spec, num_workers=2).to_pandas()
+        assert len(out) == len(links) == 3
+        got = set()
+        for _, r in out.iterrows():
+            got.add((tuple(r["xs"]), tuple(r["ys"]), round(float(r["length"]), 6)))
+        assert got == expect

@@ -919,7 +919,8 @@ def _register_all():
              "stream_network_analysis", [], "stream_network_analysis/stream_link_class.rs")
     register("MaxBranchLength", st.max_branch_length, "Longest channel path through each link",
              "terrain_analysis", [], "terrain_analysis/max_branch_length.rs (link form)")
-    register("RasterStreamsToVector", st.raster_streams_to_vector, "Link runs -> polylines (FID = link id)",
+    register("RasterStreamsToVector", st.raster_streams_to_vector_ds,
+             "Link runs -> polylines (FID = link id), fully distributed",
              "stream_network_analysis", [], "stream_network_analysis/raster_streams_to_vector.rs")
     h2 = __import__("whitebox_tools_ray.stages.hydro2", fromlist=["x"])
     register("Basins", __import__("whitebox_tools_ray.stages.basins", fromlist=["x"]).basins_ds,

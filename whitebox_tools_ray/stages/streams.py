@@ -705,6 +705,76 @@ def raster_streams_to_vector(link_grid: np.ndarray, links: list[dict], spec):
 # ---------------------------------------------------------------------------
 
 
+def raster_streams_to_vector_ds(stream_ds, pointer_ds, spec, num_workers: int = 4):
+    """RasterStreamsToVector (raster_streams_to_vector.rs), Dataset form —
+    the registered surface. Each link's cell run becomes a polyline
+    through the cell centers (FID = link id), with the whole composition
+    distributed: painted link ids (links_table_ds) zip with the
+    terminal-resolution flowpath length L, cells group by link id, and
+    within a link the run order is L DESCENDING (L strictly decreases
+    one step-length per cell downstream, so descending L is exactly
+    head -> terminal walk order). Returns a Dataset of polyline records
+    (record_id, parts, xs, ys, ds_link, length)."""
+    import pyarrow as pa
+
+    from .hydro2 import _term_acc_ds
+    from .bsp import combine_tile_layers
+    from .joins import hash_join_bucketed
+
+    painted, link_ds = links_table_ds(stream_ds, pointer_ds, spec)
+    length, _w = _term_acc_ds(pointer_ds, spec, num_workers)
+    combined = combine_tile_layers(spec, lk=painted, ln=length)
+    gs = spec.grid_spec()
+    tpx, tiles_x = spec.tile_px, spec.tiles_x
+    W = tiles_x * tpx
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lids, rr, cc, ll = [], [], [], []
+        for i in range(batch.num_rows):
+            lk = codecs.decode_tile(batch["lk"][i].as_py(), batch["lk_fmt"][i].as_py())
+            ln = codecs.decode_tile(batch["ln"][i].as_py(), batch["ln_fmt"][i].as_py())
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            r_idx, c_idx = np.nonzero(lk > 0)
+            lids.append(lk[r_idx, c_idx].astype(np.int64))
+            rr.append(r_idx.astype(np.int64) + tr * tpx)
+            cc.append(c_idx.astype(np.int64) + tc * tpx)
+            ll.append(ln[r_idx, c_idx])
+        if not lids:
+            return pa.table({"link_id": pa.array([], pa.int64()),
+                             "row": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             "L": pa.array([], pa.float64())})
+        return pa.table({"link_id": pa.array(np.concatenate(lids), pa.int64()),
+                         "row": pa.array(np.concatenate(rr), pa.int64()),
+                         "col": pa.array(np.concatenate(cc), pa.int64()),
+                         "L": pa.array(np.concatenate(ll), pa.float64())})
+
+    rows = combined.map_batches(cells, batch_format="pyarrow")
+    meta = link_ds.map_batches(
+        lambda b: pa.table({"mid": b["link_id"].cast(pa.int64()),
+                            "ds_link": b["ds_link"].cast(pa.int64()),
+                            "length": b["length"].cast(pa.float64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join_bucketed(rows, meta, key="link_id", right_key="mid", how="inner")
+
+    def per_link(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("L", ascending=False, kind="mergesort")
+        xs = gs.x_from_col(g["col"].to_numpy(np.int64)).tolist()
+        ys = gs.y_from_row(g["row"].to_numpy(np.int64)).tolist()
+        return pd.DataFrame({
+            "record_id": [int(g["link_id"].iloc[0])],
+            "parts": [[0]],
+            "xs": [xs],
+            "ys": [ys],
+            "ds_link": [int(g["ds_link"].iloc[0])],
+            "length": [float(g["length"].iloc[0])],
+        })
+
+    return joined.groupby("link_id").map_groups(per_link, batch_format="pandas")
+
+
 def stream_cell_rows(stream_ds, pointer_ds, spec):
     """One keyed zip + halo pass → stream-cell rows
     (gid, ptr_dir, inflow, down_gid, down_is_stream).
