@@ -1028,3 +1028,25 @@ class TestLinkPeelDS:
         for _, r in out.iterrows():
             got.add((tuple(r["xs"]), tuple(r["ys"]), round(float(r["length"]), 6)))
         assert got == expect
+
+    def test_stream_link_slope_ds_matches_grid(self, ray_session):
+        import ray.data as rd
+
+        from whitebox_tools_ray.stages.streams import (
+            stream_link_slope,
+            stream_link_slope_ds,
+            stream_links,
+        )
+
+        spec, ptr, stream = build_y_network()
+        pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
+        _grid, links = stream_links({0: stream}, pointer_tiles, spec)
+        rng = np.random.RandomState(7)
+        dem = rng.uniform(10, 100, (8, 8))
+        ref = stream_link_slope(links, dem, spec.res)
+        dem_ds = rd.from_items([{"tile_row": 0, "tile_col": 0,
+                                 "bytes": codecs.encode_tile(dem, "f64"), "fmt": "f64"}])
+        got = stream_link_slope_ds(links, dem_ds, spec)
+        assert set(got) == set(ref)
+        for k in ref:
+            assert abs(got[k] - ref[k]) < 1e-12

@@ -898,7 +898,7 @@ def _register_all():
              "stream_network_analysis", [], "stream_network_analysis/hack_order.rs")
     register("TopologicalStreamOrder", st.topological_order, "Links-from-outlet order",
              "stream_network_analysis", [], "stream_network_analysis/topological_stream_order.rs:16-19")
-    register("StreamLinkSlope", st.stream_link_slope, "Per-link gradient (z drop / length)",
+    register("StreamLinkSlope", st.stream_link_slope_ds, "Per-link gradient (z drop / length)",
              "stream_network_analysis", [], "stream_network_analysis/stream_link_slope.rs")
     register("StreamLinkLength", lambda links: {lk["link_id"]: lk["length"] for lk in links},
              "Per-link channel length", "stream_network_analysis", [], "stream_network_analysis/stream_link_length.rs")

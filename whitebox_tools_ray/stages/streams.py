@@ -705,6 +705,53 @@ def raster_streams_to_vector(link_grid: np.ndarray, links: list[dict], spec):
 # ---------------------------------------------------------------------------
 
 
+def stream_link_slope_ds(links: list[dict], dem_ds, spec) -> dict[int, float]:
+    """StreamLinkSlope (stream_link_slope.rs), Dataset form — the
+    registered surface: (z_top − z_bottom) / link length. The DEM stays
+    a tile Dataset; z at the O(links) head/terminal cells gathers in one
+    filtered pass (broadcast gid set), same pattern as
+    ``farthest_channel_head_ds``."""
+    import ray
+    import pyarrow as pa
+
+    W = spec.tiles_x * spec.tile_px
+    tpx = spec.tile_px
+    gids = set()
+    for lk in links:
+        gids.add(lk["cells"][0][0] * W + lk["cells"][0][1])
+        gids.add(lk["cells"][-1][0] * W + lk["cells"][-1][1])
+    gid_ref = ray.put(np.array(sorted(gids), dtype=np.int64))
+
+    def gather(batch):
+        hg = ray.get(gid_ref)
+        gs_, zs_ = [], []
+        for i in range(batch.num_rows):
+            tr = int(batch["tile_row"][i].as_py())
+            tc = int(batch["tile_col"][i].as_py())
+            sel = hg[(hg // W // tpx == tr) & ((hg % W) // tpx == tc)]
+            if not len(sel):
+                continue
+            g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            gs_.append(sel)
+            zs_.append(g[sel // W - tr * tpx, sel % W - tc * tpx])
+        if not gs_:
+            return pa.table({"gid": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.float64())})
+        return pa.table({"gid": pa.array(np.concatenate(gs_), pa.int64()),
+                         "z": pa.array(np.concatenate(zs_).astype(np.float64), pa.float64())})
+
+    tbl = dem_ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    z_of = dict(zip(tbl["gid"].astype(np.int64), tbl["z"].astype(np.float64)))
+    out = {}
+    for lk in links:
+        hg = lk["cells"][0][0] * W + lk["cells"][0][1]
+        tg = lk["cells"][-1][0] * W + lk["cells"][-1][1]
+        out[lk["link_id"]] = (
+            (z_of.get(hg, 0.0) - z_of.get(tg, 0.0)) / lk["length"] if lk["length"] > 0 else 0.0
+        )
+    return out
+
+
 def raster_streams_to_vector_ds(stream_ds, pointer_ds, spec, num_workers: int = 4):
     """RasterStreamsToVector (raster_streams_to_vector.rs), Dataset form —
     the registered surface. Each link's cell run becomes a polyline
