@@ -1025,12 +1025,25 @@ def links_table_ds(stream_ds, pointer_ds, spec):
         batch_format="pyarrow",
     )
 
+    # the (root gid → link id) map is O(links) — BROADCAST it instead of
+    # two extra bucketed joins (the remaining joins are the genuinely
+    # large–large ones on the O(stream cells) tables). At 10^7+ links
+    # this dict is ~hundreds of MB in the object store, still one put.
+    import ray as _ray
+
+    sid = start_ids.to_pandas()
+    lut_ref = _ray.put(dict(zip(sid["root_k"].astype(np.int64),
+                                sid["link_id"].astype(np.int64))))
+
+    def add_link_id(b: pd.DataFrame) -> pd.DataFrame:
+        lut = _ray.get(lut_ref)
+        b["link_id"] = b["root"].map(lut).astype(np.int64)
+        return b
+
     labeled = (
-        hash_join_bucketed(
-            hash_join_bucketed(cells, roots, key="gid", right_key="node",
-                               how="inner", num_buckets=nb),
-            start_ids, key="root", right_key="root_k", how="inner", num_buckets=nb,
-        )
+        hash_join_bucketed(cells, roots, key="gid", right_key="node",
+                           how="inner", num_buckets=nb)
+        .map_batches(add_link_id, batch_format="pandas")
         .materialize()
     )
 
@@ -1040,24 +1053,20 @@ def links_table_ds(stream_ds, pointer_ds, spec):
         lambda b: pa.table({"dk": b["node"], "down_root": b["root"]}),
         batch_format="pyarrow",
     )
-    down_ids = start_ids.map_batches(
-        lambda b: pa.table({"dl_k": b["root_k"], "down_link": b["link_id"]}),
-        batch_format="pyarrow",
-    )
     with_down = hash_join_bucketed(
         labeled, down_roots, key="down_gid", right_key="dk", how="left", num_buckets=nb
     )
 
     # left-join misses leave NaN in the int key; sentinel −1 keeps the
-    # next join's key column plain int64 (no start has gid −1)
-    def fix_down_root(b: pd.DataFrame) -> pd.DataFrame:
+    # dtypes plain (no start has gid −1); the downstream LINK id comes
+    # from the broadcast lut, NaN where the run has no downstream link
+    def add_down_link(b: pd.DataFrame) -> pd.DataFrame:
+        lut = _ray.get(lut_ref)
         b["down_root"] = b["down_root"].fillna(-1).astype(np.int64)
+        b["down_link"] = b["down_root"].map(lut)
         return b
 
-    with_down = hash_join_bucketed(
-        with_down.map_batches(fix_down_root, batch_format="pandas"),
-        down_ids, key="down_root", right_key="dl_k", how="left", num_buckets=nb,
-    )
+    with_down = with_down.map_batches(add_down_link, batch_format="pandas")
 
     def per_link(g: pd.DataFrame) -> pd.DataFrame:
         lid = int(g["link_id"].iloc[0])
