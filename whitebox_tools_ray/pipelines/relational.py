@@ -5841,14 +5841,32 @@ def _analytic_layer(a: int, b: int, m: int):
 
 
 def q_highest_position(sf_dir: str):
-    """HighestPosition (gis_analysis/highest_position.rs): 1-based
+    """HighestPosition (gis_analysis/highest_pos.rs:213-230): 1-based
     argmax across a 3-layer stack (first layer wins ties, matching
-    np.argmax / the CASE order in the twin)."""
+    np.argmax / the CASE order in the twin). Layer-1 cells holed to
+    nodata where (row+col)%7==0 are SKIPPED per layer, matching the
+    reference's ``z != in_nodata`` guard — they never win and never
+    poison."""
+    import ray.data as rd
+
+    from ..kernels import codecs
     from ..stages.band_math import overlay
 
     l0, spec = _analytic_layer(31, 17, 97)
-    l1, _ = _analytic_layer(13, 29, 89)
     l2, _ = _analytic_layer(7, 23, 83)
+    rows = []
+    for tr in range(4):
+        for tc in range(4):
+            rr, cc = np.meshgrid(
+                np.arange(tr * 16, tr * 16 + 16, dtype=np.int64),
+                np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
+                indexing="ij",
+            )
+            g = ((rr * 13 + cc * 29) % 89).astype(np.float64)
+            g[(rr + cc) % 7 == 0] = spec.nodata
+            rows.append({"tile_row": tr, "tile_col": tc,
+                         "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
+    l1 = rd.from_items(rows)
     out = overlay([l0, l1, l2], spec, op="highest_position")
     cells = _tiles_to_cells(out, spec, "pos")
 
@@ -5866,12 +5884,15 @@ def q_highest_position_sql() -> str:
                     (SELECT unnest(generate_series(0, 63)) AS c) c),
     z AS (SELECT row, col,
                  (row * 31 + col * 17) % 97 AS z0,
-                 (row * 13 + col * 29) % 89 AS z1,
+                 CASE WHEN (row + col) % 7 = 0 THEN NULL
+                      ELSE (row * 13 + col * 29) % 89 END AS z1,
                  (row * 7 + col * 23) % 83 AS z2
           FROM g)
     SELECT row, col,
-           CAST(CASE WHEN z0 >= z1 AND z0 >= z2 THEN 1
-                     WHEN z1 >= z2 THEN 2 ELSE 3 END AS BIGINT) AS pos
+           CAST(CASE WHEN z1 IS NULL THEN
+                     CASE WHEN z0 >= z2 THEN 1 ELSE 3 END
+                ELSE CASE WHEN z0 >= z1 AND z0 >= z2 THEN 1
+                          WHEN z1 >= z2 THEN 2 ELSE 3 END END AS BIGINT) AS pos
     FROM z
     """
 
@@ -5931,15 +5952,16 @@ def q_count_if_sql() -> str:
 
 
 def q_weighted_sum(sf_dir: str):
-    """WeightedSum (gis_analysis/weighted_sum.rs): 3-layer weighted sum
-    with binary-fraction weights (0.25/0.5/0.25 — integer quarters stay
-    exact through the f32 tile round-trip)."""
+    """WeightedSum (gis_analysis/weighted_sum.rs:219-224): 3-layer
+    weighted sum; the RAW weights 1/2/1 exercise the reference's
+    normalization (weights /= weight_sum -> 0.25/0.5/0.25 — binary
+    fractions stay exact through the f32 tile round-trip)."""
     from ..stages.band_math import overlay
 
     l0, spec = _analytic_layer(31, 17, 97)
     l1, _ = _analytic_layer(13, 29, 89)
     l2, _ = _analytic_layer(7, 23, 83)
-    out = overlay([l0, l1, l2], spec, op="weighted_sum", weights=[0.25, 0.5, 0.25])
+    out = overlay([l0, l1, l2], spec, op="weighted_sum", weights=[1.0, 2.0, 1.0])
     return _round_cells(_tiles_to_cells(out, spec, "ws"), "ws", 6)
 
 
@@ -5957,9 +5979,11 @@ def q_weighted_sum_sql() -> str:
 
 
 def q_pick_from_list(sf_dir: str):
-    """PickFromList (gis_analysis/pick_from_list.rs): per cell, the
-    position raster pos = (row+col)%3 + 1 selects which of the 3
-    analytic layers to output."""
+    """PickFromList (gis_analysis/pick_from_list.rs:16-21): per cell,
+    the ZERO-BASED position raster pos = (row+col)%3 selects which of
+    the 3 analytic layers to output ('the first image in the stack
+    should be assigned the value zero'); position cells holed to nodata
+    where (row*3+col)%11==0 leave the output nodata."""
     import ray.data as rd
 
     from ..kernels import codecs
@@ -5976,7 +6000,8 @@ def q_pick_from_list(sf_dir: str):
                 np.arange(tc * 16, tc * 16 + 16, dtype=np.int64),
                 indexing="ij",
             )
-            g = (((rr + cc) % 3) + 1).astype(np.float64)
+            g = ((rr + cc) % 3).astype(np.float64)
+            g[(rr * 3 + cc) % 11 == 0] = spec.nodata
             rows.append({"tile_row": tr, "tile_col": tc,
                          "bytes": codecs.encode_tile(g, "f64"), "fmt": "f64"})
     pos = rd.from_items(rows)
@@ -5996,9 +6021,9 @@ def q_pick_from_list_sql() -> str:
                FROM (SELECT unnest(generate_series(0, 63)) AS r) r,
                     (SELECT unnest(generate_series(0, 63)) AS c) c)
     SELECT row, col,
-           CAST(CASE (row + col) % 3 + 1
-                WHEN 1 THEN (row * 31 + col * 17) % 97
-                WHEN 2 THEN (row * 13 + col * 29) % 89
+           CAST(CASE WHEN (row * 3 + col) % 11 = 0 THEN -32768
+                WHEN (row + col) % 3 = 0 THEN (row * 31 + col * 17) % 97
+                WHEN (row + col) % 3 = 1 THEN (row * 13 + col * 29) % 89
                 ELSE (row * 7 + col * 23) % 83 END AS BIGINT) AS pick
     FROM g
     """

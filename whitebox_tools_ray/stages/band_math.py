@@ -21,17 +21,25 @@ import pyarrow as pa
 
 from ..kernels import codecs
 
+# Per-layer-nodata-SKIP stack reducers, matching the reference's overlay
+# family loops (max_overlay.rs / min_overlay.rs / sum_overlay.rs /
+# average_overlay.rs / highest_pos.rs / lowest_pos.rs /
+# max_abs_overlay.rs / min_abs_overlay.rs: every tool tests
+# ``in_val != in_nodata`` per LAYER and only then folds the cell in; a
+# cell valid in no layer stays nodata). Positions are 1-based (i = 1);
+# the abs overlays output |value|, not the signed value.
+_NINF = -np.inf
+_PINF = np.inf
 _STACK_OPS = {
-    "max": lambda s: s.max(axis=0),
-    "min": lambda s: s.min(axis=0),
-    "sum": lambda s: s.sum(axis=0),
-    "average": lambda s: s.mean(axis=0),
-    "highest_position": lambda s: s.argmax(axis=0).astype(np.float64) + 1.0,  # 1-based like the reference
-    "lowest_position": lambda s: s.argmin(axis=0).astype(np.float64) + 1.0,
-    # MaxAbsoluteOverlay / MinAbsoluteOverlay (max_absolute_overlay.rs):
-    # the SIGNED value whose magnitude is extreme
-    "max_absolute": lambda s: np.take_along_axis(s, np.abs(s).argmax(axis=0)[None], 0)[0],
-    "min_absolute": lambda s: np.take_along_axis(s, np.abs(s).argmin(axis=0)[None], 0)[0],
+    "max": lambda s, v: np.where(v, s, _NINF).max(axis=0),
+    "min": lambda s, v: np.where(v, s, _PINF).min(axis=0),
+    "sum": lambda s, v: np.where(v, s, 0.0).sum(axis=0),
+    "average": lambda s, v: np.where(v, s, 0.0).sum(axis=0)
+    / np.maximum(v.sum(axis=0), 1),
+    "highest_position": lambda s, v: np.where(v, s, _NINF).argmax(axis=0).astype(np.float64) + 1.0,
+    "lowest_position": lambda s, v: np.where(v, s, _PINF).argmin(axis=0).astype(np.float64) + 1.0,
+    "max_absolute": lambda s, v: np.where(v, np.abs(s), _NINF).max(axis=0),
+    "min_absolute": lambda s, v: np.where(v, np.abs(s), _PINF).min(axis=0),
 }
 
 def _tag_layer(i):
@@ -55,9 +63,15 @@ def _tag_layer(i):
 def overlay(layer_dss: list, spec, op: str = "max", weights: list[float] | None = None):
     """N-ary per-cell overlay of aligned tile Datasets.
 
-    ``op`` ∈ max|min|sum|average|highest_position|lowest_position or
-    'weighted_sum' with ``weights``. Nodata in ANY layer → nodata out
-    (the reference's overlay convention). Returns
+    ``op`` ∈ max|min|sum|average|highest_position|lowest_position|
+    max_absolute|min_absolute or 'weighted_sum' with ``weights``.
+
+    Nodata semantics follow each reference tool exactly: the overlay
+    family SKIPS a layer's nodata cells and reduces over the remaining
+    layers (cells valid in no layer → nodata; see _STACK_OPS);
+    ``weighted_sum`` is the one poisoning tool — ANY layer nodata →
+    nodata (weighted_sum.rs:269-275) — and its weights NORMALIZE to
+    sum 1 (weighted_sum.rs:219-224). Returns
     Dataset[tile_row, tile_col, bytes, fmt].
     """
     if op == "weighted_sum":
@@ -72,19 +86,23 @@ def overlay(layer_dss: list, spec, op: str = "max", weights: list[float] | None 
         tagged = tagged.union(ds.map_batches(_tag_layer(i), batch_format="pyarrow"))
 
     n_layers = len(layer_dss)
-    w = np.asarray(weights, dtype=np.float64) if weights is not None else None
+    w = None
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float64)
+        w = w / w.sum()  # the reference normalizes (weighted_sum.rs:219-224)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("__layer")
         if len(g) != n_layers:
             raise ValueError(f"tile ({g['tile_row'].iloc[0]},{g['tile_col'].iloc[0]}) has {len(g)} layers")
         stack = np.stack([codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])])
-        bad = (stack == nodata).any(axis=0)
+        valid = stack != nodata
         if op == "weighted_sum":
             out = np.tensordot(w, stack, axes=1)
+            out[(~valid).any(axis=0)] = nodata
         else:
-            out = _STACK_OPS[op](stack)
-        out[bad] = nodata
+            out = _STACK_OPS[op](stack, valid)
+            out[~valid.any(axis=0)] = nodata
         return codecs.tile_row_table(
             g["tile_row"].iloc[0], g["tile_col"].iloc[0],
             codecs.encode_tile(out, "f32"), "f32",
@@ -208,8 +226,12 @@ def compare_overlay(layer_dss: list, cmp_ds, spec, op: str = "eq", out_fmt: str 
 
 
 def pick_from_list(layer_dss: list, pos_ds, spec, out_fmt: str = "f32"):
-    """PickFromList (pick_from_list.rs): the position raster selects,
-    per cell, which stack layer's value to output (1-based)."""
+    """PickFromList (pick_from_list.rs:16-21, 236-242): the position
+    raster selects, per cell, which stack layer's value to output —
+    ZERO-BASED ('the positions raster should be in zero-based order.
+    That is, the first image in the stack should be assigned the value
+    zero'). Positions matching no layer, position nodata, and a selected
+    value that is itself nodata all leave the cell nodata."""
     nodata = spec.nodata
 
     tagged = pos_ds.map_batches(_tag_layer(-1), batch_format="pyarrow")
@@ -221,9 +243,10 @@ def pick_from_list(layer_dss: list, pos_ds, spec, out_fmt: str = "f32"):
         grids = [codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])]
         pos = grids[0]
         stack = np.stack(grids[1:])
-        idx = np.clip(pos.astype(np.int64) - 1, 0, stack.shape[0] - 1)
+        ip = pos.astype(np.int64)
+        idx = np.clip(ip, 0, stack.shape[0] - 1)
         out = np.take_along_axis(stack, idx[None], 0)[0]
-        bad = (pos == nodata) | (pos.astype(np.int64) - 1 < 0) | (pos.astype(np.int64) > stack.shape[0])
+        bad = (pos == nodata) | (ip < 0) | (ip > stack.shape[0] - 1)
         out = np.where(bad, nodata, out)
         return codecs.tile_row_table(
             g["tile_row"].iloc[0], g["tile_col"].iloc[0],
