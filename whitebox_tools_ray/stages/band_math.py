@@ -210,13 +210,25 @@ def compare_overlay(layer_dss: list, cmp_ds, spec, op: str = "eq", out_fmt: str 
         tagged = tagged.union(ds.map_batches(_tag_layer(i), batch_format="pyarrow"))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # percent_equal_to.rs:236-266 semantics: per-layer nodata SKIP
+        # with the percentage normalized by the VALID layer count
+        # (n_images), comparison-nodata cells nodata, zero valid layers
+        # -> 0. Intentional deviation: the reference increments its
+        # match counter on a NODATA-initialized output raster
+        # (initialize_using_file fills nodata; no reinitialize_values),
+        # so its published outputs carry `100*(nodata+matches)/n` at
+        # every matched cell — an initialization bug this engine does
+        # not reproduce.
         g = g.sort_values("__layer")
         grids = [codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])]
         cmp_g = grids[0]  # __layer == -1 sorts first
         stack = np.stack(grids[1:])
-        bad = (stack == nodata).any(axis=0) | (cmp_g == nodata)
-        out = cmp_fn(stack, cmp_g[None]).sum(axis=0) / float(n_layers) * 100.0
-        out[bad] = nodata
+        valid = stack != nodata
+        matches = (cmp_fn(stack, cmp_g[None]) & valid).sum(axis=0)
+        n_img = valid.sum(axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(n_img > 0, 100.0 * matches / np.maximum(n_img, 1), 0.0)
+        out[cmp_g == nodata] = nodata
         return codecs.tile_row_table(
             g["tile_row"].iloc[0], g["tile_col"].iloc[0],
             codecs.encode_tile(out, out_fmt), out_fmt,
