@@ -97,11 +97,28 @@ class TestPatchMetrics:
 
 class TestOverlays:
     def test_max_absolute(self, ray_session):
+        # max_abs_overlay.rs:225-229: the output is |value|, not the
+        # signed value whose magnitude is extreme
         spec = tsrc.SceneSpec(tiles_x=1, tiles_y=1, tile_px=8, seed=1)
         a = tiles_from_grid(np.full((8, 8), -5.0), spec)
         b = tiles_from_grid(np.full((8, 8), 3.0), spec)
         out = assemble(band_math.overlay([a, b], spec, "max_absolute").to_pandas(), spec)
-        assert (out == -5.0).all()
+        assert (out == 5.0).all()
+
+    def test_overlay_skips_per_layer_nodata(self, ray_session):
+        # max_overlay.rs: a layer's nodata cell is skipped, not poisoning
+        spec = tsrc.SceneSpec(tiles_x=1, tiles_y=1, tile_px=8, seed=1)
+        ga = np.full((8, 8), 4.0)
+        ga[0, 0] = spec.nodata
+        gb = np.full((8, 8), 3.0)
+        gb[0, 1] = spec.nodata
+        gb[0, 0] = spec.nodata
+        out = assemble(band_math.overlay(
+            [tiles_from_grid(ga, spec), tiles_from_grid(gb, spec)], spec, "max"
+        ).to_pandas(), spec)
+        assert out[0, 0] == spec.nodata  # valid in NO layer
+        assert out[0, 1] == 4.0          # b nodata skipped
+        assert out[1, 1] == 4.0
 
     def test_percent_greater_than(self, ray_session):
         spec = tsrc.SceneSpec(tiles_x=1, tiles_y=1, tile_px=8, seed=1)
@@ -113,8 +130,9 @@ class TestOverlays:
     def test_pick_from_list(self, ray_session):
         spec = tsrc.SceneSpec(tiles_x=1, tiles_y=1, tile_px=8, seed=1)
         layers = [tiles_from_grid(np.full((8, 8), v), spec) for v in (10.0, 20.0)]
-        pos = np.ones((8, 8))
-        pos[:, 4:] = 2.0
+        # pick_from_list.rs:16-21: positions are ZERO-based
+        pos = np.zeros((8, 8))
+        pos[:, 4:] = 1.0
         out = assemble(
             band_math.pick_from_list(layers, tiles_from_grid(pos, spec), spec).to_pandas(), spec
         )
