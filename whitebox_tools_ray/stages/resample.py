@@ -201,10 +201,14 @@ def resample(src_table, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, met
 
 
 def aggregate_raster(tiles_ds, spec, factor: int, stat: str = "mean"):
-    """AggregateRaster: n×n block downsample per tile (factor must divide
-    tile_px — each output tile is tile_px/factor square)."""
+    """AggregateRaster (gis_analysis/aggregate_raster.rs:272-297): n×n
+    block downsample per tile (factor must divide tile_px — each output
+    tile is tile_px/factor square). Blocks aggregate VALID cells only
+    (the reference skips ``z != nodata`` per cell); a block with no
+    valid cell is nodata."""
     if spec.tile_px % factor:
         raise ValueError("factor must divide tile_px")
+    nod = spec.nodata
 
     def agg(batch: pa.Table) -> pa.Table:
         blobs = []
@@ -212,16 +216,19 @@ def aggregate_raster(tiles_ds, spec, factor: int, stat: str = "mean"):
             g = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
             h, w = g.shape
             b = g.reshape(h // factor, factor, w // factor, factor)
+            v = b != nod
+            n_valid = v.sum(axis=(1, 3))
             if stat == "mean":
-                out = b.mean(axis=(1, 3))
+                out = np.where(v, b, 0.0).sum(axis=(1, 3)) / np.maximum(n_valid, 1)
             elif stat == "min":
-                out = b.min(axis=(1, 3))
+                out = np.where(v, b, np.inf).min(axis=(1, 3))
             elif stat == "max":
-                out = b.max(axis=(1, 3))
+                out = np.where(v, b, -np.inf).max(axis=(1, 3))
             elif stat == "sum":
-                out = b.sum(axis=(1, 3))
+                out = np.where(v, b, 0.0).sum(axis=(1, 3))
             else:
                 raise ValueError(stat)
+            out = np.where(n_valid > 0, out, nod)
             blobs.append(codecs.encode_tile(out, "f32"))
         t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", pa.array(blobs, pa.binary()))
         return t.set_column(t.schema.get_field_index("fmt"), "fmt", pa.array(["f32"] * t.num_rows))
