@@ -625,41 +625,32 @@ def functional_roots(parents_ds, max_rounds: int = 64):
     nb = int(min(max(labels.num_blocks(), 4), 200))
     labels = labels.repartition(nb).materialize()
 
-    def checksum(lab) -> float:
-        h = lab.map_batches(
-            lambda b: pa.table(
-                {
-                    "s": pa.array(
-                        [float(np.sum(pd.util.hash_array(
-                            np.asarray(b["anc"].to_pylist(), dtype=object)
-                        ).view(np.int64) % (1 << 40)))]
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        return h.aggregate(Sum("s"))["sum(s)"]
-
-    prev = checksum(labels)
     for _ in range(max_rounds):
         lk = labels.map_batches(
             lambda b: pa.table({"k": b["node"], "anc2": b["anc"]}),
             batch_format="pyarrow",
         )
+
+        def hop(b: pa.Table) -> pa.Table:
+            a = b["anc"].to_numpy(zero_copy_only=False)
+            a2 = b["anc2"].to_numpy(zero_copy_only=False)
+            # carry the per-row changed flag so convergence needs no
+            # extra hashing pass — one tiny Sum over the same table
+            return pa.table({"node": b["node"], "anc": b["anc2"],
+                             "chg": pa.array((a != a2).astype(np.int64))})
+
         labels = (
             hash_join_bucketed(labels, lk, key="anc", right_key="k", how="inner",
                                num_buckets=nb)
-            .map_batches(
-                lambda b: pa.table({"node": b["node"], "anc": b["anc2"]}),
-                batch_format="pyarrow",
-            )
+            .map_batches(hop, batch_format="pyarrow")
             .repartition(nb)
             .materialize()
         )
-        cur = checksum(labels)
-        if cur == prev:
+        # the chg column rides along into the next round's projection
+        # (lk only reads node/anc) — no strip pass needed
+        changed = labels.aggregate(Sum("chg"))["sum(chg)"]
+        if not changed:
             break
-        prev = cur
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "root": b["anc"]}),
         batch_format="pyarrow",
