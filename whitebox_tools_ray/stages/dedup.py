@@ -542,7 +542,17 @@ def components_minlabel(pairs_ds, max_rounds: int = 64):
         .materialize()
     )
 
+    # convergence: labels are monotone NON-INCREASING per node, so for
+    # NUMERIC node ids an unchanged Sum(component) IS a fixed point (any
+    # change strictly lowers the sum) — no hashing scan. String ids keep
+    # the hash checksum.
+    sch = labels.schema()
+    comp_type = dict(zip(sch.names, sch.types))["component"]
+    numeric = pa.types.is_integer(comp_type) or pa.types.is_floating(comp_type)
+
     def checksum(lab) -> float:
+        if numeric:
+            return lab.aggregate(Sum("component"))["sum(component)"]
         h = lab.map_batches(
             lambda b: pa.table(
                 {
