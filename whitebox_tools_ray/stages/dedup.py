@@ -628,12 +628,39 @@ def functional_roots(parents_ds, max_rounds: int = 64):
 
     from .joins import hash_join_bucketed
 
+    def local_collapse(b: pa.Table) -> pa.Table:
+        # chains are mostly intra-block (runs are tile-local, and the
+        # input blocks come off per-tile stages), so resolve every hop
+        # whose target lives in THIS block before any global round —
+        # numpy pointer doubling against a sorted local index. Global
+        # rounds then only chase the few cross-block hops.
+        node = np.asarray(b["node"].to_numpy(zero_copy_only=False))
+        anc = np.asarray(b["anc"].to_numpy(zero_copy_only=False)).copy()
+        if len(node) == 0 or node.dtype.kind not in "iu":
+            return pa.table({"node": b["node"], "anc": b["anc"]})
+        order = np.argsort(node, kind="stable")
+        sn = node[order]
+        for _ in range(64):
+            pos = np.searchsorted(sn, anc)
+            posc = np.clip(pos, 0, len(sn) - 1)
+            ok = sn[posc] == anc
+            nxt = anc[order[posc]]
+            hop = ok & (nxt != anc)
+            if not hop.any():
+                break
+            anc = np.where(hop, nxt, anc)
+        return pa.table({"node": pa.array(node), "anc": pa.array(anc)})
+
     labels = parents_ds.map_batches(
         lambda b: pa.table({"node": b["node"], "anc": b["parent"]}),
         batch_format="pyarrow",
     ).materialize()
     nb = int(min(max(labels.num_blocks(), 4), 200))
-    labels = labels.repartition(nb).materialize()
+    labels = (
+        labels.repartition(nb)
+        .map_batches(local_collapse, batch_format="pyarrow")
+        .materialize()
+    )
 
     for _ in range(max_rounds):
         lk = labels.map_batches(
