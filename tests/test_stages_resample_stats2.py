@@ -39,9 +39,12 @@ class TestResample:
         got = collect(out, 2, 16, gs.rows, gs.columns, gs.nodata)
         np.testing.assert_allclose(got, grid)
 
-    def test_downsample_bilinear_psnr(self, scene):
-        """2× coarser grid via bilinear stays close to the analytic field
-        (the PSNR-sensitive pixel path of BASELINE.json)."""
+    def test_downsample_bilinear_reference_arithmetic(self, scene):
+        """2× coarser grid via "bilinear" == the reference's ACTUAL
+        arithmetic (resample.rs:395-457): inverse-distance² over the 2×2
+        neighbourhood at edge-fraction coords, exact hits zero-weighted
+        and overwritten by the weighted mean of the valid corners —
+        oracle implemented directly here, exact compare."""
         from whitebox_tools_ray.stages.resample import resample
 
         spec, table, grid = scene
@@ -52,26 +55,35 @@ class TestResample:
         )
         out = resample(table, spec, dest, dest_tile_px=8, method="bilinear").to_pandas()
         got = collect(out, 2, 8, dest.rows, dest.columns, dest.nodata)
-        # analytic field evaluated at the dest cell centers
-        rr = np.arange(dest.rows)[:, None]
-        cc = np.arange(dest.columns)[None, :]
-        x = dest.west + dest.res_x / 2.0 + cc * dest.res_x
-        y = dest.north - dest.res_y / 2.0 - rr * dest.res_y
+        g32 = grid.astype(np.float32).astype(np.float64)  # fixture tiles are f32
         sg = spec.grid_spec()
-        colf = (x - sg.west) / sg.res_x
-        rowf = (sg.north - y) / sg.res_y
-        # sample the source grid bilinearly as oracle
-        c0 = np.clip(np.floor(colf - 0.5).astype(int), 0, sg.columns - 2)
-        r0 = np.clip(np.floor(rowf - 0.5).astype(int), 0, sg.rows - 2)
-        wc = np.clip(colf - 0.5 - c0, 0, 1)
-        wr = np.clip(rowf - 0.5 - r0, 0, 1)
-        expect = (
-            grid[r0, c0] * (1 - wc) * (1 - wr)
-            + grid[r0, c0 + 1] * wc * (1 - wr)
-            + grid[r0 + 1, c0] * (1 - wc) * wr
-            + grid[r0 + 1, c0 + 1] * wc * wr
-        )
-        assert codecs.psnr(expect, got) >= 40.0
+        expect = np.full((dest.rows, dest.columns), dest.nodata)
+        for r in range(dest.rows):
+            for c in range(dest.columns):
+                yq = dest.north - (r + 0.5) * dest.res_y
+                xq = dest.west + (c + 0.5) * dest.res_x
+                row_src = (sg.north - yq) / sg.res_y
+                col_src = (xq - sg.west) / sg.res_x
+                orr, occ = int(np.floor(row_src)), int(np.floor(col_src))
+                num = den = 0.0
+                hit = None
+                for sy, sx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    rn, cn = orr + sy, occ + sx
+                    if not (0 <= rn < sg.rows and 0 <= cn < sg.columns):
+                        continue
+                    v = g32[rn, cn]
+                    dy, dx = rn - row_src, cn - col_src
+                    if (dx + dy) != 0.0:
+                        w = 1.0 / (dx * dx + dy * dy)
+                        num += v * w
+                        den += w
+                    else:
+                        hit = v
+                if den > 0:
+                    expect[r, c] = num / den
+                elif hit is not None:
+                    expect[r, c] = hit
+        np.testing.assert_allclose(got.astype(np.float32), expect.astype(np.float32), rtol=1e-6)
 
     def test_aggregate_raster(self, scene):
         from whitebox_tools_ray.stages.resample import aggregate_raster

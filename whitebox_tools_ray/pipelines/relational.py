@@ -2600,10 +2600,15 @@ Q_TREND_SURFACE_SQL = """
 
 
 def q_resample_bilinear(sf_dir: str):
-    """Resample (resample.rs bilinear) 64×64 → 32×32 at 2× the cell
-    size: every destination centre lands mid-way between four source
-    centres, so the output is the exact mean of the 2×2 block — binary
-    fractions, bit-exact with no rounding on either side."""
+    """Resample (resample.rs "bilinear", :395-457) 64×64 → 32×32 at 2×
+    the cell size — the reference's ACTUAL arithmetic: inverse-distance²
+    weights over the 2×2 neighbourhood at edge-fraction coords. At 2×
+    every dest centre lands exactly on source cell (2r+1, 2c+1), which
+    is an exact hit that gets NO weight (and is overwritten by the
+    weighted mean of the other corners whenever any of them is valid —
+    the reference quirk, kept verbatim): value =
+    (v(2r+1,2c+2) + v(2r+2,2c+1) + 0.5·v(2r+2,2c+2)) / 2.5 interior,
+    degrading at the south/east edges, and the raw hit at (63,63)."""
     import pyarrow as pa2
 
     from ..kernels import codecs
@@ -2635,7 +2640,7 @@ def q_resample_bilinear(sf_dir: str):
         west=gs.west, north=gs.north, res_x=gs.res_x * 2, res_y=gs.res_y * 2,
         rows=32, columns=32, nodata=gs.nodata,
     )
-    out = resample(src_table, spec, dest, dest_tile_px=16, method="bilinear")
+    out = resample(src_table, spec, dest, dest_tile_px=16, method="bilinear", out_fmt="f64")
 
     def cells(batch: pa.Table) -> pa.Table:
         rr, cc, vv = [], [], []
@@ -2664,10 +2669,11 @@ Q_RESAMPLE_BILINEAR_SQL = """
                FROM (SELECT unnest(generate_series(0, 31)) AS r) r,
                     (SELECT unnest(generate_series(0, 31)) AS c) c)
     SELECT row, col,
-           (CAST(((2*row) * 31 + (2*col) * 17) % 97 AS DOUBLE)
-            + CAST(((2*row) * 31 + (2*col+1) * 17) % 97 AS DOUBLE)
-            + CAST(((2*row+1) * 31 + (2*col) * 17) % 97 AS DOUBLE)
-            + CAST(((2*row+1) * 31 + (2*col+1) * 17) % 97 AS DOUBLE)) / 4.0 AS value
+           CASE
+             WHEN row = 31 AND col = 31 THEN CAST(((2*row + (1)) * 31 + (2*col + (1)) * 17) % 97 AS DOUBLE)
+             WHEN col = 31 THEN (0.0 + (CASE WHEN row <= 30 THEN CAST(((2*row + (2)) * 31 + (2*col + (1)) * 17) % 97 AS DOUBLE) * (1.0/1.0) ELSE 0.0 END) + 0.0) / (0.0 + (CASE WHEN row <= 30 THEN 1.0 ELSE 0.0 END) + 0.0)
+             ELSE ((CASE WHEN TRUE THEN CAST(((2*row + (1)) * 31 + (2*col + (2)) * 17) % 97 AS DOUBLE) * (1.0/1.0) ELSE 0.0 END) + (CASE WHEN row <= 30 THEN CAST(((2*row + (2)) * 31 + (2*col + (1)) * 17) % 97 AS DOUBLE) * (1.0/1.0) ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN CAST(((2*row + (2)) * 31 + (2*col + (2)) * 17) % 97 AS DOUBLE) * (1.0/2.0) ELSE 0.0 END)) / ((CASE WHEN TRUE THEN 1.0 ELSE 0.0 END) + (CASE WHEN row <= 30 THEN 1.0 ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN 1.0/2.0 ELSE 0.0 END))
+           END AS value
     FROM g
 """
 
@@ -5489,13 +5495,13 @@ def q_percentile_filter_sql() -> str:
 
 
 def q_resample_cubic(sf_dir: str):
-    """Resample (resample.rs `cc` mode, Keys 1981 a=-0.5) 64×64 → 32×32
-    at 2× the cell size. Every destination centre hits t=0.5 in both
-    axes, so the separable weights are exact sixteenths
-    (-1/16, 9/16, 9/16, -1/16) and all 16 accumulation terms are exact
-    multiples of 1/256 — bit-exact, order-independent, no rounding.
-    The one-cell border ring falls back to nearest-neighbour
-    (z(2r+1, 2c+1)) because its 4×4 window leaves the source grid."""
+    """Resample (resample.rs `cc`, :308-371) 64×64 → 32×32 at 2× the
+    cell size — the reference's ACTUAL `cc` is NOT a cubic kernel: it is
+    an inverse-distance² weighted mean over the 4×4 neighbourhood at
+    edge-fraction coords, with the `(dx+dy)!=0` test zero-weighting the
+    exact hit AND the two anti-diagonal neighbours (-1,+1)/(+1,-1) —
+    quirks kept verbatim. The twin chains the 13 weighted terms in the
+    engine's exact accumulation order, so the compare is bit-exact."""
     import pyarrow as pa2
 
     from ..kernels import codecs
@@ -5521,7 +5527,7 @@ def q_resample_cubic(sf_dir: str):
         west=gs.west, north=gs.north, res_x=gs.res_x * 2, res_y=gs.res_y * 2,
         rows=32, columns=32, nodata=gs.nodata,
     )
-    out = resample(src_table, spec, dest, dest_tile_px=16, method="cc")
+    out = resample(src_table, spec, dest, dest_tile_px=16, method="cc", out_fmt="f64")
 
     def cells(batch: pa.Table) -> pa.Table:
         rr, cc, vv = [], [], []
@@ -5542,21 +5548,12 @@ def q_resample_cubic(sf_dir: str):
 
 
 def q_resample_cubic_sql() -> str:
-    wts = {-1: "-0.0625", 0: "0.5625", 1: "0.5625", 2: "-0.0625"}
-    terms = []
-    for dr in (-1, 0, 1, 2):
-        for dc in (-1, 0, 1, 2):
-            z = f"CAST(((2*row + ({dr})) * 31 + (2*col + ({dc})) * 17) % 97 AS DOUBLE)"
-            terms.append(f"({wts[dr]}) * ({wts[dc]}) * {z}")
-    cubic = " + ".join(terms)
-    nn = "CAST(((2*row + 1) * 31 + (2*col + 1) * 17) % 97 AS DOUBLE)"
-    return f"""
+    return """
     WITH g AS (SELECT r.r AS row, c.c AS col
                FROM (SELECT unnest(generate_series(0, 31)) AS r) r,
                     (SELECT unnest(generate_series(0, 31)) AS c) c)
     SELECT row, col,
-           CASE WHEN row BETWEEN 1 AND 30 AND col BETWEEN 1 AND 30
-                THEN {cubic} ELSE {nn} END AS value
+           ((CASE WHEN TRUE THEN CAST(((2*row + (0)) * 31 + (2*col + (0)) * 17) % 97 AS DOUBLE) * (1.0/2.0) ELSE 0.0 END) + (CASE WHEN TRUE THEN CAST(((2*row + (0)) * 31 + (2*col + (1)) * 17) % 97 AS DOUBLE) * (1.0/1.0) ELSE 0.0 END) + 0.0 + (CASE WHEN col <= 30 THEN CAST(((2*row + (0)) * 31 + (2*col + (3)) * 17) % 97 AS DOUBLE) * (1.0/5.0) ELSE 0.0 END) + (CASE WHEN TRUE THEN CAST(((2*row + (1)) * 31 + (2*col + (0)) * 17) % 97 AS DOUBLE) * (1.0/1.0) ELSE 0.0 END) + 0.0 + (CASE WHEN col <= 30 THEN CAST(((2*row + (1)) * 31 + (2*col + (2)) * 17) % 97 AS DOUBLE) * (1.0/1.0) ELSE 0.0 END) + (CASE WHEN col <= 30 THEN CAST(((2*row + (1)) * 31 + (2*col + (3)) * 17) % 97 AS DOUBLE) * (1.0/4.0) ELSE 0.0 END) + 0.0 + (CASE WHEN row <= 30 THEN CAST(((2*row + (2)) * 31 + (2*col + (1)) * 17) % 97 AS DOUBLE) * (1.0/1.0) ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN CAST(((2*row + (2)) * 31 + (2*col + (2)) * 17) % 97 AS DOUBLE) * (1.0/2.0) ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN CAST(((2*row + (2)) * 31 + (2*col + (3)) * 17) % 97 AS DOUBLE) * (1.0/5.0) ELSE 0.0 END) + (CASE WHEN row <= 30 THEN CAST(((2*row + (3)) * 31 + (2*col + (0)) * 17) % 97 AS DOUBLE) * (1.0/5.0) ELSE 0.0 END) + (CASE WHEN row <= 30 THEN CAST(((2*row + (3)) * 31 + (2*col + (1)) * 17) % 97 AS DOUBLE) * (1.0/4.0) ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN CAST(((2*row + (3)) * 31 + (2*col + (2)) * 17) % 97 AS DOUBLE) * (1.0/5.0) ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN CAST(((2*row + (3)) * 31 + (2*col + (3)) * 17) % 97 AS DOUBLE) * (1.0/8.0) ELSE 0.0 END)) / ((CASE WHEN TRUE THEN 1.0/2.0 ELSE 0.0 END) + (CASE WHEN TRUE THEN 1.0/1.0 ELSE 0.0 END) + 0.0 + (CASE WHEN col <= 30 THEN 1.0/5.0 ELSE 0.0 END) + (CASE WHEN TRUE THEN 1.0/1.0 ELSE 0.0 END) + 0.0 + (CASE WHEN col <= 30 THEN 1.0/1.0 ELSE 0.0 END) + (CASE WHEN col <= 30 THEN 1.0/4.0 ELSE 0.0 END) + 0.0 + (CASE WHEN row <= 30 THEN 1.0/1.0 ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN 1.0/2.0 ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN 1.0/5.0 ELSE 0.0 END) + (CASE WHEN row <= 30 THEN 1.0/5.0 ELSE 0.0 END) + (CASE WHEN row <= 30 THEN 1.0/4.0 ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN 1.0/5.0 ELSE 0.0 END) + (CASE WHEN row <= 30 AND col <= 30 THEN 1.0/8.0 ELSE 0.0 END)) AS value
     FROM g
     """
 

@@ -55,7 +55,23 @@ def _resample_tile_grid(tr: int, tc: int, src_tiles: dict, src_spec,
                         dest_gs: GridSpec, tpx: int, method: str) -> np.ndarray:
     """Resample ONE dest tile (tr, tc) from whatever source tiles are
     present in ``src_tiles`` (missing source tiles read as nodata) —
-    shared by the broadcast actor and the co-partitioned group path."""
+    shared by the broadcast actor and the co-partitioned group path.
+
+    Reference arithmetic REPRODUCED VERBATIM (resample.rs; mosaic.rs
+    carries the same loops):
+    - ``nn``: floor cell lookup (raster/mod.rs:635-641).
+    - ``bilinear`` (:395-457) and ``cc`` (:308-371) are NOT textbook
+      kernels — both compute an inverse-distance-squared weighted mean
+      over the 2x2 / 4x4 neighbourhood anchored at
+      floor((north-y)/res), floor((x-west)/res) — EDGE-fraction
+      coordinates, no half-cell center shift. Two reference quirks are
+      kept deliberately: (a) the exact-hit test is ``(dx + dy) != 0``,
+      which also zero-weights valid anti-diagonal neighbours where
+      dx == -dy; (b) a neighbour that IS an exact hit gets no weight,
+      and when any other neighbour carries weight the weighted mean
+      OVERWRITES the exact value — the hit value only survives when
+      every other neighbour is nodata. Per-neighbour nodata weights 0;
+      cells with zero total weight and no hit are nodata."""
     gs = dest_gs
     rows = np.arange(tr * tpx, (tr + 1) * tpx)
     cols = np.arange(tc * tpx, (tc + 1) * tpx)
@@ -66,74 +82,47 @@ def _resample_tile_grid(tr: int, tc: int, src_tiles: dict, src_spec,
     if method == "nn":
         return _gather_src(gx, gy, src_tiles, src_spec, nod)
     if method == "bilinear":
-        sgs = src_spec.grid_spec()
-        # fractional source-grid coords (cell-center convention)
-        fc = (gx - sgs.west) / sgs.res_x - 0.5
-        fr = (sgs.north - gy) / sgs.res_y - 0.5
-        c0 = np.floor(fc)
-        r0 = np.floor(fr)
-        wc = fc - c0
-        wr = fr - r0
-        vals = []
-        for dr in (0, 1):
-            for dc in (0, 1):
-                sx = sgs.west + sgs.res_x / 2.0 + (c0 + dc) * sgs.res_x
-                sy = sgs.north - sgs.res_y / 2.0 - (r0 + dr) * sgs.res_y
-                vals.append(_gather_src(sx, sy, src_tiles, src_spec, np.nan))
-        v00, v01, v10, v11 = vals
-        out = (
-            v00 * (1 - wc) * (1 - wr)
-            + v01 * wc * (1 - wr)
-            + v10 * (1 - wc) * wr
-            + v11 * wc * wr
-        )
-        # fall back to nn at edges where a corner was missing
-        nn = _gather_src(gx, gy, src_tiles, src_spec, nod)
-        return np.where(np.isnan(out), nn, out)
-    if method == "cc":
-        # cubic convolution (resample.rs `cc` mode; Keys 1981 kernel,
-        # a = -0.5): 4×4 source window, separable weights
-        sgs = src_spec.grid_spec()
-        fc = (gx - sgs.west) / sgs.res_x - 0.5
-        fr = (sgs.north - gy) / sgs.res_y - 0.5
-        c0 = np.floor(fc)
-        r0 = np.floor(fr)
-        tc_ = fc - c0
-        tr_ = fr - r0
-
-        def w(t):  # Keys cubic, a = -0.5
-            at = np.abs(t)
-            return np.where(
-                at <= 1.0,
-                1.5 * at**3 - 2.5 * at**2 + 1.0,
-                np.where(at < 2.0, -0.5 * at**3 + 2.5 * at**2 - 4.0 * at + 2.0, 0.0),
-            )
-
-        out = np.zeros(gx.shape)
-        wsum = np.zeros(gx.shape)
-        any_nan = np.zeros(gx.shape, dtype=bool)
-        for dr in (-1, 0, 1, 2):
-            wy = w(tr_ - dr)
-            sy = sgs.north - sgs.res_y / 2.0 - (r0 + dr) * sgs.res_y
-            for dc in (-1, 0, 1, 2):
-                wx = w(tc_ - dc)
-                sx = sgs.west + sgs.res_x / 2.0 + (c0 + dc) * sgs.res_x
-                v = _gather_src(sx, sy, src_tiles, src_spec, np.nan)
-                wgt = wx * wy
-                bad = np.isnan(v)
-                any_nan |= bad & (np.abs(wgt) > 1e-12)
-                out += np.where(bad, 0.0, v) * wgt
-                wsum += np.where(bad, 0.0, wgt)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            out = out / np.where(np.abs(wsum) > 1e-12, wsum, 1.0)
-        nn = _gather_src(gx, gy, src_tiles, src_spec, nod)
-        return np.where(any_nan | (np.abs(wsum) <= 1e-12), nn, out)
-    raise ValueError(method)
-
+        shifts = [(0, 0), (0, 1), (1, 0), (1, 1)]  # (sy, sx), resample.rs:406-407
+    elif method == "cc":
+        shifts = [(sy, sx) for sy in (-1, 0, 1, 2) for sx in (-1, 0, 1, 2)]
+    else:
+        raise ValueError(method)
+    sgs = src_spec.grid_spec()
+    row_src = (sgs.north - gy) / sgs.res_y
+    col_src = (gx - sgs.west) / sgs.res_x
+    o_r = np.floor(row_src)
+    o_c = np.floor(col_src)
+    num = np.zeros(gx.shape)
+    den = np.zeros(gx.shape)
+    hit_val = np.full(gx.shape, nod)
+    has_hit = np.zeros(gx.shape, dtype=bool)
+    for sy, sx in shifts:
+        rn = o_r + sy
+        cn = o_c + sx
+        dy = rn - row_src
+        dx = cn - col_src
+        # world coords of the integer cell's center → _gather_src floors
+        # back to exactly (rn, cn)
+        xw = sgs.west + (cn + 0.5) * sgs.res_x
+        yw = sgs.north - (rn + 0.5) * sgs.res_y
+        v = _gather_src(xw, yw, src_tiles, src_spec, nod)
+        valid = v != nod
+        hit = (dx + dy) == 0.0
+        w = np.where(valid & ~hit, 1.0 / np.where(hit, 1.0, dx * dx + dy * dy), 0.0)
+        num += np.where(valid & ~hit, v * w, 0.0)
+        den += w
+        upd = hit & valid
+        hit_val = np.where(upd, v, hit_val)  # later hits overwrite (loop order)
+        has_hit |= upd
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(den > 0, num / np.where(den > 0, den, 1.0),
+                       np.where(has_hit, hit_val, nod))
+    return out
 
 
 class _ResampleActor:
-    def __init__(self, src_ref, src_spec, dest_gs: GridSpec, dest_tile_px: int, method: str):
+    def __init__(self, src_ref, src_spec, dest_gs: GridSpec, dest_tile_px: int, method: str,
+                 out_fmt: str = "f32"):
         import ray
 
         self.src_tiles = ray.get(src_ref)
@@ -141,6 +130,7 @@ class _ResampleActor:
         self.dest_gs = dest_gs
         self.tpx = dest_tile_px
         self.method = method
+        self.out_fmt = out_fmt
 
     def _resample_tile(self, tr: int, tc: int) -> np.ndarray:
         return _resample_tile_grid(tr, tc, self.src_tiles, self.src_spec,
@@ -153,7 +143,7 @@ class _ResampleActor:
         trs, tcs = [], []
         for t in tids:
             tr, tc = int(t) // tiles_x, int(t) % tiles_x
-            blobs.append(codecs.encode_tile(self._resample_tile(tr, tc), "f32"))
+            blobs.append(codecs.encode_tile(self._resample_tile(tr, tc), self.out_fmt))
             trs.append(tr)
             tcs.append(tc)
         return pa.table(
@@ -162,12 +152,12 @@ class _ResampleActor:
                 "tile_row": pa.array(trs, pa.int32()),
                 "tile_col": pa.array(tcs, pa.int32()),
                 "bytes": pa.array(blobs, pa.binary()),
-                "fmt": pa.array(["f32"] * len(blobs), pa.string()),
+                "fmt": pa.array([self.out_fmt] * len(blobs), pa.string()),
             }
         )
 
 
-def resample(src_table, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn", concurrency=(1, 8)):
+def resample(src_table, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn", concurrency=(1, 8), out_fmt: str = "f32"):
     """Resample a tiled scene onto ``dest_gs``. A ``pa.Table`` source
     broadcasts (decoded once per actor; dest tiles stream from
     ray.data.range) — the small-source fast path. A tile ``Dataset``
@@ -177,7 +167,8 @@ def resample(src_table, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, met
     import ray.data as rd
 
     if not isinstance(src_table, pa.Table):
-        return resample_shuffled(src_table, src_spec, dest_gs, dest_tile_px, method)
+        return resample_shuffled(src_table, src_spec, dest_gs, dest_tile_px, method,
+                                 out_fmt=out_fmt)
 
     src_tiles = {}
     tpd = src_table.to_pydict()
@@ -193,7 +184,7 @@ def resample(src_table, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, met
     )
     return ds.map_batches(
         _ResampleActor,
-        fn_constructor_args=(ref, src_spec, dest_gs, dest_tile_px, method),
+        fn_constructor_args=(ref, src_spec, dest_gs, dest_tile_px, method, out_fmt),
         batch_format="pyarrow",
         batch_size=4,
         concurrency=concurrency,
@@ -313,7 +304,8 @@ def _dest_seed(dest_gs: GridSpec, dest_tile_px: int):
     return rd.range(dtx * dty).map_batches(seed, batch_format="pyarrow")
 
 
-def _mosaic_groups(layer_specs: list, dest_gs: GridSpec, dest_tile_px: int, method: str, routed):
+def _mosaic_groups(layer_specs: list, dest_gs: GridSpec, dest_tile_px: int, method: str, routed,
+                   out_fmt: str = "f32"):
     """groupby(dest tile) → per group, resample each present layer and
     keep the FIRST source with valid data per cell (mosaic.rs:362-370:
     the reference iterates sources in order and ``break``s on the first
@@ -345,22 +337,23 @@ def _mosaic_groups(layer_specs: list, dest_gs: GridSpec, dest_tile_px: int, meth
                 "tile_id": [dkey],
                 "tile_row": [tr],
                 "tile_col": [tc],
-                "bytes": [codecs.encode_tile(out, "f32")],
-                "fmt": ["f32"],
+                "bytes": [codecs.encode_tile(out, out_fmt)],
+                "fmt": [out_fmt],
             }
         )
 
     return routed.groupby("dkey").map_groups(combine, batch_format="pandas")
 
 
-def resample_shuffled(src_ds, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn"):
+def resample_shuffled(src_ds, src_spec, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn", out_fmt: str = "f32"):
     """Co-partitioned resample for sources too large to broadcast: source
     tiles shuffle once to the dest tiles they overlap, each dest tile
     resamples from its local gather. Same per-cell arithmetic as the
     broadcast path (`_resample_tile_grid`)."""
     routed = _route_tiles_to_dest(src_ds, src_spec, dest_gs, dest_tile_px, layer=0)
     return _mosaic_groups([src_spec], dest_gs, dest_tile_px, method,
-                          routed.union(_dest_seed(dest_gs, dest_tile_px)))
+                          routed.union(_dest_seed(dest_gs, dest_tile_px)),
+                          out_fmt=out_fmt)
 
 
 def mosaic(src_tables: list, dest_gs: GridSpec, dest_tile_px: int = 64, method: str = "nn"):
