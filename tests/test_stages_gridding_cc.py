@@ -305,3 +305,27 @@ class TestDelaunayTIN:
         )
         recs = construct_vector_tin(pts)
         assert len(recs) == 2  # unit square → two triangles
+
+
+class TestIdwMinPoints:
+    def test_min_points_gates_cells(self, ray_session):
+        # idw_interpolation.rs: a cell interpolates only when the radius
+        # captures >= min_points points; below that it stays nodata
+        import pyarrow as pa
+
+        from whitebox_tools_ray.sources.tiles import SceneSpec
+        from whitebox_tools_ray.stages.gridding import idw_gridding
+
+        spec = SceneSpec(tiles_x=1, tiles_y=1, tile_px=8, res=1.0, west=0.0, north=8.0)
+        pts = pa.table({"x": pa.array([1.5, 1.6]), "y": pa.array([6.5, 6.6]),
+                        "value": pa.array([10.0, 20.0])})
+        lo = idw_gridding(pts, spec, radius=1.0, min_points=0).to_pandas()
+        hi = idw_gridding(pts, spec, radius=1.0, min_points=2).to_pandas()
+        from whitebox_tools_ray.kernels import codecs
+
+        g_lo = codecs.decode_tile(bytes(lo["bytes"].iloc[0]), lo["fmt"].iloc[0])
+        g_hi = codecs.decode_tile(bytes(hi["bytes"].iloc[0]), hi["fmt"].iloc[0])
+        n_lo = (g_lo != spec.nodata).sum()
+        n_hi = (g_hi != spec.nodata).sum()
+        assert n_hi < n_lo  # min_points=2 excludes single-point cells
+        assert n_hi > 0     # cells near both points still interpolate

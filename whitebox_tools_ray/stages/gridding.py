@@ -50,7 +50,8 @@ def _points_by_tile(
 
 def _interp_points_tile(px, py, pz, tid: int, spec, gs: GridSpec, method: str,
                         radius: float, power: float,
-                        frs: FixedRadiusSearch2D | None = None) -> np.ndarray:
+                        frs: FixedRadiusSearch2D | None = None,
+                        min_points: int = 0) -> np.ndarray:
     """Interpolate one tile from its (margin-duplicated) point set —
     shared by the broadcast actor and the co-partition path, so both
     produce identical values for identical per-tile point sets."""
@@ -81,10 +82,15 @@ def _interp_points_tile(px, py, pz, tid: int, spec, gs: GridSpec, method: str,
             exact = d == 0.0
             has_exact = exact.any(axis=1)
             wsum = w.sum(axis=1)
-            vals = np.where(wsum > 0, (w @ pz) / np.maximum(wsum, 1e-300), gs.nodata)
-            if has_exact.any():
+            # idw_interpolation.rs:581: a cell interpolates only when the
+            # radius captures at least min_points points (exact hits too)
+            enough = (d <= radius).sum(axis=1) >= min_points
+            vals = np.where((wsum > 0) & enough,
+                            (w @ pz) / np.maximum(wsum, 1e-300), gs.nodata)
+            ok_exact = has_exact & enough
+            if ok_exact.any():
                 first_exact = exact.argmax(axis=1)
-                vals[has_exact] = pz[first_exact[has_exact]]
+                vals[ok_exact] = pz[first_exact[ok_exact]]
             out[:] = vals.reshape(tpx, tpx)
         elif method == "nearest":
             out[:] = pz[d.argmin(axis=1)].reshape(tpx, tpx)
@@ -97,7 +103,7 @@ def _interp_points_tile(px, py, pz, tid: int, spec, gs: GridSpec, method: str,
         for j, x in enumerate(xs):
             if method == "idw":
                 idx, d = frs.search(x, y)
-                if len(idx) == 0:
+                if len(idx) == 0 or len(idx) < min_points:
                     continue
                 if np.any(d == 0.0):
                     out[i, j] = pz[idx[d == 0.0][0]]
@@ -117,7 +123,8 @@ class _GriddingActor:
     """Per-actor: per-tile FRS indexes built lazily; per tile batch,
     interpolate every cell center."""
 
-    def __init__(self, pts_ref, spec, method: str, radius: float, k: int, power: float, out_fmt: str):
+    def __init__(self, pts_ref, spec, method: str, radius: float, k: int, power: float, out_fmt: str,
+                 min_points: int = 0):
         import ray
 
         self.by_tile = ray.get(pts_ref)
@@ -128,6 +135,7 @@ class _GriddingActor:
         self.k = k
         self.power = power
         self.out_fmt = out_fmt
+        self.min_points = min_points
         self._frs_cache: dict[int, FixedRadiusSearch2D] = {}
 
     def _interp_tile(self, tid: int) -> np.ndarray:
@@ -141,7 +149,8 @@ class _GriddingActor:
             frs = FixedRadiusSearch2D(px, py, self.radius)
             self._frs_cache[tid] = frs
         return _interp_points_tile(px, py, pz, tid, self.spec, self.gs,
-                                   self.method, self.radius, self.power, frs)
+                                   self.method, self.radius, self.power, frs,
+                                   min_points=self.min_points)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..kernels import codecs
@@ -170,6 +179,7 @@ def idw_gridding(
     z_col: str = "value",
     concurrency=(1, 8),
     out_fmt: str = "f32",
+    min_points: int = 0,
 ):
     """IDW / nearest-neighbor gridding of a point layer onto the scene's
     tile grid. Returns Dataset[tile_id, tile_row, tile_col, bytes, fmt]."""
@@ -189,7 +199,7 @@ def idw_gridding(
     )
     return tiles.map_batches(
         _GriddingActor,
-        fn_constructor_args=(ref, spec, method, radius, 1, power, out_fmt),
+        fn_constructor_args=(ref, spec, method, radius, 1, power, out_fmt, min_points),
         batch_format="pyarrow",
         batch_size=4,
         concurrency=concurrency,
@@ -206,6 +216,7 @@ def idw_gridding_ds(
     y_col: str = "y",
     z_col: str = "value",
     out_fmt: str = "f32",
+    min_points: int = 0,
 ):
     """Point-side co-partition gridding (the documented fallback for
     point sets too large to materialize/broadcast): each point flat-maps
@@ -272,7 +283,8 @@ def idw_gridding_ds(
         pts = g[g["marker"] == 0]
         out = _interp_points_tile(pts["px"].to_numpy(), pts["py"].to_numpy(),
                                   pts["pz"].to_numpy(), tid, spec,
-                                  gs, method, radius, power)
+                                  gs, method, radius, power,
+                                  min_points=min_points)
         return pa.table(
             {
                 "tile_id": pa.array([tid], pa.int64()),
