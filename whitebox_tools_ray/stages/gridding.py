@@ -51,7 +51,8 @@ def _points_by_tile(
 def _interp_points_tile(px, py, pz, tid: int, spec, gs: GridSpec, method: str,
                         radius: float, power: float,
                         frs: FixedRadiusSearch2D | None = None,
-                        min_points: int = 0) -> np.ndarray:
+                        min_points: int = 0,
+                        max_dist: float = np.inf) -> np.ndarray:
     """Interpolate one tile from its (margin-duplicated) point set —
     shared by the broadcast actor and the co-partition path, so both
     produce identical values for identical per-tile point sets."""
@@ -93,7 +94,11 @@ def _interp_points_tile(px, py, pz, tid: int, spec, gs: GridSpec, method: str,
                 vals[ok_exact] = pz[first_exact[ok_exact]]
             out[:] = vals.reshape(tpx, tpx)
         elif method == "nearest":
-            out[:] = pz[d.argmin(axis=1)].reshape(tpx, tpx)
+            # nearest_neighbour_gridding.rs:427: the nearest point only
+            # counts within max_dist (default infinity); farther -> nodata
+            nn_i = d.argmin(axis=1)
+            nn_d = d.min(axis=1)
+            out[:] = np.where(nn_d <= max_dist, pz[nn_i], gs.nodata).reshape(tpx, tpx)
         else:
             raise ValueError(method)
         return out
@@ -112,7 +117,7 @@ def _interp_points_tile(px, py, pz, tid: int, spec, gs: GridSpec, method: str,
                     out[i, j] = float(np.sum(w * pz[idx]) / np.sum(w))
             elif method == "nearest":
                 idx, d = frs.knn(x, y, 1)
-                if len(idx):
+                if len(idx) and d[0] <= max_dist:
                     out[i, j] = pz[idx[0]]
             else:
                 raise ValueError(method)
@@ -124,7 +129,7 @@ class _GriddingActor:
     interpolate every cell center."""
 
     def __init__(self, pts_ref, spec, method: str, radius: float, k: int, power: float, out_fmt: str,
-                 min_points: int = 0):
+                 min_points: int = 0, max_dist: float = np.inf):
         import ray
 
         self.by_tile = ray.get(pts_ref)
@@ -136,6 +141,7 @@ class _GriddingActor:
         self.power = power
         self.out_fmt = out_fmt
         self.min_points = min_points
+        self.max_dist = max_dist
         self._frs_cache: dict[int, FixedRadiusSearch2D] = {}
 
     def _interp_tile(self, tid: int) -> np.ndarray:
@@ -150,7 +156,8 @@ class _GriddingActor:
             self._frs_cache[tid] = frs
         return _interp_points_tile(px, py, pz, tid, self.spec, self.gs,
                                    self.method, self.radius, self.power, frs,
-                                   min_points=self.min_points)
+                                   min_points=self.min_points,
+                                   max_dist=self.max_dist)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..kernels import codecs
@@ -180,6 +187,7 @@ def idw_gridding(
     concurrency=(1, 8),
     out_fmt: str = "f32",
     min_points: int = 0,
+    max_dist: float = np.inf,
 ):
     """IDW / nearest-neighbor gridding of a point layer onto the scene's
     tile grid. Returns Dataset[tile_id, tile_row, tile_col, bytes, fmt]."""
@@ -199,7 +207,7 @@ def idw_gridding(
     )
     return tiles.map_batches(
         _GriddingActor,
-        fn_constructor_args=(ref, spec, method, radius, 1, power, out_fmt, min_points),
+        fn_constructor_args=(ref, spec, method, radius, 1, power, out_fmt, min_points, max_dist),
         batch_format="pyarrow",
         batch_size=4,
         concurrency=concurrency,
