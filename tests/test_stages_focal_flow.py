@@ -311,3 +311,26 @@ class TestCombineTileLayers:
             ), col
         miss = st[(st.tile_row == 2) & (st.tile_col == 5)]
         assert bytes(miss["b"].iloc[0]) == b"" and miss["b_fmt"].iloc[0] == ""
+
+
+class TestHillshadeQuirk:
+    def test_fx_zero_shortcircuits_to_half(self, ray_session):
+        # hillshade.rs:316-326: when fx == 0 (pure north-south gradient)
+        # the reference outputs 0.5 * 32767 regardless of fy
+        import ray.data as rd
+
+        from whitebox_tools_ray.kernels import codecs
+        from whitebox_tools_ray.sources.tiles import SceneSpec
+        from whitebox_tools_ray.stages.focal import focal_op, hillshade_kernel
+
+        spec = SceneSpec(tiles_x=1, tiles_y=1, tile_px=8)
+        rr = np.arange(8, dtype=np.float64)[:, None] * np.ones((1, 8))
+        ds = rd.from_items([{"tile_row": 0, "tile_col": 0,
+                             "bytes": codecs.encode_tile(rr * 10.0, "f64"), "fmt": "f64"}])
+        out = focal_op(ds, spec, hillshade_kernel, 1, out_fmt="f64").to_pandas()
+        g = codecs.decode_tile(bytes(out["bytes"].iloc[0]), out["fmt"].iloc[0])
+        # interior + straight edges have fx == 0 -> round(0.5 * 32767);
+        # corner cells pick up fx != 0 from the nodata-neighbour
+        # substitution and follow the full formula
+        assert (g[1:-1, :] == 16384.0).all()
+        assert (g[:, 1:-1] == 16384.0).all()

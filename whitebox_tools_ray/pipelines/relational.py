@@ -2207,11 +2207,13 @@ def q_hillshade_horn_sql() -> str:
     # kernel's values are irrational (products of trig terms), so the
     # exact-.5 boundary is unreachable and both agree — expressed here
     # with ROUND for clarity.
+    # hillshade.rs:316-326: fx == 0 short-circuits to 0.5 (the reference
+    # aspect formula divides by fx); only the lower bound is clamped
     return _horn_sql(
-        "CAST(ROUND(LEAST(GREATEST("
+        "CAST(ROUND(GREATEST(CASE WHEN fx = 0.0 THEN 0.5 ELSE "
         "SIN(RADIANS(30.0)) * COS(ATAN(SQRT(fx * fx + fy * fy)))"
         " + COS(RADIANS(30.0)) * SIN(ATAN(SQRT(fx * fx + fy * fy)))"
-        " * COS(RADIANS(315.0 - 90.0) - ATAN2(-fx, fy)), 0.0), 1.0) * 32767.0, 0) AS BIGINT)",
+        " * COS(RADIANS(315.0 - 90.0) - ATAN2(-fx, fy)) END, 0.0) * 32767.0, 0) AS BIGINT)",
         "hs",
     )
 

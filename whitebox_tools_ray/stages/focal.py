@@ -302,7 +302,11 @@ def hillshade_kernel(pad: np.ndarray, nodata: float, spec, azimuth: float = 315.
     slope = np.arctan(np.sqrt(fx * fx + fy * fy))
     aspect = np.arctan2(-fx, fy)
     hs = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)
-    out = np.round(np.clip(hs, 0.0, 1.0) * 32767.0)
+    # hillshade.rs:316-326 parity: fx == 0 short-circuits to 0.5 (the
+    # reference's aspect formula divides by fx), regardless of fy; and
+    # only the LOWER bound is clamped (the upper is implicit, |hs| <= 1)
+    hs = np.where(fx == 0.0, 0.5, hs)
+    out = np.round(np.maximum(hs, 0.0) * 32767.0)
     return np.where(z != nodata, out, nodata)
 
 
