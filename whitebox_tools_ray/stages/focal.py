@@ -268,15 +268,16 @@ def _shifted(pad: np.ndarray, halo: int, tpx: int, dy: int, dx: int) -> np.ndarr
     return pad[halo + dy : halo + dy + tpx, halo + dx : halo + dx + tpx]
 
 
-def slope_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
-    """Slope in degrees — slope.rs:256-292 exact arithmetic."""
+def slope_kernel(pad: np.ndarray, nodata: float, spec, z_factor: float = 1.0) -> np.ndarray:
+    """Slope in degrees — slope.rs:256-292 exact arithmetic (each valid
+    neighbour multiplied by z_factor, :273-279)."""
     tpx = spec.tile_px
     halo = (pad.shape[0] - tpx) // 2
     z = _shifted(pad, halo, tpx, 0, 0)
     n = []
     for i in range(8):
         zi = _shifted(pad, halo, tpx, int(DY8[i]), int(DX8[i]))
-        n.append(np.where(zi != nodata, zi, z))
+        n.append(np.where(zi != nodata, zi, z) * z_factor)
     eight_res = spec.res * 8.0
     fy = (n[6] - n[4] + 2.0 * (n[7] - n[3]) + n[0] - n[2]) / eight_res
     fx = (n[2] - n[4] + 2.0 * (n[1] - n[5]) + n[0] - n[6]) / eight_res
@@ -284,7 +285,8 @@ def slope_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
     return np.where(z != nodata, out, nodata)
 
 
-def hillshade_kernel(pad: np.ndarray, nodata: float, spec, azimuth: float = 315.0, altitude: float = 30.0):
+def hillshade_kernel(pad: np.ndarray, nodata: float, spec, azimuth: float = 315.0, altitude: float = 30.0,
+                     z_factor: float = 1.0):
     """Hillshade (terrain_analysis/hillshade.rs): Horn derivatives +
     sun-angle illumination, output scaled to [0, 32767]."""
     tpx = spec.tile_px
@@ -293,7 +295,7 @@ def hillshade_kernel(pad: np.ndarray, nodata: float, spec, azimuth: float = 315.
     n = []
     for i in range(8):
         zi = _shifted(pad, halo, tpx, int(DY8[i]), int(DX8[i]))
-        n.append(np.where(zi != nodata, zi, z))
+        n.append(np.where(zi != nodata, zi, z) * z_factor)
     eight_res = spec.res * 8.0
     fy = (n[6] - n[4] + 2.0 * (n[7] - n[3]) + n[0] - n[2]) / eight_res
     fx = (n[2] - n[4] + 2.0 * (n[1] - n[5]) + n[0] - n[6]) / eight_res
@@ -455,12 +457,20 @@ def d8_pointer_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
     return out
 
 
-def slope(tiles_ds, spec):
-    return focal_op(tiles_ds, spec, slope_kernel, halo=1)
+def slope(tiles_ds, spec, z_factor: float = 1.0):
+    def k(pad, nodata, sp):
+        return slope_kernel(pad, nodata, sp, z_factor=z_factor)
+
+    return focal_op(tiles_ds, spec, k, halo=1)
 
 
-def hillshade(tiles_ds, spec):
-    return focal_op(tiles_ds, spec, hillshade_kernel, halo=1)
+def hillshade(tiles_ds, spec, azimuth: float = 315.0, altitude: float = 30.0,
+              z_factor: float = 1.0):
+    def k(pad, nodata, sp):
+        return hillshade_kernel(pad, nodata, sp, azimuth=azimuth,
+                                altitude=altitude, z_factor=z_factor)
+
+    return focal_op(tiles_ds, spec, k, halo=1)
 
 
 def d8_pointer(tiles_ds, spec):
@@ -471,7 +481,7 @@ def window_filter(tiles_ds, spec, stat: str = "mean", radius: int = 2):
     return focal_op(tiles_ds, spec, make_window_kernel(stat, radius), halo=radius)
 
 
-def aspect_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
+def aspect_kernel(pad: np.ndarray, nodata: float, spec, z_factor: float = 1.0) -> np.ndarray:
     """Aspect — terrain_analysis/aspect.rs:256-283 verbatim: Horn fx/fy;
     output only where fx > 0 (the reference's literal branch), else -1."""
     tpx = spec.tile_px
@@ -480,7 +490,7 @@ def aspect_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
     n = []
     for i in range(8):
         zi = _shifted(pad, halo, tpx, int(DY8[i]), int(DX8[i]))
-        n.append(np.where(zi != nodata, zi, z))
+        n.append(np.where(zi != nodata, zi, z) * z_factor)
     eight_res = spec.res * 8.0
     fx = (n[2] - n[4] + 2.0 * (n[1] - n[5]) + n[0] - n[6]) / eight_res
     fy = (n[6] - n[4] + 2.0 * (n[7] - n[3]) + n[0] - n[2]) / eight_res
@@ -531,8 +541,11 @@ def ruggedness_kernel(pad: np.ndarray, nodata: float, spec) -> np.ndarray:
     return np.where(z != nodata, np.sqrt(acc / 8.0), nodata)
 
 
-def aspect(tiles_ds, spec):
-    return focal_op(tiles_ds, spec, aspect_kernel, halo=1)
+def aspect(tiles_ds, spec, z_factor: float = 1.0):
+    def k(pad, nodata, sp):
+        return aspect_kernel(pad, nodata, sp, z_factor=z_factor)
+
+    return focal_op(tiles_ds, spec, k, halo=1)
 
 
 def plan_curvature(tiles_ds, spec):
