@@ -75,12 +75,18 @@ class TestStreamLinks:
         assert all(mag[h["link_id"]] == 1 for h in heads)
 
     def test_extract_streams_threshold(self):
+        # extract_streams.rs:254: STRICTLY above threshold; background is
+        # NODATA by default, 0 only under --zero_background
         spec = SceneSpec(tiles_x=1, tiles_y=1, tile_px=4)
-        accum = {0: np.array([[1.0, 2.0], [50.0, spec.nodata]])}
+        accum = {0: np.array([[1.0, 10.0], [50.0, spec.nodata]])}
         out = extract_streams(accum, threshold=10.0, nodata=spec.nodata)
         assert out[0][1, 0] == 1.0
-        assert out[0][0, 0] == 0.0
+        assert out[0][0, 1] == spec.nodata  # == threshold -> NOT a stream
+        assert out[0][0, 0] == spec.nodata  # default background = nodata
         assert out[0][1, 1] == spec.nodata
+        outz = extract_streams(accum, threshold=10.0, nodata=spec.nodata,
+                               zero_background=True)
+        assert outz[0][0, 0] == 0.0
 
 
 class TestEuclideanDistance:

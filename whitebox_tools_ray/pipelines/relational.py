@@ -3350,7 +3350,7 @@ def q_wav_round_trip_sql() -> str:
 def q_stream_dist_outlet(sf_dir: str):
     """DistanceToOutlet (stream_network_analysis/dist_to_outlet.rs) on
     the analytic DEM: D8 pointer -> Dataset-native BSP accumulation ->
-    ExtractStreams (acc >= 5 cells; the mod-97 DEM tops out at acc=13, so a higher cut would make the gate vacuous) -> flowpath length to the terminal
+    ExtractStreams (acc > 5 cells, the reference's strict comparison; the mod-97 DEM tops out at acc=13, so a higher cut would make the gate vacuous) -> flowpath length to the terminal
     (on stream cells the flowpath stays in-network, so downslope
     flowpath length IS the distance to outlet) — through the REGISTERED
     ``distance_to_outlet_ds`` surface (the keyed tile zip replaces the
@@ -3436,7 +3436,7 @@ def q_stream_dist_outlet_sql() -> str:
              FROM walk2 WHERE wd < 0)
     SELECT a.row, a.col, ROUND(d.dist, 4) AS dist
     FROM acc a JOIN dist d ON a.row = d.row AND a.col = d.col
-    WHERE a.acc >= 5
+    WHERE a.acc > 5
     ORDER BY a.row, a.col
     """
 
@@ -3743,7 +3743,7 @@ def q_num_inflowing_sql() -> str:
 def q_shreve_magnitude(sf_dir: str):
     """ShreveStreamMagnitude (stream_network_analysis/shreve_magnitude.rs)
     on the analytic DEM, driving the full Dataset-native link chain:
-    pointer -> BSP accumulation -> ExtractStreams (acc >= 5) -> ``stream_links_ds``
+    pointer -> BSP accumulation -> ExtractStreams (acc > 5) -> ``stream_links_ds``
     (distributed run labelling, O(links) driver table) -> per-link
     Shreve magnitude painted back onto the stream cells. Oracle: per
     stream cell, magnitude == count of channel heads whose D8 flowpath
@@ -3818,7 +3818,7 @@ def q_shreve_magnitude_sql() -> str:
         WHERE dirs.d >= 0
     ),
     acc AS (SELECT row, col, COUNT(*) AS acc FROM walk GROUP BY row, col),
-    strm AS (SELECT row, col FROM acc WHERE acc >= 5),
+    strm AS (SELECT row, col FROM acc WHERE acc > 5),
     ring(i, dr, dc) AS (VALUES {ring_vals}),
     heads AS (
         SELECT s.row, s.col FROM strm s
@@ -4230,7 +4230,7 @@ def q_elev_above_stream_sql() -> str:
     ),
     acc AS (SELECT row, col, COUNT(*) AS acc
             FROM (SELECT src_row, src_col, row, col FROM walk) GROUP BY row, col),
-    strm AS (SELECT row, col FROM acc WHERE acc >= 5),
+    strm AS (SELECT row, col FROM acc WHERE acc > 5),
     hit AS (SELECT w.src_row, w.src_col, MIN(w.step) AS ms
             FROM walk w JOIN strm s ON s.row = w.row AND s.col = w.col
             GROUP BY w.src_row, w.src_col),
@@ -5133,7 +5133,7 @@ def q_strahler_order_sql(threshold: float = 25.0, iters: int = 6) -> str:
         WHERE dirs.d >= 0
     ),
     acc AS (SELECT row, col, COUNT(*) AS acc FROM walk GROUP BY row, col),
-    strm AS MATERIALIZED (SELECT row, col FROM acc WHERE acc >= {threshold!r}),
+    strm AS MATERIALIZED (SELECT row, col FROM acc WHERE acc > {threshold!r}),
     ring(i, dr, dc) AS (VALUES {ring_vals}),
     inflow AS MATERIALIZED (SELECT s.row, s.col, nb.row AS irow, nb.col AS icol
                FROM strm s JOIN ring ON TRUE
@@ -6098,7 +6098,7 @@ def q_farthest_channel_head(sf_dir: str):
     """FarthestChannelHead (stream_network_analysis/
     farthest_channel_head.rs) through the registered Dataset composition
     on the valley DEM: pointer -> BSP accumulation -> ExtractStreams
-    (acc >= 25) -> terminal-resolution flowpath length + distributed
+    (acc > 25, strict) -> terminal-resolution flowpath length + distributed
     link table -> far(c) = maxHeadL(link) - L(c). SQL twin: recursive
     head-to-downstream walk, MAX(dist) per stream cell."""
     from ..stages.flow import d8_pointer_masked, flow_accumulation_ds
@@ -6165,7 +6165,7 @@ def q_farthest_channel_head_sql(threshold: float = 25.0) -> str:
         WHERE dirs.d >= 0
     ),
     acc AS (SELECT row, col, COUNT(*) AS acc FROM walk GROUP BY row, col),
-    strm AS MATERIALIZED (SELECT row, col FROM acc WHERE acc >= {threshold!r}),
+    strm AS MATERIALIZED (SELECT row, col FROM acc WHERE acc > {threshold!r}),
     ring(i, dr, dc) AS (VALUES {ring_vals}),
     inflow AS MATERIALIZED (SELECT s.row, s.col
                FROM strm s JOIN ring ON TRUE

@@ -6,7 +6,8 @@ pointer raster, extract the LINK GRAPH (junction-to-junction segments),
 then traverse it. The reference walks whole-raster arrays; the engine:
 
 1. ``extract_streams`` — threshold the accumulation tiles (**M**,
-   extract_streams.rs: ``accum >= threshold``);
+   extract_streams.rs:254: ``accum > threshold`` strictly; background
+   NODATA unless --zero_background);
 2. ``stream_links`` — build the link table: per stream cell follow the
    pointer; junctions = stream cells with ≥2 inflowing stream neighbors
    or outlets. Link identification (stream_link_id.rs) assigns each
@@ -32,12 +33,15 @@ from ..kernels import codecs
 from .focal import DX8, DY8
 
 
-def extract_streams(accum_tiles: dict[int, np.ndarray], threshold: float, nodata: float):
-    """Stream mask per tile: 1.0 where accumulation ≥ threshold
-    (extract_streams.rs), nodata preserved."""
+def extract_streams(accum_tiles: dict[int, np.ndarray], threshold: float, nodata: float,
+                    zero_background: bool = False):
+    """Stream mask per tile: 1.0 where accumulation STRICTLY exceeds the
+    threshold (extract_streams.rs:254: ``z > fa_threshold``); background
+    NODATA unless ``zero_background``."""
+    bg = 0.0 if zero_background else nodata
     out = {}
     for tid, g in accum_tiles.items():
-        s = np.where(g == nodata, nodata, (g >= threshold).astype(np.float64))
+        s = np.where(g == nodata, nodata, np.where(g > threshold, 1.0, bg))
         out[tid] = s
     return out
 
@@ -1126,17 +1130,20 @@ def links_table_ds(stream_ds, pointer_ds, spec):
     return painted, link_ds
 
 
-def extract_streams_ds(accum_ds, spec, threshold: float):
-    """ExtractStreams, Dataset-native: accumulation ≥ threshold → 1."""
+def extract_streams_ds(accum_ds, spec, threshold: float, zero_background: bool = False):
+    """ExtractStreams, Dataset-native (extract_streams.rs:254-259):
+    accumulation STRICTLY ABOVE threshold → 1; background is NODATA
+    unless ``zero_background`` (the reference's --zero_background)."""
     import pyarrow as pa
 
     nodata = spec.nodata
+    bg = 0.0 if zero_background else nodata
 
     def fn(batch: pa.Table) -> pa.Table:
         outs = []
         for i in range(batch.num_rows):
             a = codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
-            o = np.where(a == nodata, nodata, (a >= threshold).astype(np.float64))
+            o = np.where(a == nodata, nodata, np.where(a > threshold, 1.0, bg))
             outs.append(codecs.encode_tile(o, "f32"))
         return pa.table(
             {
