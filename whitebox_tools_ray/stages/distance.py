@@ -67,9 +67,15 @@ def _edt_1d(f: np.ndarray) -> np.ndarray:
 
 
 def euclidean_distance(grid: np.ndarray, nodata: float, res: float, target_nonzero: bool = True):
-    """Exact EDT of every cell to the nearest target (nonzero, non-nodata)
-    cell, in world units."""
-    tgt = (grid != 0.0) & (grid != nodata) if target_nonzero else (grid == 0.0)
+    """Exact EDT of every cell to the nearest target cell, in world units.
+
+    euclidean_distance.rs:215-221 parity: the reference seeds EVERY
+    non-zero cell — NODATA cells included (z != 0.0; their OUTPUT is
+    masked back to nodata at the end, :318-322, but they act as
+    distance-0 sources during the scans). The reference's Shih-Wu
+    two-scan transform is exact in all but pathological displacement
+    patterns; this engine computes the exact separable EDT."""
+    tgt = (grid != 0.0) if target_nonzero else (grid == 0.0)
     # large FINITE background (not inf: inf-inf = nan poisons the envelope);
     # any true squared distance (< rows² + cols²) always wins against it
     f = np.where(tgt, 0.0, 1e12)
@@ -133,7 +139,9 @@ def euclidean_distance_ds(tiles_ds, spec, target_nonzero: bool = True,
         g = g.sort_values("tile_row")
         grids = [codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])]
         stack = np.vstack(grids)
-        tgt = (stack != 0.0) & (stack != nodata) if target_nonzero else (stack == 0.0)
+        # euclidean_distance.rs:215-221: nodata cells seed as distance-0
+        # sources too (their OUTPUT masks back to nodata afterwards)
+        tgt = (stack != 0.0) if target_nonzero else (stack == 0.0)
         f = np.where(tgt, 0.0, 1e12)
         d = _edt_1d(f)  # envelope along axis 0 (scene rows)
         rows_out = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": [], "orig": []}
