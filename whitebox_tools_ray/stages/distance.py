@@ -226,7 +226,10 @@ def euclidean_allocation_ds(tiles_ds, spec, out_fmt: str = "f32"):
         g = g.sort_values("tile_row")
         grids = [codecs.decode_tile(bytes(b), f) for b, f in zip(g["bytes"], g["fmt"])]
         stack = np.vstack(grids)
-        tgt = (stack != 0.0) & (stack != nodata)
+        # euclidean_allocation.rs:206-211: nodata cells seed too and
+        # carry their own (nodata) value — cells nearest a data void
+        # allocate the nodata value, exactly as the reference emits
+        tgt = stack != 0.0
         f = np.where(tgt, 0.0, 1e12)
         d, src = _edt_1d_arg(f)
         cols = np.arange(stack.shape[1])
