@@ -58,12 +58,32 @@ def compare(ray_out, oracle_df):
     assert len(a) == len(b), f"row count {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
-            np.asarray(bv).dtype, np.floating
-        ):
-            np.testing.assert_allclose(
-                av.astype(np.float64), bv.astype(np.float64), rtol=1e-9, atol=1e-9, err_msg=c
+        ak, bk = np.asarray(av).dtype.kind, np.asarray(bv).dtype.kind
+        # The driver's value hash is dtype-kind- and bit-sensitive (the
+        # r4 verdict adjudicated 6 hash-false rows down to int-vs-float
+        # SUM dtype and -0.0 vs 0.0): mirror that here. Ints of any
+        # width hash alike; float bits must match exactly (incl. the
+        # sign of zero); an int column vs a float column is a FAIL even
+        # when values are numerically equal.
+        num = {"i", "u", "f", "b"}
+        if ak in num and bk in num:
+            a_f = ak == "f"
+            b_f = bk == "f"
+            assert a_f == b_f, (
+                f"dtype-kind mismatch in {c}: engine {np.asarray(av).dtype} "
+                f"vs oracle {np.asarray(bv).dtype} (driver hash is dtype-sensitive)"
             )
+            if a_f:
+                ab = np.asarray(av, dtype=np.float64).view(np.int64)
+                bb = np.asarray(bv, dtype=np.float64).view(np.int64)
+                assert np.array_equal(ab, bb), (
+                    f"float bit mismatch in {c}: "
+                    f"{np.asarray(av)[ab != bb][:5]} vs {np.asarray(bv)[ab != bb][:5]}"
+                )
+            else:
+                assert np.array_equal(
+                    np.asarray(av, dtype=np.int64), np.asarray(bv, dtype=np.int64)
+                ), f"value mismatch in {c}"
         else:
             assert list(av) == list(bv), f"value mismatch in {c}"
 

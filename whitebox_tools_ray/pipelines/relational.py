@@ -3070,9 +3070,9 @@ def q_las_round_trip(sf_dir: str):
 def q_las_round_trip_sql() -> str:
     return f"""
         SELECT COUNT(*) AS n,
-               SUM(CAST(ROUND(x * 1000) AS BIGINT)) AS sx,
-               SUM(CAST(ROUND(y * 1000) AS BIGINT)) AS sy,
-               SUM(CAST(ROUND(LEAST(value, 60.0) * 1000) AS BIGINT)) AS sz
+               CAST(SUM(CAST(ROUND(x * 1000) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(ROUND(y * 1000) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(ROUND(LEAST(value, 60.0) * 1000) AS BIGINT)) AS BIGINT) AS sz
         FROM ({SYNTH_POINTS_SQL})
     """
 
@@ -3147,9 +3147,9 @@ def q_shp_round_trip(sf_dir: str):
 def q_shp_round_trip_sql() -> str:
     return f"""
         SELECT COUNT(*) AS n,
-               SUM(CAST(ROUND(x * 1000) AS BIGINT)) AS sx,
-               SUM(CAST(ROUND(y * 1000) AS BIGINT)) AS sy,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv
+               CAST(SUM(CAST(ROUND(x * 1000) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(ROUND(y * 1000) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv
         FROM ({SYNTH_POINTS_SQL})
     """
 
@@ -3197,7 +3197,7 @@ def q_geotiff_round_trip(sf_dir: str):
 def q_geotiff_round_trip_sql() -> str:
     return """
         SELECT COUNT(*) AS n,
-               SUM((r.x * 31 + c.x * 17) % 97) AS sz
+               CAST(SUM((r.x * 31 + c.x * 17) % 97) AS BIGINT) AS sz
         FROM range(64) r(x), range(64) c(x)
     """
 
@@ -3339,9 +3339,9 @@ def q_wav_round_trip(sf_dir: str):
 def q_wav_round_trip_sql() -> str:
     return f"""
         SELECT COUNT(*) AS n_clips,
-               (SELECT SUM(CAST(ROUND(
+               (SELECT CAST(SUM(CAST(ROUND(
                     ((p.record_id * 31 + k.range * 17) % 97) / 97.0 * 32768.0
-                    - 16384.0) AS BIGINT))
+                    - 16384.0) AS BIGINT)) AS BIGINT)
                 FROM ({SYNTH_POINTS_SQL}) p, range(64) k) AS s_total
         FROM ({SYNTH_POINTS_SQL})
     """
@@ -3960,7 +3960,9 @@ def q_clip_raster_poly_sql() -> str:
 
 def _round_cells(cells, name: str, nd: int = 6):
     def rnd(batch: pa.Table) -> pa.Table:
-        v = np.round(batch[name].to_numpy(zero_copy_only=False), nd)
+        # + 0.0 normalizes IEEE negative zero (-0.0 -> 0.0) so the value
+        # hash matches SQL twins that compute the same cell as 0.0.
+        v = np.round(batch[name].to_numpy(zero_copy_only=False), nd) + 0.0
         return pa.table({"row": batch["row"], "col": batch["col"], name: pa.array(v)})
 
     return cells.map_batches(rnd, batch_format="pyarrow")
