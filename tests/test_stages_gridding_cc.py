@@ -92,7 +92,7 @@ class TestGridding:
 
 class TestClump:
     def test_matches_whole_raster(self, ray_session):
-        from whitebox_tools_ray.stages.cc import _local_labels, clump
+        from whitebox_tools_ray.stages.cc import _local_labels, clump_small
 
         spec = tsrc.SceneSpec(tiles_x=3, tiles_y=3, tile_px=8)
         rng = np.random.RandomState(3)
@@ -117,7 +117,7 @@ class TestClump:
                 "fmt": pa.array(cols["fmt"], pa.string()),
             }
         )
-        out_tiles, n_comp = clump(rd.from_arrow(t), spec, diag=True)
+        out_tiles, n_comp = clump_small(rd.from_arrow(t), spec, diag=True)
         got = np.zeros_like(cat)
         for tid, g in out_tiles.items():
             r0 = (tid // 3) * 8

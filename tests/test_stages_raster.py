@@ -125,3 +125,47 @@ class TestRasterToVectorPoints:
         np.testing.assert_allclose(got["x"].to_numpy(), gs.x_from_col(cols))
         np.testing.assert_allclose(got["y"].to_numpy(), gs.y_from_row(rows))
         np.testing.assert_allclose(got["VALUE"].to_numpy(), scene_grid[rows, cols])
+
+
+class TestFlipImage:
+    def test_scene_flip_vertical_and_both(self, ray_session):
+        """FlipImage must flip the WHOLE scene: within-tile pixels plus
+        the tile's grid position (flip_image.rs semantics), preserving
+        the source codec fmt."""
+        import pyarrow as pa
+
+        from whitebox_tools_ray.api import run as run_tool
+
+        spec = tsrc.SceneSpec(tiles_x=2, tiles_y=2, tile_px=8)
+        grids = {}
+        rows = {"tile_row": [], "tile_col": [], "bytes": [], "fmt": []}
+        for tr in range(2):
+            for tc in range(2):
+                rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+                g = (31.0 * (rr + tr * 8) + 17.0 * (cc + tc * 8)) % 97
+                grids[(tr, tc)] = g
+                rows["tile_row"].append(tr)
+                rows["tile_col"].append(tc)
+                rows["bytes"].append(codecs.encode_tile(g, "f64"))
+                rows["fmt"].append("f64")
+        ds = rd.from_arrow(pa.table(rows))
+
+        def mosaic(out_ds):
+            full = np.zeros((16, 16))
+            for b in out_ds.to_pandas().itertuples():
+                g = codecs.decode_tile(bytes(b.bytes), b.fmt)
+                full[b.tile_row * 8:(b.tile_row + 1) * 8,
+                     b.tile_col * 8:(b.tile_col + 1) * 8] = g
+            return full
+
+        scene = np.zeros((16, 16))
+        for (tr, tc), g in grids.items():
+            scene[tr * 8:(tr + 1) * 8, tc * 8:(tc + 1) * 8] = g
+
+        out_v = mosaic(run_tool("FlipImage", ds, spec, direction="vertical"))
+        np.testing.assert_array_equal(out_v, scene[::-1, :])
+        out_b = mosaic(run_tool("FlipImage", ds, spec, direction="both"))
+        np.testing.assert_array_equal(out_b, scene[::-1, ::-1])
+        # fmt preserved (no f64 -> f32 downcast)
+        fmts = run_tool("FlipImage", ds, spec).to_pandas()["fmt"].unique()
+        assert list(fmts) == ["f64"]

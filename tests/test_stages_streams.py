@@ -8,9 +8,9 @@ import pytest
 from whitebox_tools_ray.kernels import codecs
 from whitebox_tools_ray.sources.tiles import SceneSpec
 from whitebox_tools_ray.stages.streams import (
-    extract_streams,
+    extract_streams_small,
     shreve_magnitude,
-    stream_links,
+    stream_links_small,
     strahler_order,
 )
 
@@ -50,7 +50,7 @@ class TestStreamLinks:
         spec, ptr, stream = build_y_network()
         pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
         stream_tiles = {0: stream}
-        link_grid, links = stream_links(stream_tiles, pointer_tiles, spec)
+        link_grid, links = stream_links_small(stream_tiles, pointer_tiles, spec)
         # 3 links: two heads + the trunk from the junction
         assert len(links) == 3
         by_id = {lk["link_id"]: lk for lk in links}
@@ -64,7 +64,7 @@ class TestStreamLinks:
     def test_orders(self):
         spec, ptr, stream = build_y_network()
         pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
-        _grid, links = stream_links({0: stream}, pointer_tiles, spec)
+        _grid, links = stream_links_small({0: stream}, pointer_tiles, spec)
         order = strahler_order(links)
         mag = shreve_magnitude(links)
         trunk = [lk for lk in links if lk["ds_link"] == -1][0]
@@ -75,16 +75,16 @@ class TestStreamLinks:
         assert all(mag[h["link_id"]] == 1 for h in heads)
 
     def test_extract_streams_threshold(self):
-        # extract_streams.rs:254: STRICTLY above threshold; background is
+        # extract_streams_small.rs:254: STRICTLY above threshold; background is
         # NODATA by default, 0 only under --zero_background
         spec = SceneSpec(tiles_x=1, tiles_y=1, tile_px=4)
         accum = {0: np.array([[1.0, 10.0], [50.0, spec.nodata]])}
-        out = extract_streams(accum, threshold=10.0, nodata=spec.nodata)
+        out = extract_streams_small(accum, threshold=10.0, nodata=spec.nodata)
         assert out[0][1, 0] == 1.0
         assert out[0][0, 1] == spec.nodata  # == threshold -> NOT a stream
         assert out[0][0, 0] == spec.nodata  # default background = nodata
         assert out[0][1, 1] == spec.nodata
-        outz = extract_streams(accum, threshold=10.0, nodata=spec.nodata,
+        outz = extract_streams_small(accum, threshold=10.0, nodata=spec.nodata,
                                zero_background=True)
         assert outz[0][0, 0] == 0.0
 
@@ -550,7 +550,7 @@ class TestDistanceCostDatasetNative:
 class TestStreamNetworkRemainder:
     """Hand-walked oracles on a known link DAG.
 
-    Topology (ids after stream_links on the Y-network are not used here;
+    Topology (ids after stream_links_small on the Y-network are not used here;
     we construct links directly):
 
         1 (len 10) ─┐
@@ -646,8 +646,8 @@ class TestStreamNetworkRemainder:
 
     def test_distance_to_outlet_and_farthest_head(self, ray_session):
         from whitebox_tools_ray.stages.streams import (
-            distance_to_outlet,
-            farthest_channel_head,
+            distance_to_outlet_small,
+            farthest_channel_head_small,
         )
         from whitebox_tools_ray.kernels import codecs
 
@@ -659,9 +659,9 @@ class TestStreamNetworkRemainder:
         stream[1, :] = 1.0
         ptiles = {0: codecs.encode_tile(ptr, "i8")}
         stiles = {0: stream}
-        d = distance_to_outlet(stiles, ptiles, spec)
+        d = distance_to_outlet_small(stiles, ptiles, spec)
         np.testing.assert_allclose(d[1, :], [3 * spec.res, 2 * spec.res, spec.res, 0.0])
-        f = farthest_channel_head(stiles, ptiles, spec)
+        f = farthest_channel_head_small(stiles, ptiles, spec)
         np.testing.assert_allclose(f[1, :], [0.0, spec.res, 2 * spec.res, 3 * spec.res])
 
     def test_outlet_and_farthest_head_ds_match_grid(self, ray_session):
@@ -671,10 +671,10 @@ class TestStreamNetworkRemainder:
         from whitebox_tools_ray.pipelines.relational import _valley_dem_tiles
         from whitebox_tools_ray.stages.flow import d8_pointer_masked, flow_accumulation_ds
         from whitebox_tools_ray.stages.streams import (
-            distance_to_outlet,
+            distance_to_outlet_small,
             distance_to_outlet_ds,
             extract_streams_ds,
-            farthest_channel_head,
+            farthest_channel_head_small,
             farthest_channel_head_ds,
         )
 
@@ -697,11 +697,11 @@ class TestStreamNetworkRemainder:
                   codecs.decode_tile(bytes(r["bytes"]), r["fmt"])
                   for _, r in streams.to_pandas().iterrows()}
 
-        d_grid = distance_to_outlet(stiles, ptiles, spec)
+        d_grid = distance_to_outlet_small(stiles, ptiles, spec)
         d_ds = assemble(distance_to_outlet_ds(streams, ptr, spec, num_workers=2))
         np.testing.assert_allclose(d_ds, d_grid, rtol=1e-9)
 
-        f_grid = farthest_channel_head(stiles, ptiles, spec)
+        f_grid = farthest_channel_head_small(stiles, ptiles, spec)
         f_ds = assemble(farthest_channel_head_ds(streams, ptr, spec, num_workers=2))
         np.testing.assert_allclose(f_ds, f_grid, rtol=1e-9, atol=1e-6)
 
@@ -896,7 +896,7 @@ class TestStreamLinksDS:
                 ptr_tiles[tid] = codecs.encode_tile(
                     ptr_full[tr * 8 : tr * 8 + 8, tc * 8 : tc * 8 + 8].astype(np.float64), "i8"
                 )
-        lid_grid, links_ref = S.stream_links(st_tiles, ptr_tiles, spec)
+        lid_grid, links_ref = S.stream_links_small(st_tiles, ptr_tiles, spec)
         # ds form
         rows_s, rows_p = [], []
         for tr in range(2):
@@ -1009,12 +1009,12 @@ class TestLinkPeelDS:
 
         from whitebox_tools_ray.stages.streams import (
             raster_streams_to_vector_ds,
-            stream_links,
+            stream_links_small,
         )
 
         spec, ptr, stream = build_y_network()
         pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
-        link_grid, links = stream_links({0: stream}, pointer_tiles, spec)
+        link_grid, links = stream_links_small({0: stream}, pointer_tiles, spec)
         gs = spec.grid_spec()
         expect = set()
         for lk in links:
@@ -1041,12 +1041,12 @@ class TestLinkPeelDS:
         from whitebox_tools_ray.stages.streams import (
             stream_link_slope,
             stream_link_slope_ds,
-            stream_links,
+            stream_links_small,
         )
 
         spec, ptr, stream = build_y_network()
         pointer_tiles = {0: codecs.encode_tile(ptr.astype(np.float64), "i8")}
-        _grid, links = stream_links({0: stream}, pointer_tiles, spec)
+        _grid, links = stream_links_small({0: stream}, pointer_tiles, spec)
         rng = np.random.RandomState(7)
         dem = rng.uniform(10, 100, (8, 8))
         ref = stream_link_slope(links, dem, spec.res)

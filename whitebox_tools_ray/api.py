@@ -91,26 +91,58 @@ def tool_parameters(name: str) -> list[dict]:
 # --- registrations -----------------------------------------------------------
 
 
-def __flip(ds, direction="vertical"):
+def __flip(ds, spec=None, direction="vertical"):
+    """Scene-level flip (image_analysis/flip_image.rs): flips pixels
+    WITHIN each tile and, when ``spec`` is given, remaps the tile grid
+    position so the whole scene flips — tile (r, c) lands at
+    (tiles_y-1-r, c) for vertical, etc. Requires exact tiling (edge
+    tiles not padded) for the scene-level remap; per-row blob decode is
+    inherent, but batch size is left to Ray's defaults and the source
+    fmt is preserved (no f64 -> f32 downcast)."""
     import pyarrow as _pa
 
     from .kernels import codecs as _codecs
+
+    flip_v = direction in ("vertical", "both")
+    flip_h = direction in ("horizontal", "both")
+    if spec is not None and (
+        spec.rows % spec.tile_px or spec.columns % spec.tile_px
+    ):
+        raise ValueError(
+            "FlipImage scene remap needs exact tiling (rows/columns divisible "
+            f"by tile_px); got {spec.rows}x{spec.columns} @ {spec.tile_px}"
+        )
 
     def fn(batch):
         blobs = []
         for i in range(batch.num_rows):
             g = _codecs.decode_tile(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
-            if direction == "vertical":
+            if flip_v:
                 g = g[::-1, :]
-            elif direction == "horizontal":
+            if flip_h:
                 g = g[:, ::-1]
-            else:
-                g = g[::-1, ::-1]
-            blobs.append(_codecs.encode_tile(np.ascontiguousarray(g), "f32"))
-        t = batch.set_column(batch.schema.get_field_index("bytes"), "bytes", _pa.array(blobs, _pa.binary()))
-        return t.set_column(t.schema.get_field_index("fmt"), "fmt", _pa.array(["f32"] * t.num_rows))
+            blobs.append(
+                _codecs.encode_tile(np.ascontiguousarray(g), batch["fmt"][i].as_py())
+            )
+        t = batch.set_column(
+            batch.schema.get_field_index("bytes"), "bytes", _pa.array(blobs, _pa.binary())
+        )
+        if spec is not None:
+            if flip_v:
+                tr = batch["tile_row"].to_numpy(zero_copy_only=False)
+                t = t.set_column(
+                    t.schema.get_field_index("tile_row"), "tile_row",
+                    _pa.array(spec.tiles_y - 1 - tr, type=batch.schema.field("tile_row").type),
+                )
+            if flip_h:
+                tc = batch["tile_col"].to_numpy(zero_copy_only=False)
+                t = t.set_column(
+                    t.schema.get_field_index("tile_col"), "tile_col",
+                    _pa.array(spec.tiles_x - 1 - tc, type=batch.schema.field("tile_col").type),
+                )
+        return t
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=16)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 import numpy as np
@@ -587,7 +619,8 @@ def _register_all():
              [], "image_analysis/rgb_to_ihs.rs:798-818")
     register("IhsToRgb", col.ihs_to_rgb, "IHS -> RGB (3-sector inverse)", "image_analysis",
              [], "image_analysis/ihs_to_rgb.rs:628")
-    register("FlipImage", lambda ds, spec, direction="vertical": __flip(ds, direction), "Flip tile pixels",
+    register("FlipImage", lambda ds, spec, direction="vertical": __flip(ds, spec, direction),
+             "Flip scene (within-tile pixels + tile-grid position)",
              "image_analysis", [], "image_analysis/flip_image.rs")
     register("KMeansClustering", kmeans.kmeans_fit, "Iterative k-means", "image_analysis",
              [], "image_analysis/k_means_clustering.rs")

@@ -80,8 +80,11 @@ def _local_labels(grid: np.ndarray, nodata: float, diag: bool, zero_background: 
     return remap[labels]
 
 
-def clump(tiles_ds, spec, diag: bool = True, zero_background: bool = False):
-    """Distributed Clump. Returns (labels_by_tile dict, n_components).
+def clump_small(tiles_ds, spec, diag: bool = True, zero_background: bool = False):
+    """SMALL-SCENE Clump parity reference. Returns (labels_by_tile dict,
+    n_components). Pulls every tile's pixel AND label payload to the
+    driver — use the registered Dataset form ``clump_ds`` for anything
+    beyond test scenes (guarded below).
 
     Tile-local labels are offset by ``tid * tile_px**2`` (an upper bound
     on per-tile label count) before the boundary merge.
@@ -109,6 +112,11 @@ def clump(tiles_ds, spec, diag: bool = True, zero_background: bool = False):
             }
         )
 
+    if spec.rows * spec.columns > 64_000_000:
+        raise ValueError(
+            "clump_small materializes the whole scene driver-side; use the "
+            "registered Dataset form clump_ds for large scenes"
+        )
     local = tiles_ds.map_batches(local_pass, batch_format="pyarrow", batch_size=8).to_pandas()
 
     # boundary merge (driver-side union-find over edge equivalences; the

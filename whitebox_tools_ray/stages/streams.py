@@ -5,10 +5,10 @@ consume a streams raster (cells above an accumulation threshold) + a D8
 pointer raster, extract the LINK GRAPH (junction-to-junction segments),
 then traverse it. The reference walks whole-raster arrays; the engine:
 
-1. ``extract_streams`` — threshold the accumulation tiles (**M**,
+1. ``extract_streams_small`` — threshold the accumulation tiles (**M**,
    extract_streams.rs:254: ``accum > threshold`` strictly; background
    NODATA unless --zero_background);
-2. ``stream_links`` — build the link table: per stream cell follow the
+2. ``stream_links_small`` — build the link table: per stream cell follow the
    pointer; junctions = stream cells with ≥2 inflowing stream neighbors
    or outlets. Link identification (stream_link_id.rs) assigns each
    junction-free run one id. The link TABLE is tiny relative to the
@@ -33,8 +33,22 @@ from ..kernels import codecs
 from .focal import DX8, DY8
 
 
-def extract_streams(accum_tiles: dict[int, np.ndarray], threshold: float, nodata: float,
-                    zero_background: bool = False):
+_SMALL_SCENE_CELL_CAP = 64_000_000  # ~512 MB of f64 — driver-side ceiling
+
+
+def _guard_small(n_cells: int, fn: str) -> None:
+    if n_cells > _SMALL_SCENE_CELL_CAP:
+        raise ValueError(
+            f"{fn} is the SMALL-SCENE parity reference: it materializes the "
+            f"whole scene driver-side ({n_cells} cells > "
+            f"{_SMALL_SCENE_CELL_CAP}). Use the registered Dataset form "
+            "(extract_streams_ds / stream_links_ds / distance_to_outlet_ds / "
+            "farthest_channel_head_ds) for large scenes."
+        )
+
+
+def extract_streams_small(accum_tiles: dict[int, np.ndarray], threshold: float, nodata: float,
+                          zero_background: bool = False):
     """Stream mask per tile: 1.0 where accumulation STRICTLY exceeds the
     threshold (extract_streams.rs:254: ``z > fa_threshold``); background
     NODATA unless ``zero_background``."""
@@ -47,6 +61,7 @@ def extract_streams(accum_tiles: dict[int, np.ndarray], threshold: float, nodata
 
 
 def _mosaic(tiles: dict[int, np.ndarray], spec) -> np.ndarray:
+    _guard_small(spec.rows * spec.columns, "_mosaic (small-scene path)")
     tpx = spec.tile_px
     full = np.full((spec.rows, spec.columns), spec.nodata)
     for tid, g in tiles.items():
@@ -56,7 +71,7 @@ def _mosaic(tiles: dict[int, np.ndarray], spec) -> np.ndarray:
     return full
 
 
-def stream_links(stream_tiles: dict[int, np.ndarray], pointer_tiles: dict[int, bytes], spec):
+def stream_links_small(stream_tiles: dict[int, np.ndarray], pointer_tiles: dict[int, bytes], spec):
     """Link identification (stream_link_id.rs semantics).
 
     Returns (link_id_grid, links) where links is a list of dicts
@@ -192,7 +207,7 @@ def shreve_magnitude(links: list[dict]) -> dict[int, int]:
 
 # ---------------------------------------------------------------------------
 # Round 2: the stream-network remainder on the link DAG. All consume the
-# ``links`` table from ``stream_links`` (junction-to-junction link graph
+# ``links`` table from ``stream_links_small`` (junction-to-junction link graph
 # with lengths + downstream pointers) — the reference walks whole-raster
 # arrays; the link table is O(drainage density × cells), so the graph
 # phase is tiny and the raster-scale work stayed distributed upstream.
@@ -324,7 +339,7 @@ def length_of_upstream_channels(links: list[dict]) -> dict[int, float]:
     return total
 
 
-def distance_to_outlet(stream_tiles: dict[int, np.ndarray], pointer_tiles: dict[int, bytes], spec):
+def distance_to_outlet_small(stream_tiles: dict[int, np.ndarray], pointer_tiles: dict[int, bytes], spec):
     """DistanceToOutlet (dist_to_outlet.rs): per stream cell, flow-path
     distance to the network outlet; non-stream cells → nodata."""
     from .basins import _doubling_to_targets, _pointer_mosaic
@@ -341,7 +356,7 @@ def distance_to_outlet(stream_tiles: dict[int, np.ndarray], pointer_tiles: dict[
     return out
 
 
-def farthest_channel_head(stream_tiles: dict[int, np.ndarray], pointer_tiles: dict[int, bytes], spec):
+def farthest_channel_head_small(stream_tiles: dict[int, np.ndarray], pointer_tiles: dict[int, bytes], spec):
     """FarthestChannelHead (farthest_channel_head.rs): per stream cell,
     the maximum upstream channel distance to any head."""
     from .basins import _pointer_mosaic
@@ -389,7 +404,7 @@ def distance_to_outlet_ds(stream_ds, pointer_ds, spec, num_workers: int = 4):
     cells: on a stream cell the D8 path stays in-network (accumulation
     is monotone non-decreasing downstream), so the flowpath length to
     the terminal IS the distance to the outlet. The single-grid
-    ``distance_to_outlet`` is kept as the small-scene parity reference.
+    ``distance_to_outlet_small`` is kept as the small-scene parity reference.
 
     Inputs/outputs are tile Datasets [tile_row, tile_col, bytes, fmt];
     nothing materializes on the driver."""
