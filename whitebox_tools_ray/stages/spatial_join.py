@@ -186,7 +186,7 @@ def clip_points(
     renumber_fid: bool = True,
     cell_level: int = 12,
     concurrency: int | None = None,
-    batch_size: int = 65536,
+    batch_size: int | None = 65536,
 ):
     """Clip (keep inside, clip.rs Point branch) or Erase (keep outside,
     erase.rs) a point Dataset against a broadcast polygon layer.
@@ -204,10 +204,11 @@ def clip_points(
     parts_ref = ray.put(parts)
     index_ref = ray.put(cell_index)
     fn = _ClipFn(parts_ref, index_ref, cell_level, mode == "clip", x_col, y_col)
+    bs_kw = {} if batch_size is None else {"batch_size": batch_size}
     out = points_ds.map_batches(
         fn,
         batch_format="pyarrow",
-        batch_size=batch_size,
+        **bs_kw,
     )
     if renumber_fid:
         # auto: survivor sets under ~10M rows rank via the driver-sorted
