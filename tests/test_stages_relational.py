@@ -87,3 +87,44 @@ class TestStats:
         edges, counts = histogram(ds, "v", bins=2)
         assert counts.tolist() == [10, 20]
         assert edges[0] == 0.0 and edges[-1] == 1.0
+
+
+class TestExactDistributedQuantiles:
+    """quantile_cuts past the driver cap: iterative histogram refinement
+    must reproduce np.quantile(..., 'linear') BIT-exactly (quantiles.rs
+    is exact over the whole raster; sampling was the r4 'weak' item)."""
+
+    def _check(self, v, nq, **kw):
+        import ray.data as rd
+
+        from whitebox_tools_ray.stages.stats import quantile_cuts
+
+        ds = rd.from_arrow(pa.table({"v": v})).repartition(16)
+        got = quantile_cuts(ds, "v", nq, **kw)
+        qs = np.linspace(0, 1, nq + 1)[1:-1]
+        exp = np.quantile(v, qs)
+        np.testing.assert_array_equal(got, exp)
+
+    def test_refinement_matches_numpy_bitwise(self, ray_session):
+        rng = np.random.default_rng(7)
+        v = rng.normal(size=2_200_000) * 1e3  # past the 2M default cap
+        # tiny cap + small bins force 3+ refinement rounds
+        self._check(v, 4, driver_cap=5_000, refine_bins=32)
+
+    def test_refinement_with_heavy_ties(self, ray_session):
+        rng = np.random.default_rng(11)
+        v = np.concatenate([
+            np.full(1_000_000, 42.0),          # huge tie block
+            rng.integers(0, 50, 1_200_000).astype(np.float64),
+        ])
+        self._check(v, 10, driver_cap=5_000, refine_bins=32)
+
+    def test_adjacent_float_interval(self, ray_session):
+        a = 1.0
+        b = np.nextafter(a, 2.0)
+        v = np.concatenate([np.full(1_100_000, a), np.full(1_100_000, b)])
+        self._check(v, 4, driver_cap=5_000, refine_bins=32)
+
+    def test_small_input_driver_path_unchanged(self, ray_session):
+        v = np.arange(1000, dtype=np.float64)
+        self._check(v, 4)

@@ -48,17 +48,140 @@ def zscores(ds, col: str, out_col: str = "zscore"):
     return ds.map_batches(remap, batch_format="pyarrow")
 
 
-def quantile_cuts(ds, col: str, num_quantiles: int, sample_limit: int = 2_000_000) -> np.ndarray:
-    """Quantile cut points. Exact when the column fits the driver cap,
-    else a uniform sample (documented approximation for 100 TB inputs;
-    the reference loads everything in RAM so exactness there is moot)."""
+def _order_stats_by_refinement(col_ds, col: str, n: int, ks: list[int],
+                               bins: int = 1024, driver_cap: int = 2_000_000,
+                               max_rounds: int = 64) -> dict[int, float]:
+    """EXACT 0-based order statistics of ``col`` at ranks ``ks`` by
+    iterative histogram refinement — the two-pass (in practice 2-4-pass)
+    scheme that replaces sampling at any scale:
+
+    1. one GA pass bins each pending rank's current [lo, hi] interval
+       into ``bins`` buckets (all pending ranks share the SAME pass —
+       the partial is one flat count vector);
+    2. the driver locates each rank's bucket (O(bins) per rank), narrows
+       the interval and accumulates the below-count — each round divides
+       the candidate count by ~``bins``, so 100 TB (1e12 rows) needs 2
+       rounds to reach a ≤2 M candidate set;
+    3. a final filtered pass pulls only the surviving candidates and
+       takes the exact order statistic driver-side.
+
+    The input streams once per round and never materializes; degenerate
+    intervals (all remaining values equal, or edges no longer
+    splittable in f64) resolve immediately."""
+    from ray.data.aggregate import Max, Min
+
+    agg = col_ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    # state per rank: [lo, hi, n_below, n_in_range] with values in
+    # [lo, hi] (both ends inclusive)
+    state: dict[int, list] = {int(k): [float(agg["lo"]), float(agg["hi"]), 0, n]
+                              for k in ks}
+    values: dict[int, float] = {}
+    for _ in range(max_rounds):
+        for k, (lo, hi, below, cnt) in list(state.items()):
+            if k in values:
+                continue
+            if lo == hi:
+                values[k] = lo  # all remaining candidates equal
+        # adjacent-float intervals can't histogram-split: every candidate
+        # is lo or hi, so one counting pass resolves them exactly
+        adjacent = [k for k in state
+                    if k not in values and state[k][3] > driver_cap
+                    and state[k][0] != state[k][1]
+                    and np.nextafter(state[k][0], state[k][1]) == state[k][1]]
+        if adjacent:
+            iv_adj = [(k, state[k][0]) for k in adjacent]
+
+            def count_lo(batch: pa.Table, iv_adj=iv_adj) -> pa.Table:
+                v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+                c = np.array([int((v == lo).sum()) for _, lo in iv_adj], dtype=np.int64)
+                return pa.table({"c": pa.array([c.tobytes()], pa.binary())})
+
+            pdf_adj = col_ds.map_batches(count_lo, batch_format="pyarrow").to_pandas()
+            n_lo = np.zeros(len(adjacent), dtype=np.int64)
+            for blob in pdf_adj["c"]:
+                n_lo += np.frombuffer(blob, dtype=np.int64)
+            for i, k in enumerate(adjacent):
+                lo, hi, below, _ = state[k]
+                values[k] = lo if (k - below) < int(n_lo[i]) else hi
+        pending = [k for k in state if k not in values and state[k][3] > driver_cap]
+        if not pending:
+            break
+        edges = np.stack([np.linspace(state[k][0], state[k][1], bins + 1)
+                          for k in pending])  # (P, bins+1)
+
+        # partial = ONE row per batch holding the flat count vector as
+        # bytes; the driver sums num_blocks tiny vectors (cheaper than
+        # len(pending)*bins named Dataset aggregations)
+        def partial(batch: pa.Table, edges=edges, pending=pending) -> pa.Table:
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            flat = np.zeros(len(pending) * bins, dtype=np.int64)
+            for i in range(len(pending)):
+                lo, hi = edges[i, 0], edges[i, -1]
+                sel = v[(v >= lo) & (v <= hi)]
+                if len(sel):
+                    flat[i * bins:(i + 1) * bins] = np.histogram(sel, bins=edges[i])[0]
+            return pa.table({"flat": pa.array([flat.tobytes()], pa.binary())})
+
+        parts = col_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        total = np.zeros(len(pending) * bins, dtype=np.int64)
+        for blob in parts["flat"]:
+            total += np.frombuffer(blob, dtype=np.int64)
+        for i, k in enumerate(pending):
+            counts = total[i * bins:(i + 1) * bins]
+            lo, hi, below, _ = state[k]
+            cum = np.cumsum(counts)
+            j = int(np.searchsorted(cum, k - below + 1))
+            new_below = below + (int(cum[j - 1]) if j else 0)
+            e = np.linspace(lo, hi, bins + 1)
+            # np.histogram buckets are [e_j, e_{j+1}) except the last,
+            # which is closed — keep the same convention in the state
+            state[k] = [float(e[j]), float(e[j + 1]), new_below, int(counts[j])]
+    # final exact pass over every unresolved rank's candidate interval
+    todo = [k for k in state if k not in values]
+    if todo:
+        iv = [(k, state[k][0], state[k][1]) for k in todo]
+
+        def collect(batch: pa.Table, iv=iv) -> pa.Table:
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ids, vals = [], []
+            for idx, (_, lo, hi) in enumerate(iv):
+                sel = v[(v >= lo) & (v <= hi)]
+                ids.append(np.full(len(sel), idx, dtype=np.int64))
+                vals.append(sel)
+            return pa.table({"i": pa.array(np.concatenate(ids) if ids else [], pa.int64()),
+                             "v": pa.array(np.concatenate(vals) if vals else [], pa.float64())})
+
+        cand = col_ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for idx, (k, lo, hi) in enumerate(iv):
+            vs = np.sort(cand.loc[cand["i"] == idx, "v"].to_numpy(np.float64))
+            values[k] = float(vs[k - state[k][2]])
+    return values
+
+
+def quantile_cuts(ds, col: str, num_quantiles: int, driver_cap: int = 2_000_000,
+                  refine_bins: int = 1024) -> np.ndarray:
+    """EXACT quantile cut points at any scale (quantiles.rs parity —
+    the reference computes exact quantiles over the whole in-RAM
+    raster). Columns at or under ``driver_cap`` rows pull to the driver
+    (one pass); larger inputs use iterative histogram refinement
+    (``_order_stats_by_refinement``) — still exact, 2-4 streaming
+    passes, never materializing the column. Both paths reproduce
+    ``np.quantile(..., method='linear')`` bit-for-bit."""
     n = ds.count()
     col_ds = ds.select_columns([col])
-    if n > sample_limit:
-        col_ds = col_ds.random_sample(sample_limit / n, seed=42)
-    v = col_ds.to_pandas()[col].to_numpy(np.float64)
     qs = np.linspace(0, 1, num_quantiles + 1)[1:-1]
-    return np.quantile(v, qs)
+    if n <= driver_cap:
+        v = col_ds.to_pandas()[col].to_numpy(np.float64)
+        return np.quantile(v, qs)
+    h = (n - 1) * qs
+    lo_k = np.floor(h).astype(np.int64)
+    hi_k = np.ceil(h).astype(np.int64)
+    stats = _order_stats_by_refinement(
+        col_ds, col, n, sorted(set(lo_k) | set(hi_k)),
+        bins=refine_bins, driver_cap=driver_cap)
+    frac = h - lo_k
+    return np.array([stats[int(a)] + f * (stats[int(b)] - stats[int(a)])
+                     for a, b, f in zip(lo_k, hi_k, frac)])
 
 
 def quantiles(ds, col: str, num_quantiles: int = 4, out_col: str = "quantile"):
