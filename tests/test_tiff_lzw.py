@@ -382,3 +382,62 @@ class TestBigTiff:
         out = tiff_codec.parse_geotiff(blob)
         np.testing.assert_allclose(out["grid"], grid.astype(np.float32).astype(np.float64))
         assert out["meta"]["pixel_scale"][0] == 90.0
+
+
+class TestProductionLzwEncoder:
+    """kernels/tiff_codec._lzw_encode (the shipping writer codec) must
+    agree bit-for-bit with the spec-derived test-side encoder above and
+    with the hand-packed anchor stream."""
+
+    def test_matches_spec_encoder_bitwise(self):
+        rng = np.random.default_rng(5)
+        cases = [
+            b"", b"Z", b"\x07\x07\x07\x08\x08\x07\x07\x06\x06",
+            bytes(rng.integers(0, 256, 30_000, dtype=np.uint8)),
+            bytes(rng.integers(0, 5, 120_000, dtype=np.uint8)),
+            bytes(range(256)) * 30,
+        ]
+        for data in cases:
+            assert T._lzw_encode(data) == lzw_encode(data)
+
+    def test_decoder_round_trip(self):
+        rng = np.random.default_rng(9)
+        data = bytes(rng.integers(0, 256, 60_000, dtype=np.uint8))
+        assert T._lzw_decode(T._lzw_encode(data)) == data
+
+    def test_writer_lzw_file_round_trip(self):
+        g = ((np.arange(130)[:, None] * 31 + np.arange(90)[None, :] * 17) % 97).astype(
+            np.float64
+        )
+        blob = T.write_geotiff(g, nodata=-9999.0, dtype="f8", compress="lzw")
+        parsed = T.parse_geotiff(blob)
+        assert np.array_equal(parsed["grid"], g)
+        # compression tag really is LZW (5), not deflate
+        bo, ifd, _ = "<", T._read_ifd(blob, "<"), None
+        assert ifd[259] == 5
+
+
+class TestBigTiffWrite:
+    """BigTIFF (magic 43) writer: 8-byte offsets, 20-byte entries,
+    LONG8 strip offsets/counts — read back through the repo's BigTIFF
+    reader (which is pinned against the reference's BigTIFF branch,
+    geotiff/mod.rs:50-71)."""
+
+    def test_forced_bigtiff_round_trip(self):
+        g = ((np.arange(100)[:, None] * 31 + np.arange(80)[None, :] * 17) % 97).astype(
+            np.float64
+        )
+        for comp in ("lzw", "deflate", False):
+            blob = T.write_geotiff(g, nodata=-1.0, pixel_scale=(2.0, 2.0),
+                                   tiepoint=(0, 0, 0, 10, 20, 0), dtype="f8",
+                                   compress=comp, bigtiff=True)
+            assert struct.unpack_from("<H", blob, 2)[0] == 43
+            back = T.parse_geotiff(blob)
+            assert np.array_equal(back["grid"], g)
+            assert back["meta"]["nodata"] == -1.0
+            assert back["meta"]["pixel_scale"] == (2.0, 2.0)
+
+    def test_auto_select_stays_classic_when_small(self):
+        g = np.zeros((16, 16))
+        blob = T.write_geotiff(g, dtype="f8")
+        assert struct.unpack_from("<H", blob, 2)[0] == 42

@@ -145,6 +145,61 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavour LZW encoder (TIFF6 §13), the inverse of
+    ``_lzw_decode``: MSB-first variable-width codes from 9 bits,
+    ClearCode=256, EOI=257, encoder-side 'early change' width bump when
+    the next free code reaches 2^w - 1, table reset at 4094 entries.
+    The reference writes LZW output (raster/geotiff/mod.rs); round-trip
+    compatibility is pinned against this repo's decoder, which itself
+    is pinned bit-exact against the reference's shipped LZW files."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = 258
+    emit(CLEAR)
+    prev = -1
+    for b in data:
+        if prev < 0:
+            prev = b
+            continue
+        key = (prev, b)
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        emit(prev)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(CLEAR)
+            table.clear()
+            next_code = 258
+            width = 9
+        prev = b
+    if prev >= 0:
+        emit(prev)
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _packbits_decode(data: bytes) -> bytes:
     """Apple PackBits RLE (TIFF6 §9)."""
     out = bytearray()
@@ -294,10 +349,16 @@ def write_geotiff(
     pixel_scale: tuple | None = None,
     tiepoint: tuple | None = None,
     dtype: str = "f4",
-    compress: bool = True,
+    compress: bool | str = True,
+    bigtiff: bool | None = None,
 ) -> bytes:
     """Serialize one grid → classic little-endian GeoTIFF (one strip per
-    64 rows, Deflate-compressed by default).
+    64 rows). ``compress``: "lzw" (the reference's write codec,
+    raster/geotiff/mod.rs), "deflate" (or True, the legacy default),
+    or False/None for uncompressed. ``bigtiff``: True forces the
+    BigTIFF (magic 43) layout — 8-byte offsets, 20-byte IFD entries,
+    LONG8 strip offsets/counts; None (default) auto-selects it when
+    the payload would overflow classic TIFF's u32 offsets.
 
     ``dtype`` "u1/u2/u4/i1/i2/i4/f4/f8" writes a single band;
     "rgb8"/"rgba8" writes chunky 8-bit RGB(A) from the packed-composite
@@ -323,10 +384,19 @@ def write_geotiff(
         data = np.ascontiguousarray(grid, dtype=dt)
         fmt = 3 if dt.kind == "f" else (2 if dt.kind == "i" else 1)
         bits = dt.itemsize * 8
+    if compress is True:
+        compress = "deflate"
+    if compress not in ("deflate", "lzw", False, None):
+        raise ValueError(f"compress must be 'deflate', 'lzw' or falsy, got {compress!r}")
+    comp_tag = {"deflate": 8, "lzw": 5}.get(compress, 1)
     strips = []
     for r0 in range(0, height, rps):
         raw = data[r0 : r0 + rps].tobytes()
-        strips.append(zlib.compress(raw, 6) if compress else raw)
+        if compress == "deflate":
+            raw = zlib.compress(raw, 6)
+        elif compress == "lzw":
+            raw = _lzw_encode(raw)
+        strips.append(raw)
 
     entries = []  # (tag, type, count, packed-value or bytes-to-place)
     extra = bytearray()  # out-of-line values, offsets fixed later
@@ -340,16 +410,21 @@ def write_geotiff(
         packed = struct.pack("<" + str(cnt) + fmt_ch, *values)
         entries.append([tag, typ, cnt, packed])
 
+    if bigtiff is None:
+        bigtiff = sum(len(s) for s in strips) + 65536 > 0xFFFFFFFF
+    off_typ = 16 if bigtiff else 4  # LONG8 in BigTIFF
+    off_fmt = "Q" if bigtiff else "I"
+
     nod_str = None
     entry(256, 4, width)
     entry(257, 4, height)
     entry(258, 3, [bits] * spp)
-    entry(259, 3, 8 if compress else 1)
+    entry(259, 3, comp_tag)
     entry(262, 3, 2 if spp > 1 else 1)  # RGB / BlackIsZero
-    entry(273, 4, [0] * len(strips))  # placeholder strip offsets
+    entry(273, off_typ, [0] * len(strips))  # placeholder strip offsets
     entry(277, 3, spp)
     entry(278, 4, rps)
-    entry(279, 4, [len(s) for s in strips])
+    entry(279, off_typ, [len(s) for s in strips])
     if spp == 4:
         entry(338, 3, 2)  # ExtraSamples: unassociated alpha
     entry(339, 3, [fmt] * spp)
@@ -362,39 +437,52 @@ def write_geotiff(
         entries.append([42113, 2, len(nod_str), nod_str])
     entries.sort(key=lambda e: e[0])
 
-    header = struct.pack("<2sHI", b"II", 42, 8)
-    ifd_size = 2 + 12 * len(entries) + 4
-    data_start = 8 + ifd_size
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+        ifd_size = 8 + 20 * len(entries) + 8
+        data_start = 16 + ifd_size
+        inline_cap = 8
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
+        ifd_size = 2 + 12 * len(entries) + 4
+        data_start = 8 + ifd_size
+        inline_cap = 4
     # lay out out-of-line entry values first, then strip data
     pos = data_start
     placed = []
     for tag, typ, cnt, packed in entries:
-        if len(packed) > 4:
+        if len(packed) > inline_cap:
             placed.append((tag, typ, cnt, None, pos, packed))
             pos += len(packed)
         else:
-            placed.append((tag, typ, cnt, packed.ljust(4, b"\x00"), None, packed))
+            placed.append((tag, typ, cnt, packed.ljust(inline_cap, b"\x00"), None, packed))
     strip_offsets = []
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
     # patch the strip-offset entry now that positions are known
-    so_packed = struct.pack("<" + str(len(strips)) + "I", *strip_offsets)
+    so_packed = struct.pack("<" + str(len(strips)) + off_fmt, *strip_offsets)
     for i, (tag, typ, cnt, inline, off, packed) in enumerate(placed):
         if tag == 273:
-            if len(so_packed) > 4:
+            if len(so_packed) > inline_cap:
                 placed[i] = (tag, typ, cnt, None, off, so_packed)
             else:
-                placed[i] = (tag, typ, cnt, so_packed.ljust(4, b"\x00"), None, so_packed)
+                placed[i] = (tag, typ, cnt, so_packed.ljust(inline_cap, b"\x00"), None, so_packed)
 
     out = bytearray(header)
-    out += struct.pack("<H", len(entries))
+    out += struct.pack("<Q" if bigtiff else "<H", len(entries))
     for tag, typ, cnt, inline, off, packed in placed:
-        if inline is not None:
-            out += struct.pack("<HHI", tag, typ, cnt) + inline
+        if bigtiff:
+            if inline is not None:
+                out += struct.pack("<HHQ", tag, typ, cnt) + inline
+            else:
+                out += struct.pack("<HHQQ", tag, typ, cnt, off)
         else:
-            out += struct.pack("<HHII", tag, typ, cnt, off)
-    out += struct.pack("<I", 0)  # no next IFD
+            if inline is not None:
+                out += struct.pack("<HHI", tag, typ, cnt) + inline
+            else:
+                out += struct.pack("<HHII", tag, typ, cnt, off)
+    out += struct.pack("<Q" if bigtiff else "<I", 0)  # no next IFD
     for tag, typ, cnt, inline, off, packed in placed:
         if inline is None:
             assert len(out) == off, (len(out), off, tag)

@@ -3156,8 +3156,9 @@ def q_shp_round_trip_sql() -> str:
 
 def q_geotiff_round_trip(sf_dir: str):
     """GeoTIFF ingest gate: the 64x64 analytic DEM streams through the
-    pure-python GeoTIFF writer (deflate-compressed strips, ModelPixelScale
-    / ModelTiepoint tags — geotiff/mod.rs parity) and back through
+    pure-python GeoTIFF writer (LZW-compressed strips — the reference's
+    write codec, geotiff/mod.rs — with ModelPixelScale / ModelTiepoint
+    tags) and back through
     read_geotiff_tiles' re-tiling parse. Cell values are integers mod 97
     so the f64 round trip is bit-exact."""
     import shutil

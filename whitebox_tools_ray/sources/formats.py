@@ -200,7 +200,7 @@ def read_geotiff_tiles(paths, tile_px: int = 128):
 
 
 def write_geotiff(tiles_ds, spec, out_path: str, nodata: float | None = None,
-                  compress: bool = True, dtype: str = "f4") -> None:
+                  compress: bool | str = "lzw", dtype: str = "f4") -> None:
     """Engine tile table → one GeoTIFF. The tile table streams through a
     groupby-free path: tiles land in a preallocated grid driver-side ONLY
     for single-sheet export (the reference's write model is one whole
