@@ -250,6 +250,101 @@ def _raw_task_ceiling(ncpu: int) -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
+def _mem_bandwidth(nprocs: int, mb: int = 256, secs: float = 2.0) -> float:
+    """Aggregate streaming-read bandwidth (GB/s) at ``nprocs`` parallel
+    readers — the hard ceiling for any byte-bound stage on this box.
+    The r4 review accepted this as the argument that 8->32 efficiency
+    is socket-limited, so it is re-measured alongside every scaling
+    protocol run (a one-off number would go stale with tenant load)."""
+    code = (
+        "import numpy as np, time, sys\n"
+        "from multiprocessing import Process, Queue\n"
+        f"N = {mb} * 1024 * 1024 // 8\n"
+        "def worker(q):\n"
+        "    a = np.arange(N, dtype=np.float64)\n"
+        "    t0 = time.time(); n = 0\n"
+        f"    while time.time() - t0 < {secs}:\n"
+        "        n += 1\n"
+        "        _ = a.sum()\n"
+        "    q.put(n * a.nbytes / (time.time() - t0))\n"
+        "q = Queue()\n"
+        f"ps = [Process(target=worker, args=(q,)) for _ in range({nprocs})]\n"
+        "[p.start() for p in ps]\n"
+        f"tot = sum(q.get() for _ in range({nprocs}))\n"
+        "[p.join() for p in ps]\n"
+        "print(tot / 1e9)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True)
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def _parse_stage_bytes(stats: str) -> dict:
+    """Per-operator output rows/bytes from Dataset.stats() — the shuffle
+    audit: all-to-all operators show up with their full exchanged
+    volume, fused map stages show only their streamed output."""
+    import re
+
+    stages = {}
+    cur = None
+    for line in stats.splitlines():
+        m = re.match(r"Operator \d+ (\S+):", line)
+        if m:
+            cur = m.group(1)
+            stages[cur] = {}
+            continue
+        if cur is None:
+            continue
+        m = re.search(r"Output num rows per block: .* (\d+) total", line)
+        if m:
+            stages[cur]["rows"] = int(m.group(1))
+        m = re.search(r"Output size bytes per block: .* (\d+) total", line)
+        if m:
+            stages[cur]["bytes"] = int(m.group(1))
+    return stages
+
+
+def run_shuffle_audit() -> dict:
+    """Per-stage output volumes for the two headline pipelines plus one
+    deliberately shuffle-bearing suite query — the N->4N-node
+    extrapolation's missing term (exchange bytes per stage)."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import pyarrow as pa
+
+    from whitebox_tools_ray.pipelines import relational as R
+    from whitebox_tools_ray.sources.vectors import fixture_polygons
+    from whitebox_tools_ray.stages.spatial_join import clip_points
+
+    out: dict = {"metric": "per-stage output volumes (shuffle audit)",
+                 "sf": sf_dir, "num_cpus": num_cpus, "pipelines": {}}
+
+    def replicate(b: "pa.Table") -> "pa.Table":
+        rid = b["record_id"].to_numpy(zero_copy_only=False)
+        return pa.concat_tables([
+            b.set_column(b.schema.get_field_index("record_id"), "record_id",
+                         pa.array(rid + k * 100_000_000, pa.int64()))
+            for k in range(8)
+        ])
+
+    pts = R.synth_points(sf_dir).map_batches(replicate, batch_format="pyarrow",
+                                             batch_size=65536)
+    joined = clip_points(pts, fixture_polygons(), renumber_fid=False)
+    joined = joined.materialize()
+    out["pipelines"]["spatial_join"] = _parse_stage_bytes(joined.stats())
+
+    grouped = R.q_dedup_exact(sf_dir)  # groupby -> real hash shuffle
+    if hasattr(grouped, "materialize"):
+        grouped = grouped.materialize()
+        out["pipelines"]["dedup_exact"] = _parse_stage_bytes(grouped.stats())
+    ray.shutdown()
+    return out
+
+
 def run_scaling(repeats: int | None = None) -> dict:
     """BASELINE.md protocol: fresh processes per config, ≥3 repeats.
 
@@ -319,6 +414,8 @@ def run_scaling(repeats: int | None = None) -> dict:
         hi_runs.append(one(32))
     ceil_8 = min(_raw_task_ceiling(8) for _ in range(2))
     ceil_32 = min(_raw_task_ceiling(32) for _ in range(2))
+    bw = {n: round(max(_mem_bandwidth(n) for _ in range(2)), 1) for n in (1, 8, 32)}
+    bw_ceiling = round((bw[32] / bw[8]) / 4.0, 3) if bw[8] else None
     lo_med = sorted(lo_runs, key=lambda r: r["value"])[len(lo_runs) // 2]
     hi_med = sorted(hi_runs, key=lambda r: r["value"])[len(hi_runs) // 2]
     lo_min = min(r["value"] for r in lo_runs)
@@ -339,6 +436,8 @@ def run_scaling(repeats: int | None = None) -> dict:
         "loadavg_during": [round(r["loadavg"], 1) for r in lo_runs + hi_runs],
         "raw_task_ceiling_sec": {"8": round(ceil_8, 2), "32": round(ceil_32, 2)},
         "raw_task_ceiling_efficiency": round(ceiling_eff, 3),
+        "mem_bandwidth_GBps": bw,
+        "mem_bandwidth_ceiling_8_32": bw_ceiling,
         "scaling_efficiency": round(eff_med, 3),
         "scaling_efficiency_min": round(eff_min, 3),
         "relative_efficiency": round(eff_min / ceiling_eff, 3) if ceiling_eff else None,
@@ -348,5 +447,7 @@ def run_scaling(repeats: int | None = None) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--shuffle-audit" in sys.argv:
+        print(json.dumps(run_shuffle_audit()))
     else:
         print(json.dumps(run_bench()))
