@@ -94,8 +94,10 @@ def run_bench() -> dict:
     # spindle serializes the write phase identically at 8 and 32 CPUs.
     bench_root = os.environ.get("BENCH_DIR", "/tmp/wbt_bench")
     tiles_path = f"{bench_root}/tiles_{tx}x{ty}x{tpx}_{fmt}"
+    rpf = int(os.environ.get("BENCH_ROWS_PER_FILE", "512"))
+    tiles_path += f"_r{rpf}" if rpf != 512 else ""
     if not os.path.isdir(tiles_path) or not os.listdir(tiles_path):
-        synthesize_tiles_parallel(spec, tiles_path, fmt=fmt)
+        synthesize_tiles_parallel(spec, tiles_path, fmt=fmt, rows_per_file=rpf)
 
     queries: dict[str, float] = {}
 

@@ -55,7 +55,8 @@ def _patch_fsspec_http_probe():
         pass
 
 
-def synthesize_tiles_parallel(spec: tsrc.SceneSpec, out_path: str, fmt: str = "f32", num_bands: int = 4):
+def synthesize_tiles_parallel(spec: tsrc.SceneSpec, out_path: str, fmt: str = "f32", num_bands: int = 4,
+                              rows_per_file: int = 512):
     """Generate a scene's tile table WITH Ray (NewRasterFromBase analog):
     range over tile ids → per-batch field evaluation + encode → parquet,
     laid out one directory per tile-row band (``band=K/``) so the banded
@@ -100,14 +101,30 @@ def synthesize_tiles_parallel(spec: tsrc.SceneSpec, out_path: str, fmt: str = "f
         ids_lo, ids_hi = lo * spec.tiles_x, hi * spec.tiles_x
         if ids_lo == ids_hi:
             continue
-        ds = rd.range(ids_hi - ids_lo).map_batches(
+        # one BLOCK per rows_per_file rows: write_parquet emits one file
+        # per block (min_rows_per_file only merges, never splits), so
+        # this is the only way to actually control the output file
+        # count — and file count IS the downstream tiling pipeline's
+        # task granularity (it fuses one task per file). The previous
+        # range default yielded 16 files/band = 16 fused tasks, which
+        # at 32 CPUs x 2 bands in flight is exactly one task wave with
+        # zero straggler slack (measured: long 90%-idle stretches).
+        n_blocks = max(1, -(-(ids_hi - ids_lo) // rows_per_file))
+        ds = rd.range(ids_hi - ids_lo, override_num_blocks=n_blocks).map_batches(
             lambda t, off=ids_lo: synth(t.set_column(0, "id", pa.array(t["id"].to_numpy(zero_copy_only=False) + off))),
             batch_format="pyarrow",
             batch_size=32,
         )
         # bound the file count: many tiny parquet files make every
-        # downstream read pay per-file metadata costs
-        ds.write_parquet(os.path.join(out_path, f"band={b}"), min_rows_per_file=512)
+        # downstream read pay per-file metadata costs — and, because the
+        # tiling pipeline fuses read->assign->decode->write ONE TASK PER
+        # FILE, rows_per_file IS the pipeline's block granularity: the
+        # streaming executor's per-block driver cost is a measured
+        # anti-scaling term on one node (same total work at 64 vs 256
+        # blocks: 0.70 vs 0.43 efficiency 8->32 CPUs), so larger files
+        # amortize it
+        ds.write_parquet(os.path.join(out_path, f"band={b}"),
+                         min_rows_per_file=rows_per_file)
     return out_path
 
 
