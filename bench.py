@@ -96,7 +96,21 @@ def run_bench() -> dict:
     tiles_path = f"{bench_root}/tiles_{tx}x{ty}x{tpx}_{fmt}"
     rpf = int(os.environ.get("BENCH_ROWS_PER_FILE", "512"))
     tiles_path += f"_r{rpf}" if rpf != 512 else ""
-    if not os.path.isdir(tiles_path) or not os.listdir(tiles_path):
+
+    def _layout_ok() -> bool:
+        # a cached input synthesized before the granularity fix has ~4x
+        # fewer files than requested; file count IS the tiling stage's
+        # task granularity, so regenerate when it doesn't match
+        band0 = os.path.join(tiles_path, "band=0")
+        if not os.path.isdir(band0):
+            return False
+        n_files = sum(1 for f in os.listdir(band0) if f.endswith(".parquet"))
+        rows_band0 = (ty // 4) * tx  # first band of the 4-band split
+        expect = max(1, -(-rows_band0 // rpf))
+        return n_files >= expect // 2
+
+    if not os.path.isdir(tiles_path) or not os.listdir(tiles_path) or not _layout_ok():
+        shutil.rmtree(tiles_path, ignore_errors=True)
         synthesize_tiles_parallel(spec, tiles_path, fmt=fmt, rows_per_file=rpf)
 
     queries: dict[str, float] = {}
