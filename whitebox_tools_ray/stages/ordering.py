@@ -113,11 +113,15 @@ def zip_with_order_index(
 
 
 def _block_refs(mat_ds):
-    """Ordered block refs of a materialized Dataset (data stays in the
-    object store; only refs + metadata come to the driver)."""
+    """Ordered NON-EMPTY block refs of a materialized Dataset (data
+    stays in the object store; only refs + metadata come to the
+    driver). Empty blocks are dropped — they can carry an empty schema
+    that would poison the re-assembled dataset's schema union."""
     refs = []
     for bundle in mat_ds.iter_internal_ref_bundles():
-        refs.extend(bundle.block_refs)
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
     return refs
 
 
@@ -141,10 +145,17 @@ def _broadcast_strategy(mat_ds, order_col: str, index_col: str, start: int,
 
     cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     refs = _block_refs(mat_ds)
+    if not refs:  # all blocks empty — typed empty result
+        schema = mat_ds.schema()
+        fields = list(zip(schema.names, schema.types)) + [(index_col, pa.int64())]
+        empty = pa.table({n: pa.array([], type=t) for n, t in fields})
+        return rd.from_arrow(empty)
 
     @ray.remote
     def pull_keys(block):
         t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        if t.num_rows == 0:  # empty blocks may carry an empty schema
+            return {c: np.array([], dtype=np.int64) for c in cols}
         return {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
 
     key_parts = ray.get([pull_keys.remote(r) for r in refs])
@@ -164,6 +175,8 @@ def _broadcast_strategy(mat_ds, order_col: str, index_col: str, start: int,
         @ray.remote
         def assign_tb(block):
             t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            if t.num_rows == 0:
+                return t.append_column(index_col, pa.array([], pa.int64()))
             sk, st = ray.get(ref)
             k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
             tbv = t[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.float64).view(np.int64)
@@ -185,6 +198,8 @@ def _broadcast_strategy(mat_ds, order_col: str, index_col: str, start: int,
     @ray.remote
     def assign_blk(block):
         t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        if t.num_rows == 0:
+            return t.append_column(index_col, pa.array([], pa.int64()))
         sorted_keys = ray.get(ref)
         k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         rank = np.searchsorted(sorted_keys, k)
