@@ -163,12 +163,24 @@ def coincident_dedup(
 
     keys = ["__q_" + c for c in cols]
 
+    # coarse salt (key-hash % 64) + one vectorized within-partition
+    # groupby, NOT groupby(keys) directly — per-distinct-key map_groups
+    # pays a pandas call per surviving point (the jaccard/distinct-scan
+    # lesson: ~100k tiny groups ≈ tens of seconds of pure overhead)
+    def add_salt(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(batch.num_rows, dtype=np.int64)
+        for k in keys:
+            acc = acc * 1_000_003 + batch[k].to_numpy(zero_copy_only=False)
+        return batch.append_column("__salt", pa.array(acc % 64))
+
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col).drop(columns=keys)
+        idx = g.groupby(keys, sort=False)[id_col].idxmin()
+        return g.loc[idx].drop(columns=keys + ["__salt"])
 
     return (
         ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby(keys)
+        .map_batches(add_salt, batch_format="pyarrow")
+        .groupby("__salt")
         .map_groups(keep_first, batch_format="pandas")
     )
 
@@ -262,24 +274,57 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a: list = []
-        b: list = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    # coarse salt (bucket-hash % 64) + one vectorized kernel per salt
+    # partition: grouping directly on (band_id, band_hash) pays one
+    # pandas call per DISTINCT BUCKET (≈ bands × docs tiny groups)
+    P = 64
 
-    pairs = rows.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    def add_salt(batch: pa.Table) -> pa.Table:
+        bi = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("__salt", pa.array((bi * 1_000_003 + bh) % P))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            g[id_col].to_numpy(),
+            g["band_hash"].to_numpy(),
+            g["band_id"].to_numpy(),
+        ))
+        bi = g["band_id"].to_numpy()[order]
+        bh = g["band_hash"].to_numpy()[order]
+        ids = g[id_col].to_numpy()[order]
+        key = bi.astype(np.int64) * 1_000_003 + bh.astype(np.int64)
+        _, starts, counts = np.unique(key, return_index=True, return_counts=True)
+        a_parts, b_parts = [], []
+        for s0, n in zip(starts[counts >= 2], counts[counts >= 2]):
+            ii, jj = np.triu_indices(int(n), 1)
+            a_parts.append(ids[s0 + ii])
+            b_parts.append(ids[s0 + jj])
+        if not a_parts:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(a_parts),
+                             "id_b": np.concatenate(b_parts)})
+
+    pairs = (
+        rows.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("__salt")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def add_psalt(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return batch.append_column("__salt", pa.array((a * 1_000_003 + b) % P))
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns="__salt")
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return (
+        pairs.map_batches(add_psalt, batch_format="pyarrow")
+        .groupby("__salt")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -747,50 +792,85 @@ def ngram_jaccard_pairs(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
+    # Both exchange stages group by a COARSE salt (hash % 64) and run
+    # ONE vectorized kernel per partition: grouping directly on the
+    # shingle / pair key spawns a pandas call per DISTINCT key (~100 k
+    # tiny groups on the sf0.01 gate, measured ~20 s of pure per-group
+    # overhead; the salted form is ~1 s). Results are identical — the
+    # salt only controls co-location granularity.
+    P = 64
+
+    def add_shp(batch: pa.Table) -> pa.Table:
+        sh = batch["sh"].to_numpy(zero_copy_only=False)
+        return batch.append_column("shp", pa.array(sh % P))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n > hot_cap:
-            sh = int(g["sh"].iloc[0])
+        # all shingles of one salt partition at once
+        order = np.lexsort((g["id"].to_numpy(), g["sh"].to_numpy()))
+        sh = g["sh"].to_numpy()[order]
+        ids = g["id"].to_numpy()[order]
+        szs = g["sz"].to_numpy()[order]
+        uniq, starts, counts = np.unique(sh, return_index=True, return_counts=True)
+        hot = counts > hot_cap
+        if hot.any():
             if strict:
                 raise ValueError(
-                    f"ngram_jaccard_pairs: shingle {sh:#x} shared by {n} docs "
-                    f"exceeds hot_cap={hot_cap}; exactness would degrade "
-                    "(pre-filter stop-shingles or raise hot_cap)"
+                    f"ngram_jaccard_pairs: {int(hot.sum())} shingle(s) shared by "
+                    f"up to {int(counts.max())} docs exceed hot_cap={hot_cap}; "
+                    "exactness would degrade (pre-filter stop-shingles or "
+                    "raise hot_cap)"
                 )
             import logging
 
-            logging.getLogger(__name__).warning(
-                "ngram_jaccard_pairs: dropping hot shingle %#x shared by %d "
-                "docs (hot_cap=%d) — intersections involving it are "
-                "undercounted", sh, n, hot_cap,
-            )
-        if n < 2 or n > hot_cap:
+            for s, n in zip(uniq[hot], counts[hot]):
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: dropping hot shingle %#x shared by "
+                    "%d docs (hot_cap=%d) — intersections involving it are "
+                    "undercounted", int(s), int(n), hot_cap,
+                )
+        ia, ib, sa, sb = [], [], [], []
+        for s0, n in zip(starts[(counts >= 2) & ~hot], counts[(counts >= 2) & ~hot]):
+            ii, jj = np.triu_indices(int(n), 1)
+            ia.append(ids[s0 + ii])
+            ib.append(ids[s0 + jj])
+            sa.append(szs[s0 + ii])
+            sb.append(szs[s0 + jj])
+        if not ia:
             return pd.DataFrame(
                 {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
                  "sz_a": pd.Series([], dtype="int64"), "sz_b": pd.Series([], dtype="int64")}
             )
-        order = np.argsort(g["id"].to_numpy())
-        ids = g["id"].to_numpy()[order]
-        szs = g["sz"].to_numpy()[order]
-        ii, jj = np.triu_indices(n, 1)
         return pd.DataFrame(
-            {"id_a": ids[ii], "id_b": ids[jj], "sz_a": szs[ii], "sz_b": szs[jj]}
+            {"id_a": np.concatenate(ia), "id_b": np.concatenate(ib),
+             "sz_a": np.concatenate(sa), "sz_b": np.concatenate(sb)}
         )
 
-    pairs = exploded.groupby("sh").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = (
+        exploded.map_batches(add_shp, batch_format="pyarrow")
+        .groupby("shp")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def add_pp(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return batch.append_column("pp", pa.array((a * 1_000_003 + b) % P))
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
-        inter = len(g)
-        sa, sb = int(g["sz_a"].iloc[0]), int(g["sz_b"].iloc[0])
-        j = inter / (sa + sb - inter)
-        if j < threshold:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
-                 "jaccard": pd.Series([], dtype="float64")}
-            )
+        agg = (
+            g.groupby(["id_a", "id_b"], as_index=False)
+            .agg(inter=("sz_a", "size"), sz_a=("sz_a", "first"), sz_b=("sz_b", "first"))
+        )
+        j = agg["inter"] / (agg["sz_a"] + agg["sz_b"] - agg["inter"])
+        keep = j >= threshold
         return pd.DataFrame(
-            {"id_a": [int(g["id_a"].iloc[0])], "id_b": [int(g["id_b"].iloc[0])],
-             "jaccard": [round(j, 6)]}
+            {"id_a": agg.loc[keep, "id_a"].astype(np.int64),
+             "id_b": agg.loc[keep, "id_b"].astype(np.int64),
+             "jaccard": np.round(j[keep].to_numpy(np.float64), 6)}
         )
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(score, batch_format="pandas")
+    return (
+        pairs.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(score, batch_format="pandas")
+    )

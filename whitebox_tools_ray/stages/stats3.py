@@ -248,14 +248,26 @@ def distinct_value_scan(ds, val_col: str, sum_cols: list[str]):
         agg = pdf.groupby(val_col, sort=False)[sum_cols].sum().reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    # combiner inside map_batches → small shuffle → final per-value sums
-    pre = ds.map_batches(partial, batch_format="pyarrow")
+    # combiner inside map_batches → small shuffle → final per-value sums.
+    # The final merge groups by a COARSE salt (value-hash % 64), one
+    # vectorized pandas groupby per partition — grouping directly on
+    # val_col spawns one pandas call per DISTINCT VALUE (15 k calls on
+    # sf0.01 orders, measured ~17 s of pure per-group overhead).
+    P = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("__part", pa.array(v.view(np.int64) % P))
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(val_col, as_index=False)[sum_cols].sum()
+
+    pre = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
+    )
     distinct = (
-        pre.groupby(val_col)
-        .map_groups(
-            lambda g: g.groupby(val_col, as_index=False)[sum_cols].sum(),
-            batch_format="pandas",
-        )
+        pre.groupby("__part")
+        .map_groups(merge_part, batch_format="pandas")
         .sort(val_col)
         .materialize()
     )
