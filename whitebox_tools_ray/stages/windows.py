@@ -85,24 +85,48 @@ def session(ds, key_col: str, ts_col: str, value_col: str, gap_s: int = 1800):
 
     gap_us = gap_s * US_PER_SEC
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new_session)
-        out = []
-        for s in np.unique(sid):
-            m = sid == s
-            out.append(
-                {
-                    key_col: g[key_col].iloc[0],
-                    "session_start_us": int(ts[m].min()),
-                    "n": int(m.sum()),
-                    "total": round(float(g[value_col].to_numpy()[m].sum()), 6),
-                    "duration_s": round(float((ts[m].max() - ts[m].min()) / US_PER_SEC), 6),
-                }
-            )
-        return pd.DataFrame(out)
+    # coarse key-salt (one vectorized kernel per partition) instead of
+    # one pandas call per distinct key — all keys of a salt partition
+    # sessionize in one sorted sweep; a session break also falls on
+    # every key change
+    def add_salt(batch):
+        import pyarrow as _pa
 
-    return ds.groupby(key_col).map_groups(sessionize, batch_format="pandas")
+        k = batch[key_col]
+        try:
+            kv = k.to_numpy(zero_copy_only=False).astype(np.int64)
+        except (ValueError, TypeError):
+            kv = np.asarray([hash(x) for x in k.to_pylist()], dtype=np.int64)
+        return batch.append_column("__salt", _pa.array(kv % 64))
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys = g[key_col].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1] > gap_us) | (keys[1:] != keys[:-1])
+        sid = np.cumsum(new_session) - 1
+        n_sessions = int(sid[-1]) + 1 if len(g) else 0
+        vals = g[value_col].to_numpy(np.float64)
+        counts = np.bincount(sid, minlength=n_sessions)
+        totals = np.bincount(sid, weights=vals, minlength=n_sessions)
+        first_idx = np.flatnonzero(new_session)
+        starts = ts[first_idx]  # ts sorted within each session run
+        last_idx = np.append(first_idx[1:] - 1, len(g) - 1)
+        ends = ts[last_idx]
+        return pd.DataFrame(
+            {
+                key_col: keys[first_idx],
+                "session_start_us": starts.astype(np.int64),
+                "n": counts.astype(np.int64),
+                "total": np.round(totals, 6),
+                "duration_s": np.round((ends - starts) / US_PER_SEC, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("__salt")
+        .map_groups(lambda g: sessionize(g.drop(columns="__salt")), batch_format="pandas")
+    )
