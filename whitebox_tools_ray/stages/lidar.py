@@ -76,18 +76,26 @@ def lidar_thin(ds, resolution: float, method: str = "first",
         cy = np.floor(y / resolution).astype(np.int64)
         return batch.append_column("__cell", pa.array(cx * 2_000_003 + cy, pa.int64()))
 
+    # salt partitions (one vectorized idxmin/idxmax per partition) — a
+    # pandas call per DISTINCT CELL is millions of tiny groups at scale
+    def add_salt(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__salt", pa.array(batch["__cell"].to_numpy(zero_copy_only=False) % 64))
+
     def keep(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("__cell", sort=False)
         if method == "lowest":
-            out = g.nsmallest(1, z_col)
+            idx = grp[z_col].idxmin()
         elif method == "highest":
-            out = g.nlargest(1, z_col)
+            idx = grp[z_col].idxmax()
         else:
-            out = g.nsmallest(1, id_col)
-        return out.drop(columns=["__cell"])
+            idx = grp[id_col].idxmin()
+        return g.loc[idx].drop(columns=["__cell", "__salt"])
 
     return (
         ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("__cell")
+        .map_batches(add_salt, batch_format="pyarrow")
+        .groupby("__salt")
         .map_groups(keep, batch_format="pandas")
     )
 
@@ -156,16 +164,23 @@ def flightline_overlap(ds, resolution: float, x_col: str = "x", y_col: str = "y"
             }
         )
 
+    def add_salt(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__salt", pa.array(batch["cell"].to_numpy(zero_copy_only=False) % 64))
+
     def count(g: pd.DataFrame) -> pd.DataFrame:
-        cell = int(g["cell"].iloc[0])
+        agg = g.groupby("cell", sort=False)["fl"].nunique().reset_index()
+        cell = agg["cell"].to_numpy(np.int64)
         return pd.DataFrame(
-            {"cell_x": [cell // 2_000_003], "cell_y": [cell - (cell // 2_000_003) * 2_000_003],
-             "n_flightlines": [g["fl"].nunique()]}
+            {"cell_x": cell // 2_000_003,
+             "cell_y": cell - (cell // 2_000_003) * 2_000_003,
+             "n_flightlines": agg["fl"].to_numpy(np.int64)}
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("cell")
+        .map_batches(add_salt, batch_format="pyarrow")
+        .groupby("__salt")
         .map_groups(count, batch_format="pandas")
     )
 
@@ -184,14 +199,20 @@ def classify_overlap_points(ds, resolution: float, x_col: str = "x", y_col: str 
         cy = np.floor(y / resolution).astype(np.int64)
         return batch.append_column("__cell", pa.array(cx * 2_000_003 + cy, pa.int64()))
 
+    def add_salt(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__salt", pa.array(batch["__cell"].to_numpy(zero_copy_only=False) % 64))
+
     def mark(g: pd.DataFrame) -> pd.DataFrame:
-        first_fl = g.loc[g[gps_col].idxmin(), fl_col]
+        first_idx = g.groupby("__cell", sort=False)[gps_col].idxmin()
+        first_fl = g.loc[first_idx].set_index("__cell")[fl_col]
         g = g.copy()
-        g["overlap"] = g[fl_col] != first_fl
-        return g.drop(columns=["__cell"])
+        g["overlap"] = g[fl_col].to_numpy() != first_fl.reindex(g["__cell"]).to_numpy()
+        return g.drop(columns=["__cell", "__salt"])
 
     return (
         ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("__cell")
+        .map_batches(add_salt, batch_format="pyarrow")
+        .groupby("__salt")
         .map_groups(mark, batch_format="pandas")
     )
