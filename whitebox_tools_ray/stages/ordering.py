@@ -136,10 +136,15 @@ def _broadcast_strategy(mat_ds, order_col: str, index_col: str, start: int,
     input size, which dominated the FID overhead. Blocks never leave
     the object store; the driver holds only the key column.
 
-    Tied keys take distinct ranks via ``tiebreak_col`` (any numeric
-    column whose bit pattern disambiguates, e.g. a coordinate); when
-    ties remain unresolvable the caller falls back to the sort
-    strategy (returns None)."""
+    The driver computes the FULL rank array with a stable sort over the
+    keys in block-concatenation order (optionally refined by
+    ``tiebreak_col`` via lexsort) and ships each block its own slice —
+    no broadcast table, no worker-side searchsorted. Tied keys take
+    distinct consecutive ranks in block order; that is deterministic
+    for a given materialized block layout, and when tied rows are
+    full-row duplicates (the only case the reference's scan-order FID
+    can't distinguish either) every assignment yields the same row
+    multiset."""
     import ray
     import ray.data as rd
 
@@ -164,48 +169,28 @@ def _broadcast_strategy(mat_ds, order_col: str, index_col: str, start: int,
     if tiebreak_col:
         tb_all = np.concatenate([p[tiebreak_col] for p in key_parts]).astype(
             np.float64).view(np.int64) if key_parts else np.array([], dtype=np.int64)
-        order = np.lexsort((tb_all, keys))
-        skeys = keys[order]
-        stb = tb_all[order]
-        pair_dup = (np.diff(skeys) == 0) & (np.diff(stb) == 0)
-        if pair_dup.any():
-            return None
-        ref = ray.put((skeys, stb))
+        order = np.lexsort((tb_all, keys))  # stable: block order breaks remaining ties
+    else:
+        order = np.argsort(keys, kind="stable")
+    rank = np.empty(len(keys), dtype=np.int64)
+    rank[order] = np.arange(len(keys), dtype=np.int64)
 
-        @ray.remote
-        def assign_tb(block):
-            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
-            if t.num_rows == 0:
-                return t.append_column(index_col, pa.array([], pa.int64()))
-            sk, st = ray.get(ref)
-            k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            tbv = t[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.float64).view(np.int64)
-            lo = np.searchsorted(sk, k, side="left")
-            hi = np.searchsorted(sk, k, side="right")
-            rank = lo.copy()
-            tied = hi - lo > 1
-            for i in np.nonzero(tied)[0]:
-                rank[i] = lo[i] + np.searchsorted(st[lo[i]: hi[i]], tbv[i])
-            return t.append_column(index_col, pa.array(rank + start, pa.int64()))
-
-        return rd.from_arrow_refs([assign_tb.remote(r) for r in refs])
-
-    keys = np.sort(keys, kind="stable")
-    if len(keys) and (np.diff(keys) == 0).any():
-        return None  # ties — not expressible with a broadcast rank
-    ref = ray.put(keys)
+    sizes = [len(p[order_col]) for p in key_parts]
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
 
     @ray.remote
-    def assign_blk(block):
+    def assign_blk(block, rk):
         t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
         if t.num_rows == 0:
             return t.append_column(index_col, pa.array([], pa.int64()))
-        sorted_keys = ray.get(ref)
-        k = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        rank = np.searchsorted(sorted_keys, k)
-        return t.append_column(index_col, pa.array(rank + start, pa.int64()))
+        return t.append_column(index_col, pa.array(rk, pa.int64()))
 
-    return rd.from_arrow_refs([assign_blk.remote(r) for r in refs])
+    return rd.from_arrow_refs(
+        [
+            assign_blk.remote(r, rank[bounds[i]: bounds[i + 1]] + start)
+            for i, r in enumerate(refs)
+        ]
+    )
 
 
 def _broadcast_strategy_dsform(mat_ds, order_col: str, index_col: str, start: int,

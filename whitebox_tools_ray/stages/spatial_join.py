@@ -186,7 +186,7 @@ def clip_points(
     renumber_fid: bool = True,
     cell_level: int = 12,
     concurrency: int | None = None,
-    batch_size: int | None = 65536,
+    batch_size: int | None = None,
 ):
     """Clip (keep inside, clip.rs Point branch) or Erase (keep outside,
     erase.rs) a point Dataset against a broadcast polygon layer.
