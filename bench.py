@@ -155,7 +155,11 @@ def run_bench() -> dict:
         # read_blocks=None -> one block per band file, keeping the whole
         # read->assign->decode->write band FUSED per task (2x less CPU
         # than the auto-split path, measured at 32 CPUs)
-        res = run_tiling_pipeline(tiles_path, out_dir, spec, num_bands=4, read_blocks=None)
+        rb = os.environ.get("BENCH_READ_BLOCKS")
+        res = run_tiling_pipeline(
+            tiles_path, out_dir, spec, num_bands=4,
+            read_blocks=int(rb) if rb else None,
+        )
         wall = time.time() - t0
         tiling_runs.append(round(wall, 3))
         # track the unrounded minimum so the kept result dict always
