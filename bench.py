@@ -194,8 +194,13 @@ def run_bench() -> dict:
 
         # batch_size=None: one batch per block — an explicit batch_size here
         # paid a measured ~0.5 s of pure rebatch overhead (1.54 s -> 0.93 s
-        # at sf0.1/32 CPUs) with no downstream aggregate to justify coalescing
-        return R.synth_points(sf_dir).map_batches(replicate, batch_format="pyarrow")
+        # at sf0.1/32 CPUs) with no downstream aggregate to justify coalescing.
+        # num_blocks: Ray's small-file heuristic over-splits to ~2
+        # blocks/CPU; half-CPU-count blocks measured 1.15 s vs 1.6-2.1 s
+        # for this join at 32 CPUs (driver bookkeeping is per-block)
+        return R.synth_points(sf_dir, num_blocks=max(8, num_cpus // 2)).map_batches(
+            replicate, batch_format="pyarrow"
+        )
 
     t0 = time.time()
     joined = clip_points(points_multiplied(), polys, renumber_fid=True)

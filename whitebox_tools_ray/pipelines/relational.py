@@ -32,7 +32,7 @@ SYNTH_POINTS_SQL = """
 """
 
 
-def read(sf_dir: str, table: str, columns=None):
+def read(sf_dir: str, table: str, columns=None, **read_kwargs):
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -45,12 +45,24 @@ def read(sf_dir: str, table: str, columns=None):
     schema = pq.read_schema(path).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
-    return rd.read_parquet(path, columns=columns, schema=schema)
+    return rd.read_parquet(path, columns=columns, schema=schema, **read_kwargs)
 
 
-def synth_points(sf_dir: str):
-    """The deterministic point layer (see module docstring)."""
-    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"])
+def synth_points(sf_dir: str, num_blocks: int | None = None):
+    """The deterministic point layer (see module docstring).
+
+    ``num_blocks`` overrides Ray's read split. Ray's small-file heuristic
+    over-splits (~2 blocks/CPU regardless of size: 64 blocks for a
+    21 MB read), and each downstream block costs ~5-10 ms of driver
+    bookkeeping; at 32 CPUs, 16 blocks measured 1.15-1.22 s for the
+    bench join vs 1.56-2.06 s at the auto split. Leave None for inputs
+    big enough that byte-targeted blocks dominate the heuristic."""
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"],
+        **({"override_num_blocks": num_blocks} if num_blocks else {}),
+    )
 
     def derive(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
