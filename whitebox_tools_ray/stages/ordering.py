@@ -191,49 +191,3 @@ def _broadcast_strategy(mat_ds, order_col: str, index_col: str, start: int,
             for i, r in enumerate(refs)
         ]
     )
-
-
-def _broadcast_strategy_dsform(mat_ds, order_col: str, index_col: str, start: int,
-                               tiebreak_col: str | None = None):
-    """Previous Dataset-execution form, kept for reference/fallback."""
-    import ray
-
-    cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
-    pdf = mat_ds.select_columns(cols).to_pandas()
-    keys = pdf[order_col].to_numpy().astype(np.int64)
-    if tiebreak_col:
-        tb = pdf[tiebreak_col].to_numpy().astype(np.float64).view(np.int64)
-        order = np.lexsort((tb, keys))
-        skeys = keys[order]
-        stb = tb[order]
-        pair_dup = (np.diff(skeys) == 0) & (np.diff(stb) == 0)
-        if pair_dup.any():
-            return None
-        ref = ray.put((skeys, stb))
-
-        def assign(batch: pa.Table) -> pa.Table:
-            sk, st = ray.get(ref)
-            k = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            t = batch[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.float64).view(np.int64)
-            lo = np.searchsorted(sk, k, side="left")
-            hi = np.searchsorted(sk, k, side="right")
-            rank = lo.copy()
-            tied = hi - lo > 1
-            for i in np.nonzero(tied)[0]:
-                rank[i] = lo[i] + np.searchsorted(st[lo[i] : hi[i]], t[i])
-            return batch.append_column(index_col, pa.array(rank + start, pa.int64()))
-
-        return mat_ds.map_batches(assign, batch_format="pyarrow")
-
-    keys = np.sort(keys, kind="stable")
-    if len(keys) and (np.diff(keys) == 0).any():
-        return None  # ties — not expressible with a broadcast rank
-    ref = ray.put(keys)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        sorted_keys = ray.get(ref)
-        k = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        rank = np.searchsorted(sorted_keys, k)
-        return batch.append_column(index_col, pa.array(rank + start, pa.int64()))
-
-    return mat_ds.map_batches(assign, batch_format="pyarrow")
