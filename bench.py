@@ -159,6 +159,7 @@ def run_bench() -> dict:
         res = run_tiling_pipeline(
             tiles_path, out_dir, spec, num_bands=4,
             read_blocks=int(rb) if rb else None,
+            bands_in_flight=int(os.environ.get("BENCH_BANDS_IN_FLIGHT", "3")),
         )
         wall = time.time() - t0
         tiling_runs.append(round(wall, 3))

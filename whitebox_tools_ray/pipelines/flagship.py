@@ -138,7 +138,7 @@ def run_tiling_pipeline(
     decode: bool = True,
     resume: bool = True,
     read_blocks: int | None = None,
-    bands_in_flight: int = 2,
+    bands_in_flight: int = 3,
 ) -> dict:
     """Banded, checkpointed tiling stage. Returns metrics dict."""
     import pyarrow.compute as pc
@@ -241,12 +241,14 @@ def run_tiling_pipeline(
             )
         return rows
 
-    # TWO bands in flight: one streaming executor per band thread, the
-    # second overlaps its reads/writes with the first's compute. Measured
-    # on the 4-band 65 k-tile input at 32 CPUs: 4-way thread fan-out pins
-    # the driver (24 s, identical to 8 CPUs), fully sequential leaves the
-    # CPUs idle during each band's disk phases (13 s), 2-way overlap is
-    # the fastest (10-11 s) and keeps the per-band manifest resume grain.
+    # THREE bands in flight: one streaming executor per band thread, the
+    # others overlap their reads/writes with the first's compute. On the
+    # 16-files-per-band layout 2-way was fastest (4-way pinned the
+    # driver at 24 s); re-measured on the round-5 128-files-per-band
+    # layout at 512×512×128, 3-way wins at BOTH CPU levels (32 CPUs:
+    # 11.2/12.0 s vs 13.8/17.7 s 2-way; 8 CPUs: 26.7/30.2 vs 28.2/32.3)
+    # — finer tasks leave straggler slack that a third executor fills
+    # without pinning the driver. Keeps the per-band resume grain.
     t_all = time.time()
     total_tiles = 0
     if to_run:
